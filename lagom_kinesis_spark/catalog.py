@@ -1,0 +1,61 @@
+"""Fixture catalog: named tables → DataFrames.
+
+Plays the role of the reference's topic-registration sweep
+(``ScaladslRegisterTopicProducers.scala:33-101`` — reflect over descriptors,
+wire a named topic to its serde and transport): here a *catalog* maps table
+names to schema-bearing parquet scans, the engine's at-rest topic form
+(SURVEY.md §1.1: a topic at rest is a partitioned parquet table).
+
+Scans stay fully declarative (``spark.read.parquet``) so Catalyst gets
+predicate pushdown, column pruning and partition pruning for free.
+
+The single physical quirk lives here: ``events.parquet`` is written with
+nanosecond timestamps, which Spark's parquet reader rejects. With
+``spark.sql.legacy.parquet.nanosAsLong=true`` (session.RUNTIME_CONFS) the
+column arrives as int64 nanos; :func:`load` floor-divides to µs and rebuilds a
+TimestampType column so downstream operators see a normal timestamp. The
+DuckDB oracle mirrors the exact truncation via
+``make_timestamp(epoch_ns(ts)//1000)`` (helpers.EVENTS_ORACLE_CTE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lagom_kinesis_spark.session import tune
+
+#: Every driver-provided fixture table (TESTDATA.md).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def path_of(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table; normalizes events.ts ns→µs (floor)."""
+    tune(spark)
+    df = spark.read.parquet(path_of(sf_dir, name))
+    if name == "events":
+        # int64 nanos (legacy conf) → µs floor → TimestampType.
+        # Floor semantics match DuckDB's epoch_ns(ts)//1000.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Temp view per table, for spark.sql-expressed queries."""
+    for t in tables:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

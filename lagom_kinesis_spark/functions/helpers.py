@@ -1,0 +1,65 @@
+"""Cross-engine determinism helpers.
+
+The t2 gate hash-compares Spark output against DuckDB per value
+(FIXTURES.md harness rules). Floating point is the hazard: a sum of 60k
+doubles near 1e9 differs between engines in the last ~1e-7, and rounding to 6
+decimals would flip. Discipline:
+
+- **Money-scale sums** (anything that can exceed ~1e6) accumulate in exact
+  DECIMAL on both engines — casts applied to the *operands* so products stay
+  exact — then cast the identical decimal to double and round. Bit-identical.
+- **Small-magnitude floats** (cosines, ratios, averages of O(100) values)
+  round to 6 decimals; the float error (≲1e-12 relative) is orders of
+  magnitude below the rounding quantum, so both engines agree.
+- Timestamps are compared at µs precision; ``events.ts`` is ns in parquet, so
+  the Spark side floors ns→µs at load (catalog.load) and every oracle reads
+  events through :data:`EVENTS_US_SQL` which applies the identical floor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# DuckDB view of `events` matching catalog.load('events') exactly (ns → µs floor).
+EVENTS_US_SQL = (
+    "SELECT event_id, make_timestamp(epoch_ns(ts)//1000) AS ts, "
+    "user_id, event_type, value, props FROM events"
+)
+
+
+def events_cte(body: str) -> str:
+    """Wrap oracle SQL so `events` refers to the µs-normalized relation."""
+    return f"WITH events AS ({EVENTS_US_SQL}) {body}"
+
+
+def r6(c: Column) -> Column:
+    return F.round(c, 6)
+
+
+def dec(c: Column | str, scale: int = 2, precision: int = 18) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast(f"decimal({precision},{scale})")
+
+
+def money(sum_col: Column) -> Column:
+    """Finalize an exact-decimal aggregate: → double, round 6."""
+    return F.round(sum_col.cast("double"), 6)
+
+
+def money_sum_sql(expr: str, scale: int = 2) -> str:
+    """DuckDB mirror of ``money(F.sum(dec(expr)))``."""
+    return f"round(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE), 6)"
+
+
+def revenue_expr() -> Column:
+    """Exact-decimal l_extendedprice*(1-l_discount) (scale 4)."""
+    one = F.lit(1).cast("decimal(18,2)")
+    return dec("l_extendedprice") * (one - dec("l_discount"))
+
+
+#: DuckDB mirror of :func:`revenue_expr`.
+revenue_sql = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+)

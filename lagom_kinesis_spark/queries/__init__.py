@@ -1,0 +1,5 @@
+"""Import every query module so its @register side-effects run."""
+
+from lagom_kinesis_spark.queries import (  # noqa: F401
+    relational,
+)

@@ -1,0 +1,389 @@
+"""Scans, projection, filter/predicates, distinct, sorts/limits, set ops.
+
+SURVEY.md §2B "Scans / sources / sinks", "Projection / filter / predicates",
+and "Sorts / limits / set ops" rows. All pure DataFrame API: filters and
+projections reach the parquet scan as PushedFilters/ReadSchema (verified in
+tests/test_plans.py), so at 100 TB these are IO-bound columnar scans, not
+full-table reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from lagom_kinesis_spark.catalog import load
+from lagom_kinesis_spark.functions import money, r6, revenue_expr, revenue_sql
+from lagom_kinesis_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Flagship: scan + filter + 5-way join (2 broadcast dims) + exact-decimal agg
+# + sort. The reference has no relational surface (SURVEY.md §2A) — this is
+# the engine-defined headline exercising the whole relational stack at once.
+# Scale: lineitem⋈orders is the only big shuffle; nation/region broadcast.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flagship_revenue_by_nation",
+    oracle=f"""
+    SELECT n_name AS nation,
+           round(CAST(SUM({revenue_sql}) AS DOUBLE), 6) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    """,
+    tags=("flagship", "join", "agg"),
+)
+def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per ASIA nation, 1996-1998 orders."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    )
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            money(F.sum(revenue_expr())).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scans
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_parquet_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+    """,
+    tags=("scan",),
+)
+def scan_parquet_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + filter pushed to the parquet scan (2-col ReadSchema)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") < "1996-01-01")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / computed columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "proj_computed",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 6) AS gross,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charged
+    FROM lineitem
+    """,
+    tags=("project",),
+)
+def proj_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row arithmetic projection (identical IEEE ops on both engines)."""
+    li = load(spark, sf_dir, "lineitem")
+    gross = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        r6(gross).alias("gross"),
+        r6(gross * (F.lit(1) + F.col("l_tax"))).alias("charged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_bool_predicates",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE (l_quantity >= 30 AND l_discount > 0.02) OR NOT (l_returnflag = 'N')
+    """,
+    tags=("filter",),
+)
+def filter_bool_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison + AND/OR/NOT."""
+    li = load(spark, sf_dir, "lineitem")
+    cond = ((F.col("l_quantity") >= 30) & (F.col("l_discount") > 0.02)) | (
+        ~(F.col("l_returnflag") == "N")
+    )
+    return li.filter(cond).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+@register(
+    "filter_in_between",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_orderstatus NOT IN ('P')
+      AND o_totalprice BETWEEN 10000 AND 200000
+    """,
+    tags=("filter",),
+)
+def filter_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / NOT IN / BETWEEN."""
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & ~F.col("o_orderstatus").isin("P")
+        & F.col("o_totalprice").between(10000, 200000)
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+@register(
+    "filter_like_regex",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_name LIKE '%widget%' OR regexp_matches(p_name, '^(small|large)')
+    """,
+    tags=("filter",),
+)
+def filter_like_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / RLIKE."""
+    p = load(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%widget%") | F.col("p_name").rlike("^(small|large)")
+    ).select("p_partkey", "p_name")
+
+
+@register(
+    "filter_null_semantics",
+    oracle="""
+    SELECT c_custkey,
+           NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
+           (NULLIF(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM 'MACHINERY') AS nsafe_eq,
+           (NULLIF(c_mktsegment, 'BUILDING') IS NULL) AS seg_is_null
+    FROM customer
+    WHERE NULLIF(c_mktsegment, 'BUILDING') IS NULL
+       OR NULLIF(c_mktsegment, 'BUILDING') = 'MACHINERY'
+    """,
+    tags=("filter", "null"),
+)
+def filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS [NOT] NULL + null-safe equality (<=>), nulls synthesized via NULLIF."""
+    c = load(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return (
+        c.select(
+            "c_custkey",
+            seg.alias("seg_or_null"),
+            seg.eqNullSafe("MACHINERY").alias("nsafe_eq"),
+            seg.isNull().alias("seg_is_null"),
+        )
+        .filter(F.col("seg_or_null").isNull() | (F.col("seg_or_null") == "MACHINERY"))
+    )
+
+
+@register(
+    "distinct_pairs",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    tags=("distinct",),
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.distinct() — partial-aggregate dedup before shuffle at scale."""
+    return load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "drop_rename",
+    oracle="""
+    SELECT c_custkey, c_name AS customer_name, c_mktsegment FROM customer
+    """,
+    tags=("project",),
+)
+def drop_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drop + withColumnRenamed."""
+    return (
+        load(spark, sf_dir, "customer")
+        .withColumnRenamed("c_name", "customer_name")
+        .drop("c_acctbal", "c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sort_multikey_rownum",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderkey, o_totalprice, o_orderpriority,
+             ROW_NUMBER() OVER (ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC)
+               AS rn
+      FROM orders
+    ) WHERE rn <= 100
+    """,
+    tags=("sort",),
+)
+def sort_multikey_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort, verified through the order-insensitive hash by
+    materializing row_number over the full ordering (ties pinned by key).
+    Scale note: the rn materialization is a verification device (single
+    reduce); the production sort itself is a distributed range-sort."""
+    o = load(spark, sf_dir, "orders")
+    w = W.orderBy(
+        F.col("o_orderpriority").asc_nulls_last(),
+        F.col("o_totalprice").desc_nulls_last(),
+        F.col("o_orderkey").asc(),
+    )
+    return (
+        o.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+    )
+
+
+@register(
+    "topk_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    tags=("sort", "limit"),
+)
+def topk_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy + limit: Spark plans TakeOrderedAndProject (per-partition
+    top-k then merge — no global sort, scale-safe). Ties pinned by key."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "union_all_keys",
+    oracle="""
+    SELECT c_custkey AS key, 'customer' AS src FROM customer WHERE c_custkey <= 200
+    UNION ALL
+    SELECT o_custkey AS key, 'orders' AS src FROM orders WHERE o_custkey <= 200
+    """,
+    tags=("setop",),
+)
+def union_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName (bag semantics)."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 200)
+        .select(F.col("c_custkey").alias("key"), F.lit("customer").alias("src"))
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 200)
+        .select(F.col("o_custkey").alias("key"), F.lit("orders").alias("src"))
+    )
+    return c.unionByName(o)
+
+
+@register(
+    "union_distinct_keys",
+    oracle="""
+    SELECT c_custkey AS key FROM customer WHERE c_custkey <= 200
+    UNION
+    SELECT o_custkey AS key FROM orders WHERE o_custkey <= 200
+    """,
+    tags=("setop",),
+)
+def union_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union().distinct() = SQL UNION."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 200)
+        .select(F.col("c_custkey").alias("key"))
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 200)
+        .select(F.col("o_custkey").alias("key"))
+    )
+    return c.union(o).distinct()
+
+
+@register(
+    "intersect_except",
+    oracle="""
+    SELECT key, 'both' AS tag FROM (
+      SELECT c_custkey AS key FROM customer
+      INTERSECT
+      SELECT o_custkey AS key FROM orders
+    )
+    UNION ALL
+    SELECT key, 'only_customer' AS tag FROM (
+      SELECT c_custkey AS key FROM customer
+      EXCEPT
+      SELECT o_custkey AS key FROM orders
+    )
+    """,
+    tags=("setop",),
+)
+def intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect + subtract (set semantics), tagged and unioned."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    both = c.intersect(o).withColumn("tag", F.lit("both"))
+    only_c = c.subtract(o).withColumn("tag", F.lit("only_customer"))
+    return both.unionByName(only_c)
+
+
+@register(
+    "intersect_all_except_all",
+    oracle="""
+    SELECT key, 'int_all' AS tag FROM (
+      SELECT l_suppkey AS key FROM lineitem WHERE l_linenumber = 1
+      INTERSECT ALL
+      SELECT l_suppkey AS key FROM lineitem WHERE l_linenumber = 2
+    )
+    UNION ALL
+    SELECT key, 'exc_all' AS tag FROM (
+      SELECT l_suppkey AS key FROM lineitem WHERE l_linenumber = 1
+      EXCEPT ALL
+      SELECT l_suppkey AS key FROM lineitem WHERE l_linenumber = 2
+    )
+    """,
+    tags=("setop",),
+)
+def intersect_all_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersectAll / exceptAll (bag semantics)."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") == 1).select(F.col("l_suppkey").alias("key"))
+    b = li.filter(F.col("l_linenumber") == 2).select(F.col("l_suppkey").alias("key"))
+    ia = a.intersectAll(b).withColumn("tag", F.lit("int_all"))
+    ea = a.exceptAll(b).withColumn("tag", F.lit("exc_all"))
+    return ia.unionByName(ea)

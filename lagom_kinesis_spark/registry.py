@@ -1,0 +1,73 @@
+"""Query registry: the t2 contract surface.
+
+Every operator from SURVEY.md §2B is exposed as a named :class:`Query`:
+a PySpark callable ``(spark, sf_dir) -> DataFrame`` plus, where
+SQL-expressible, a DuckDB oracle SQL string. ``__spark_entry__.py`` simply
+re-exports this registry; tests iterate it differentially against DuckDB.
+
+Determinism rules enforced by convention here (FIXTURES.md harness rules):
+- alias every computed/aggregate column identically in Spark and SQL;
+- round float outputs to 6 decimals on both engines (``helpers.r6``);
+- large money sums go through exact decimal accumulation on both engines
+  (``helpers`` money discipline) so the round-trip is bit-identical;
+- pin sort ties with unique keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lagom_kinesis_spark.session import tune
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None → rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str, oracle: str | None = None, tags: tuple[str, ...] = (), doc: str = ""
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query under ``name`` with its oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        _REGISTRY[name] = Query(name, wrapped, oracle, tuple(tags), doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Query]:
+    """Import all query modules (side-effect registration) and return them."""
+    import lagom_kinesis_spark.queries  # noqa: F401  (registers everything)
+
+    return dict(_REGISTRY)
+
+
+def queries_dict() -> dict[str, QueryFn]:
+    return {name: q.fn for name, q in all_queries().items()}
+
+
+def oracle_dict() -> dict[str, str]:
+    return {name: q.oracle for name, q in all_queries().items() if q.oracle is not None}

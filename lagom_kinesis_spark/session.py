@@ -1,0 +1,69 @@
+"""SparkSession construction and per-session tuning.
+
+Two entry points:
+
+- :func:`get_spark` builds a session for tests / bench (local[N]).
+- :func:`tune` applies the runtime-settable confs we rely on to an
+  *externally provided* session (the driver harness owns its own session and
+  passes it into ``queries()`` callables), without restarting it.
+
+Scale notes (100 TB): every conf here is also correct on a real cluster —
+AQE coalesces post-shuffle partitions and handles skew joins at runtime, so we
+do not hand-pick shuffle partition counts inside operators. On a cluster the
+static ``spark.sql.shuffle.partitions`` would be sized ~2-3× total cores and
+AQE shrinks from there; locally we pin it to the core count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable SQL confs every query relies on. Applied idempotently.
+RUNTIME_CONFS: dict[str, str] = {
+    # Oracle comparison requires naive-UTC timestamps on both engines
+    # (DuckDB timestamps are UTC-naive).
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet carries TIMESTAMP(NANOS) which Spark cannot natively
+    # read; read the raw int64 and convert to µs ourselves (catalog.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # AQE: runtime re-plan — auto broadcast, skew-join splitting, post-shuffle
+    # partition coalescing. Free wins at every scale.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas interchange (pandas UDFs, toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (idempotent, cheap)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            # Static conf on this build — leave as-is rather than fail a query.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "lagom-kinesis-spark") -> SparkSession:
+    """Session for tests/bench: local[$SPARK_GRAFT_CPUS], AQE on, UTC."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # local mode = single JVM; driver memory is the only memory knob.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return tune(spark)
