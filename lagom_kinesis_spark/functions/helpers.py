@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 # DuckDB view of `events` matching catalog.load('events') exactly (ns → µs floor).
 EVENTS_US_SQL = (
     "SELECT event_id, make_timestamp(epoch_ns(ts)//1000) AS ts, "
-    "user_id, event_type, value, props FROM events"
+    "user_id, event_type, value, props FROM main.events"
 )
 
 

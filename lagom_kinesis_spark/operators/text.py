@@ -1,0 +1,59 @@
+"""Text-analysis building blocks: tokenization, shingling, fingerprints.
+
+All pure Column expressions (JVM-side, codegen'd) so they run inside
+whole-stage codegen over 100 TB of documents without touching Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny function-word lists for the deterministic lang-id heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "nicht"],
+    "es": ["el", "la", "que"],
+    "fr": ["le", "et", "les"],
+}
+
+STOPWORDS = ["the", "and", "of", "a", "in", "to"]
+
+
+def tokens(text: Column | str) -> Column:
+    """Lowercased whitespace tokens."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(c), " ")
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct n-gram shingles (space-joined token windows).
+
+    Empty when the document has fewer than ``n`` tokens.
+    """
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Canonical fingerprint: md5 of the sorted distinct token set.
+
+    The classic 'fingerprint' clustering key — robust to token order and
+    duplication, cheap to group on at scale."""
+    t = tokens(text)
+    return F.md5(
+        F.concat_ws(" ", F.sort_array(F.array_distinct(t))).cast("binary")
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two string arrays (set semantics)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))

@@ -1,0 +1,314 @@
+"""Aggregation operators (SURVEY.md §2B "Aggregations").
+
+All hash aggregates: Spark plans partial (map-side) + final aggregation
+automatically, so the shuffle carries one row per (partition, group) — the
+100 TB-safe shape. Money-scale sums follow the exact-decimal discipline
+(functions/helpers.py) so the DuckDB hash-compare is bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lagom_kinesis_spark.catalog import load, register_views
+from lagom_kinesis_spark.functions import dec, money, r6, revenue_expr, revenue_sql
+from lagom_kinesis_spark.registry import register
+
+
+@register(
+    "agg_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_qty,
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_base_price,
+           round(CAST(SUM({revenue_sql}) AS DOUBLE), 6) AS sum_disc_price,
+           round(CAST(SUM({revenue_sql} * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE), 6) AS sum_charge,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg",),
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: 8 aggregates over 2 group keys."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-09-02")
+    one = F.lit(1).cast("decimal(18,2)")
+    cnt = F.count("*")
+    sum_qty = F.sum(dec("l_quantity"))
+    sum_price = F.sum(dec("l_extendedprice"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        money(sum_qty).alias("sum_qty"),
+        money(sum_price).alias("sum_base_price"),
+        money(F.sum(revenue_expr())).alias("sum_disc_price"),
+        money(F.sum(revenue_expr() * (one + dec("l_tax")))).alias("sum_charge"),
+        F.round(sum_qty.cast("double") / cnt, 6).alias("avg_qty"),
+        F.round(sum_price.cast("double") / cnt, 6).alias("avg_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        cnt.alias("count_order"),
+    )
+
+
+@register(
+    "agg_global",
+    oracle="""
+    SELECT COUNT(*) AS n_orders,
+           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS total,
+           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+    FROM orders
+    """,
+    tags=("agg",),
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (keyless) aggregate — single-row result via partial+final."""
+    o = load(spark, sf_dir, "orders")
+    s = F.sum(dec("o_totalprice"))
+    return o.agg(
+        F.count("*").alias("n_orders"),
+        money(s).alias("total"),
+        F.round(s.cast("double") / F.count("*"), 6).alias("avg_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "agg_count_distinct_multi",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(DISTINCT CAST(year(o_orderdate) AS INT)) AS n_years,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def agg_count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple exact distinct aggregates (expand-based plan in Spark)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct(F.year("o_orderdate").cast("int")).alias("n_years"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "agg_approx_count_distinct",
+    oracle=None,  # HLL sketch — not hash-matchable; bounded-error check in tests
+    tags=("agg", "approx"),
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB path for distinct
+    counts — mergeable sketch, no expand. Exactness checked within 5% in
+    tests/test_approx.py."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    tags=("agg", "groupingsets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping_id (SQL API — same Catalyst plan)."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping_id() AS gid,
+               COUNT(*) AS n,
+               round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.rollup — hierarchical subtotals."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.cube — all grouping combinations."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@register(
+    "agg_min_by_max_by",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_max,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice ASC, o_orderkey DESC) AS rn_min
+      FROM orders)
+    SELECT o_orderpriority,
+           MAX(o_orderkey) FILTER (rn_max = 1) AS priciest_order,
+           MAX(o_orderkey) FILTER (rn_min = 1) AS cheapest_order,
+           MAX(o_totalprice) AS max_price, MIN(o_totalprice) AS min_price
+    FROM ranked GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by with struct ordering keys so ties are deterministic
+    (max: prefer larger orderkey; min: prefer larger orderkey too)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", F.struct("o_totalprice", "o_orderkey")).alias(
+            "priciest_order"
+        ),
+        F.min_by(
+            "o_orderkey", F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")))
+        ).alias("cheapest_order"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT l_returnflag,
+           list_sort(list_distinct(list(l_linestatus))) AS statuses,
+           list_sort(list(l_linenumber) FILTER (WHERE l_quantity >= 49)) AS big_linenums
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "array"),
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set / collect_list, sorted for determinism."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("l_quantity") >= 49, F.col("l_linenumber")))
+        ).alias("big_linenums"),
+    )
+
+
+@register(
+    "agg_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(var_samp(l_quantity), 6) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/variance/corr/covar (small-magnitude → round-6 safe)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r6(F.stddev_samp("l_quantity")).alias("sd_qty"),
+        r6(F.var_samp("l_quantity")).alias("var_qty"),
+        r6(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        r6(F.covar_samp("l_quantity", "l_discount")).alias("cov_qty_disc"),
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS median,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation, same def as quantile_cont)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r6(F.percentile("l_extendedprice", F.lit(0.25))).alias("p25"),
+        r6(F.percentile("l_extendedprice", F.lit(0.5))).alias("median"),
+        r6(F.percentile("l_extendedprice", F.lit(0.75))).alias("p75"),
+    )
+
+
+@register(
+    "agg_conditional",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (o_orderstatus = 'F') AS n_finished,
+           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F') AS DOUBLE), 6) AS finished_total,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: sum(when(...)) ≡ FILTER (WHERE ...)."""
+    o = load(spark, sf_dir, "orders")
+    finished = F.col("o_orderstatus") == "F"
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(finished, 1)).alias("n_finished"),
+        money(F.sum(F.when(finished, dec("o_totalprice")))).alias("finished_total"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS spend
+    FROM orders GROUP BY o_custkey
+    HAVING COUNT(*) >= 12 AND SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 1000000
+    """,
+    tags=("agg",),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = post-aggregation filter."""
+    o = load(spark, sf_dir, "orders")
+    agged = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(dec("o_totalprice")).alias("_spend_dec"),
+    )
+    return (
+        agged.filter((F.col("n_orders") >= 12) & (F.col("_spend_dec") > 1000000))
+        .select("o_custkey", "n_orders", money(F.col("_spend_dec")).alias("spend"))
+    )

@@ -1,0 +1,326 @@
+"""Scalar function families (SURVEY.md §2B "Scalar functions") — one
+representative query per family, every expression JVM-side (whole-stage
+codegen; no Python in the hot path).
+
+Cross-engine notes baked into the oracles:
+- DuckDB has no ``initcap`` → emulated for single-word inputs.
+- DuckDB ``regexp_replace`` is first-match by default → 'g' flag.
+- DuckDB ``dayofweek`` is 0=Sunday vs Spark 1=Sunday → +1.
+- DuckDB ``epoch()`` is DOUBLE → ``epoch_us(...)//1000000`` for exact longs.
+- DuckDB ``map[k]`` yields a 1-element list → ``[1]`` extract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lagom_kinesis_spark.catalog import load
+from lagom_kinesis_spark.functions import events_cte, r6
+from lagom_kinesis_spark.registry import register
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS up,
+           lower(p_brand) AS lo,
+           trim(concat('  ', p_brand, '  ')) AS trimmed,
+           substring(p_name, 1, 5) AS sub5,
+           concat_ws('|', p_brand, p_type) AS joined,
+           length(p_name) AS name_len,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+           split_part(p_name, ' ', 1) AS first_tok,
+           regexp_extract(p_name, '^(\\w+)', 1) AS rex_tok,
+           regexp_replace(p_name, 'widget', 'gadget', 'g') AS replaced,
+           upper(substring(lower(p_type), 1, 1)) || substring(lower(p_type), 2)
+             AS type_initcap
+    FROM part
+    """,
+    tags=("scalar", "string"),
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: upper/lower/trim/substring/concat_ws/length/lpad/
+    split/regexp_extract/regexp_replace/initcap."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias("trimmed"),
+        F.substring("p_name", 1, 5).alias("sub5"),
+        F.concat_ws("|", "p_brand", "p_type").alias("joined"),
+        F.length("p_name").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded"),
+        F.split("p_name", " ").getItem(0).alias("first_tok"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("rex_tok"),
+        F.regexp_replace("p_name", "widget", "gadget").alias("replaced"),
+        F.initcap("p_type").alias("type_initcap"),
+    )
+
+
+@register(
+    "fn_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           dayofweek(o_orderdate) + 1 AS dow,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since,
+           CAST(o_orderdate AS DATE) + 30 AS plus30,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(epoch_us(o_orderdate)//1000000 AS BIGINT) AS unix_sec,
+           CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS as_date
+    FROM orders WHERE o_orderkey <= 5000
+    """,
+    tags=("scalar", "datetime"),
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: year/month/dayofweek/date_trunc/datediff/date_add/
+    last_day/unix_timestamp/to_date."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff("o_orderdate", F.lit("1995-01-01")).alias("days_since"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("plus30"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.unix_timestamp("o_orderdate").alias("unix_sec"),
+        F.to_date(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("as_date"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice / 7, 2) AS div_round,
+           abs(l_discount - l_tax) AS abs_diff,
+           CAST(ceil(l_quantity / 3) AS BIGINT) AS ceil3,
+           CAST(floor(l_quantity / 3) AS BIGINT) AS floor3,
+           pow(l_quantity, 2) AS qty_sq,
+           round(sqrt(l_extendedprice), 6) AS price_sqrt,
+           round(ln(l_extendedprice), 6) AS price_ln,
+           round(log10(l_extendedprice), 6) AS price_log10,
+           CAST(l_orderkey % 7 AS BIGINT) AS pmod7,
+           CAST(sign(l_quantity - 25) AS DOUBLE) AS qty_sign
+    FROM lineitem WHERE l_orderkey <= 5000
+    """,
+    tags=("scalar", "math"),
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: round/abs/ceil/floor/pow/sqrt/ln/log10/pmod/sign."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 5000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") / 7, 2).alias("div_round"),
+        F.abs(F.col("l_discount") - F.col("l_tax")).alias("abs_diff"),
+        F.ceil(F.col("l_quantity") / 3).alias("ceil3"),
+        F.floor(F.col("l_quantity") / 3).alias("floor3"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        r6(F.sqrt("l_extendedprice")).alias("price_sqrt"),
+        r6(F.log("l_extendedprice")).alias("price_ln"),
+        r6(F.log10("l_extendedprice")).alias("price_log10"),
+        F.pmod("l_orderkey", F.lit(7)).cast("bigint").alias("pmod7"),
+        F.signum(F.col("l_quantity") - 25).alias("qty_sign"),
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'big'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'small' END AS bucket,
+           coalesce(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_or_pending,
+           NULLIF(o_orderpriority, '4-NOT SPECIFIED') AS prio_or_null,
+           least(o_totalprice, 50000.0) AS capped,
+           greatest(o_totalprice, 100000.0) AS floored
+    FROM orders
+    """,
+    tags=("scalar", "conditional"),
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: when/otherwise, coalesce, nullif, least, greatest."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "big")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("PENDING")).alias(
+            "status_or_pending"
+        ),
+        F.nullif("o_orderpriority", F.lit("4-NOT SPECIFIED")).alias("prio_or_null"),
+        F.least("o_totalprice", F.lit(50000.0)).alias("capped"),
+        F.greatest("o_totalprice", F.lit(100000.0)).alias("floored"),
+    )
+
+
+@register(
+    "fn_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price_2dec,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(o_custkey AS DOUBLE) AS cust_dbl,
+           CAST(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP) AS ts_roundtrip,
+           CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_num
+    FROM orders
+    """,
+    tags=("scalar", "cast"),
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast family: double↔decimal, int↔string, string↔timestamp."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").cast("double").alias("price_2dec"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_custkey").cast("double").alias("cust_dbl"),
+        F.col("o_orderdate").cast("string").cast("timestamp").alias("ts_roundtrip"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("prio_num"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           list_transform(list_slice(embedding, 1, 4),
+                          x -> round(CAST(x AS DOUBLE), 6)) AS head4,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6)
+             AS total,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           len(list_distinct(embedding)) AS n_distinct,
+           list_transform(list_slice(list_sort(embedding), 1, 3),
+                          x -> round(CAST(x AS DOUBLE), 6)) AS smallest3
+    FROM embeddings
+    """,
+    tags=("scalar", "array"),
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family incl. higher-order transform/filter/aggregate — all
+    JVM-side lambda expressions, no UDF."""
+    e = load(spark, sf_dir, "embeddings")
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.transform(F.slice("embedding", 1, 4), lambda x: F.round(dbl(x), 6)).alias(
+            "head4"
+        ),
+        r6(dbl(F.array_max("embedding"))).alias("max_val"),
+        r6(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda acc, x: acc + dbl(x)
+            )
+        ).alias("total"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.size(F.array_distinct("embedding")).alias("n_distinct"),
+        F.transform(
+            F.slice(F.sort_array("embedding"), 1, 3), lambda x: F.round(dbl(x), 6)
+        ).alias("smallest3"),
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+    SELECT c_custkey,
+           map_keys(MAP {'seg': c_mktsegment, 'name': c_name}) AS ks,
+           MAP {'seg': c_mktsegment, 'name': c_name}['seg'][1] AS seg_val,
+           MAP {'bal': c_acctbal}['bal'][1] AS bal_val
+    FROM customer
+    """,
+    tags=("scalar", "map"),
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: create_map / map_keys / element_at."""
+    c = load(spark, sf_dir, "customer")
+    m = F.create_map(
+        F.lit("seg"), F.col("c_mktsegment"), F.lit("name"), F.col("c_name")
+    )
+    return c.select(
+        "c_custkey",
+        F.map_keys(m).alias("ks"),
+        F.element_at(m, "seg").alias("seg_val"),
+        F.element_at(F.create_map(F.lit("bal"), F.col("c_acctbal")), "bal").alias(
+            "bal_val"
+        ),
+    )
+
+
+@register(
+    "fn_struct",
+    oracle="""
+    SELECT s_suppkey,
+           (struct_pack(k := s_suppkey, nat := s_nationkey)).k AS sk,
+           (struct_pack(k := s_suppkey, nat := s_nationkey)).nat + 100 AS nat_plus
+    FROM supplier
+    """,
+    tags=("scalar", "struct"),
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct family: pack + dot access (fields extracted for comparison —
+    raw structs are never output, engines disagree on row shape)."""
+    s = load(spark, sf_dir, "supplier")
+    packed = F.struct(F.col("s_suppkey").alias("k"), F.col("s_nationkey").alias("nat"))
+    return s.select(
+        "s_suppkey",
+        packed.getField("k").alias("sk"),
+        (packed.getField("nat") + 100).alias("nat_plus"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle=events_cte(
+        """
+    SELECT event_id,
+           CAST(props->>'k' AS INT) AS k_get,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_extract
+    FROM events
+    """
+    ),
+    tags=("scalar", "json"),
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: get_json_object + from_json on events.props."""
+    e = load(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_get"),
+        parsed.getField("k").alias("k_extract"),
+    )
+
+
+@register(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5, sha256(text) AS text_sha256
+    FROM documents
+    """,
+    tags=("scalar", "hash"),
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash family: md5 / sha2-256 (cross-checkable); xxhash64 is used
+    engine-internally for shuffle-free fingerprints but has no DuckDB
+    counterpart (tests/test_operators.py covers it rows-only)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("text_sha256"),
+    )

@@ -1,0 +1,284 @@
+"""Join operators (SURVEY.md §2B "Joins").
+
+The reference has no joins (SURVEY.md §2A: "no relational operators") — this
+whole family is engine-defined surface. Strategy notes for 100 TB:
+
+- Fact⋈fact joins (lineitem⋈orders) shuffle on the join key; Catalyst plans
+  sort-merge, AQE converts to broadcast/skew-split at runtime when profitable.
+- Dimension joins are explicitly ``F.broadcast`` so the 100 TB fact side never
+  shuffles for them.
+- Theta/band joins always carry an equi predicate (the key) so Spark plans a
+  hash/merge join with a residual condition — never a cartesian product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lagom_kinesis_spark.catalog import load
+from lagom_kinesis_spark.functions import money, revenue_expr, revenue_sql
+from lagom_kinesis_spark.registry import register
+
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT o_orderkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'O'
+    """,
+    tags=("join",),
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join, planner-chosen strategy."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+@register(
+    "join_broadcast_dims",
+    oracle=f"""
+    SELECT r_name AS region, COUNT(*) AS n_items,
+           round(CAST(SUM({revenue_sql}) AS DOUBLE), 6) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    tags=("join", "broadcast"),
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join on all three dimension tables: the fact side
+    streams through map-side joins with zero shuffle before the final agg."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_items"),
+            money(F.sum(revenue_expr())).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT o_orderkey, c_custkey, c_mktsegment
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey AND o_orderstatus = 'P'
+    WHERE c_custkey <= 100
+    """,
+    tags=("join",),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join; non-matching right rows carry null order keys."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    return o.join(
+        c, (o.o_custkey == c.c_custkey) & (o.o_orderstatus == "P"), "right"
+    ).select("o_orderkey", "c_custkey", "c_mktsegment")
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT a.key AS a_key, b.key AS b_key
+    FROM (SELECT c_custkey AS key FROM customer WHERE c_custkey BETWEEN 1 AND 100) a
+    FULL JOIN (SELECT DISTINCT o_custkey AS key FROM orders
+               WHERE o_custkey BETWEEN 51 AND 150) b
+      ON a.key = b.key
+    """,
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join over partially-overlapping key sets."""
+    a = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey").between(1, 100))
+        .select(F.col("c_custkey").alias("key"))
+    )
+    b = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").between(51, 150))
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    return a.join(b, a.key == b.key, "full").select(
+        a.key.alias("a_key"), b.key.alias("b_key")
+    )
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+    """,
+    tags=("join",),
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi = EXISTS; emits left columns only, no duplication."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join",),
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti = NOT EXISTS."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+    tags=("join",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (small dims only)."""
+    r = load(spark, sf_dir, "region").select("r_name")
+    n = load(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@register(
+    "join_theta_band",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate <  o_orderdate + INTERVAL 30 DAY
+    """,
+    tags=("join", "theta"),
+)
+def join_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join: equi key + date-range residual. The equi component keeps
+    the plan a hash/merge join at scale; the band is a post-join filter."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+    ).select("l_orderkey", "l_linenumber", "l_shipdate")
+
+
+@register(
+    "join_theta_pure",
+    oracle="""
+    SELECT a.s_suppkey AS s1, b.s_suppkey AS s2
+    FROM supplier a JOIN supplier b ON a.s_acctbal < b.s_acctbal
+    """,
+    tags=("join", "theta"),
+)
+def join_theta_pure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure inequality join (nested-loop; only ever on small inputs —
+    at scale an inequality join must be banded/bucketized first)."""
+    a = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("s1"), F.col("s_acctbal").alias("bal1")
+    )
+    b = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("s2"), F.col("s_acctbal").alias("bal2")
+    )
+    return a.join(b, a.bal1 < b.bal2).select("s1", "s2")
+
+
+@register(
+    "join_self_pairs",
+    oracle="""
+    SELECT a.o_custkey AS custkey, COUNT(*) AS n_pairs
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+    GROUP BY a.o_custkey
+    """,
+    tags=("join", "self"),
+)
+def join_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self join: pairs of orders per customer (key-grouped, so the
+    quadratic blowup is bounded per key, not global)."""
+    o = load(spark, sf_dir, "orders")
+    a = o.select(F.col("o_custkey").alias("custkey"), F.col("o_orderkey").alias("k1"))
+    b = o.select(F.col("o_custkey").alias("custkey2"), F.col("o_orderkey").alias("k2"))
+    return (
+        a.join(b, (a.custkey == b.custkey2) & (a.k1 < b.k2))
+        .groupBy("custkey")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@register(
+    "join_multiway",
+    oracle=f"""
+    SELECT p_brand, n_name AS supp_nation, COUNT(*) AS n_items,
+           round(CAST(SUM({revenue_sql}) AS DOUBLE), 6) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND p_size <= 20
+    GROUP BY p_brand, n_name
+    """,
+    tags=("join", "agg"),
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-table join: one fact shuffle (orders), broadcast part/supplier/nation."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1997-01-01")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("p_brand", F.col("n_name").alias("supp_nation"))
+        .agg(
+            F.count("*").alias("n_items"),
+            money(F.sum(revenue_expr())).alias("revenue"),
+        )
+    )

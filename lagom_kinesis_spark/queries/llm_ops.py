@@ -1,0 +1,504 @@
+"""LLM-data-pipeline operators (driver mandate; SURVEY.md §2B last block):
+deduplication, similarity search, text analysis, multimodal columns.
+
+Oracle-matched exact variants establish correctness; the `*_lsh` /
+`simhash` variants are the 100 TB scale paths (blocked candidate
+generation — no global cartesian product), checked rows-only plus
+containment tests in tests/test_operators.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from lagom_kinesis_spark.catalog import load
+from lagom_kinesis_spark.functions import r6
+from lagom_kinesis_spark.operators import multimodal
+from lagom_kinesis_spark.operators.similarity import (
+    cosine,
+    hyperplane_bucket,
+    lsh_candidate_pairs,
+    simhash64,
+)
+from lagom_kinesis_spark.operators.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    jaccard,
+    shingles,
+    tokens,
+)
+from lagom_kinesis_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text), keep the smallest doc_id.
+    At scale: one shuffle on the 128-bit hash — the canonical first pass of
+    any training-data pipeline."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_md5"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_fingerprint",
+    oracle="""
+    SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+             AS fp,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+    FROM documents GROUP BY fp
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint dedup: md5 of the sorted distinct token set — catches
+    token-order shuffles exact dedup misses; still one shuffle."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(fingerprint("text").alias("fp"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle="""
+    WITH sub AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1)),
+               i -> concat_ws(' ',
+                    string_split(lower(text), ' ')[i],
+                    string_split(lower(text), ' ')[i+1],
+                    string_split(lower(text), ' ')[i+2])
+             )) AS sh
+      FROM documents WHERE doc_id % 20 = 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))
+                 / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) AS jac
+    FROM sub a JOIN sub b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))
+          / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.3
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard pairs (≥0.3) over a 1/20 sample — the
+    correctness oracle for near-dup detection. All-pairs is O(n²): only ever
+    run on samples; the full-corpus path is dedup_minhash_lsh."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    sub = d.select("doc_id", shingles(tokens("text")).alias("sh"))
+    a = sub.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sub.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= 0.3)
+        .select("id_a", "id_b", r6(F.col("jac")).alias("jac"))
+    )
+
+
+@register("dedup_minhash_lsh", oracle=None, tags=("llm", "dedup", "scale"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection — the 100 TB path: 16 minhashes,
+    4 bands; candidates from band-bucket equi-joins (no cartesian product),
+    then exact Jaccard verification within candidates only.
+    tests/test_operators.py asserts every high-Jaccard pair from the exact
+    sample is recalled by LSH."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select("doc_id", shingles(tokens("text")).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    cands = lsh_candidate_pairs(sh, "doc_id", "sh", num_hashes=16, bands=4)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jac", r6(jaccard(F.col("sh_a"), F.col("sh_b"))))
+        .filter(F.col("jac") >= 0.5)
+        .select("id_a", "id_b", "jac")
+    )
+
+
+@register("dedup_simhash", oracle=None, tags=("llm", "dedup", "scale"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit signatures, banded into 4×16-bit keys for
+    candidate generation (a pair within Hamming distance 3 shares ≥1 band),
+    verified by popcount(xor) ≤ 3. Signature computation is map-only."""
+    d = load(spark, sf_dir, "documents")
+    sigs = d.select("doc_id", simhash64(tokens("text")).alias("sig"))
+    bands = None
+    for b in range(4):
+        band = sigs.select(
+            "doc_id",
+            "sig",
+            F.lit(b).alias("band"),
+            F.shiftright("sig", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("band_key"),
+        )
+        bands = band if bands is None else bands.unionByName(band)
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_key"
+    )
+    b_ = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_key"
+    )
+    return (
+        a.join(b_, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_topk_cosine",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.q_id, e.vec_id,
+                  round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cos_sim
+           FROM q CROSS JOIN embeddings e
+         )
+    SELECT * FROM (
+      SELECT q_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-10 cosine neighbors for 5 query vectors —
+    higher-order array math, no UDF. Ranking is on the *rounded* cosine
+    (+ vec_id pin) so both engines rank identically. At scale brute force
+    is one broadcast of the query set over a map-only scan — viable for
+    small query sets; sim_ann_lsh is the indexed path."""
+    e = load(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(e.select("vec_id", "embedding"))
+        .select(
+            "q_id",
+            "vec_id",
+            r6(cosine(F.col("qv"), F.col("embedding"))).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+
+
+@register("sim_ann_lsh", oracle=None, tags=("llm", "similarity", "scale"))
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via sign-random-projection LSH: 12-bit buckets computed map-only,
+    candidates = bucket equi-join, exact cosine re-rank within candidates.
+    Recall vs the exact top-k is measured in tests/test_operators.py."""
+    e = load(spark, sf_dir, "embeddings")
+    bucketed = e.select(
+        "vec_id", "embedding", hyperplane_bucket(F.col("embedding"), 64, 12).alias("bucket")
+    )
+    q = bucketed.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"), "bucket"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(bucketed, "bucket")
+        .select(
+            "q_id", "vec_id", r6(cosine(F.col("qv"), F.col("embedding"))).alias("cos_sim")
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_top_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ), counted AS (
+      SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+    )
+    SELECT * FROM (
+      SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rn
+      FROM counted
+    ) WHERE rn <= 50
+    """,
+    tags=("llm", "text"),
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + word count, top-50. explode→groupBy is the scalable shape
+    (partial aggregation collapses counts before the shuffle)."""
+    d = load(spark, sf_dir, "documents")
+    counted = (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.orderBy(F.col("n").desc(), "token")
+    return counted.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 50)
+
+
+@register(
+    "text_bigrams",
+    oracle="""
+    WITH grams AS (
+      SELECT lang,
+             unnest(list_transform(
+               range(1, greatest(len(string_split(lower(text), ' ')), 1)),
+               i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+                                   string_split(lower(text), ' ')[i+1])
+             )) AS bigram
+      FROM documents
+    ), counted AS (
+      SELECT lang, bigram, COUNT(*) AS n FROM grams GROUP BY lang, bigram
+    )
+    SELECT * FROM (
+      SELECT lang, bigram, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rn
+      FROM counted
+    ) WHERE rn <= 5
+    """,
+    tags=("llm", "text"),
+)
+def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram counts, top-5 per language (non-distinct n-grams)."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0) - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, (i + 1).cast("int")),
+            F.element_at(toks, (i + 2).cast("int")),
+        ),
+    )
+    counted = (
+        d.select("lang", F.explode(grams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), "bigram")
+    return counted.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+         tf AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+           FROM sub
+         ),
+         tfc AS (SELECT doc_id, token, COUNT(*) AS tf FROM tf GROUP BY doc_id, token),
+         dfc AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tfc GROUP BY token),
+         n AS (SELECT COUNT(*) AS n_docs FROM sub)
+    SELECT tfc.doc_id, tfc.token,
+           round(tfc.tf * ln(CAST(n.n_docs AS DOUBLE) / dfc.df), 6) AS tfidf
+    FROM tfc JOIN dfc ON tfc.token = dfc.token CROSS JOIN n
+    WHERE tfc.tf >= 2
+    """,
+    tags=("llm", "text"),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf over a 1/50 sample: tf per (doc, token), df via distinct-doc
+    count, idf = ln(N/df). Joins on token — at scale the df side is tiny
+    after aggregation and broadcasts."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    return (
+        tf.join(F.broadcast(df_), "token")
+        .filter(F.col("tf") >= 2)
+        .select(
+            "doc_id",
+            "token",
+            r6(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "text_lang_share",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           round(COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS share,
+           round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+    tags=("llm", "text"),
+)
+def text_lang_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language/source distribution with window share-of-total."""
+    d = load(spark, sf_dir, "documents")
+    agged = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("_chars")
+    )
+    return agged.select(
+        "lang",
+        "n_docs",
+        r6(F.col("n_docs") / F.sum("n_docs").over(W.partitionBy())).alias("share"),
+        r6(F.col("_chars").cast("double") / F.col("n_docs")).alias("avg_chars"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars, string_split(lower(text), ' ') AS toks
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           len(toks) AS n_tokens,
+           round(CAST(n_chars AS DOUBLE) / len(toks), 6) AS chars_per_token,
+           round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6)
+             AS type_token_ratio,
+           round(len(list_filter(toks, x -> list_contains(['the','and','of','a','in','to'], x)))
+                 / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio
+    FROM t
+    """,
+    tags=("llm", "text"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token stats, type/token ratio, stopword ratio —
+    the standard cheap filters before expensive model-based scoring."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    sw = F.array([F.lit(s) for s in STOPWORDS])
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        r6(F.col("n_chars").cast("double") / F.size(toks)).alias("chars_per_token"),
+        r6(F.size(F.array_distinct(toks)) / F.size(toks).cast("double")).alias(
+            "type_token_ratio"
+        ),
+        r6(
+            F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+            / F.size(toks).cast("double")
+        ).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "text_langid",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CASE WHEN len(list_intersect(toks, ['the','and','of'])) > 0 THEN 'en'
+                WHEN len(list_intersect(toks, ['der','und','nicht'])) > 0 THEN 'de'
+                WHEN len(list_intersect(toks, ['el','la','que'])) > 0 THEN 'es'
+                WHEN len(list_intersect(toks, ['le','et','les'])) > 0 THEN 'fr'
+                ELSE 'und' END AS lang_guess
+    FROM t
+    """,
+    tags=("llm", "text"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (deterministic CASE cascade)."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        markers = F.array([F.lit(m) for m in LANG_MARKERS[lang]])
+        expr = F.when(F.arrays_overlap(toks, markers), lang).otherwise(expr)
+    return d.select("doc_id", expr.alias("lang_guess"))
+
+
+@register(
+    "text_token_count_regex",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS n_word_tokens,
+           len(string_split(text, ' ')) AS n_ws_tokens
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace vs BPE-ish regex segmentation."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0)")).alias(
+            "n_word_tokens"
+        ),
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'text' END AS modality,
+           CAST(n_chars % 640 AS INT) AS width
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed metadata columns (the Spark-side plumbing;
+    metadata predicates prune before any decode touches bytes)."""
+    blobs = multimodal.attach_payload(load(spark, sf_dir, "documents"))
+    return blobs.select(
+        "doc_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.width").alias("width"),
+    )
+
+
+@register("multimodal_decode_features", oracle=None, tags=("llm", "multimodal"))
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode/feature-extract (stubbed decoder,
+    real plumbing — schema, batching, partition parallelism)."""
+    blobs = multimodal.attach_payload(load(spark, sf_dir, "documents"))
+    return multimodal.decode_features(blobs)

@@ -1,0 +1,303 @@
+"""Streaming operators with batch-equivalence oracles (SURVEY.md §2B
+"Streaming-only").
+
+Each query runs a real Structured Streaming query (file-stream source over
+``events.parquet``, Trigger.AvailableNow, memory sink) and returns the sink
+table; the DuckDB oracle computes the same result in batch SQL — the
+batch-equivalence check of SURVEY.md §5.2 layer 2. Delivery semantics /
+fault injection live in tests/test_topics.py.
+
+Window-start values are emitted as explicit epoch-second buckets
+(floor(epoch/width)*width) so both engines agree exactly; Spark's
+``F.window`` aligns to the epoch, which matches the floor formula.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lagom_kinesis_spark.catalog import path_of
+from lagom_kinesis_spark.functions import events_cte, r6
+from lagom_kinesis_spark.registry import register
+from lagom_kinesis_spark.session import tune
+from lagom_kinesis_spark.streaming.topics import memory_sink_table
+
+_EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming view of the events topic (Kinesis-semantics source; file
+    transport in tests, same TRIM_HORIZON = process-all-available replay —
+    SURVEY.md §2B scans table). ns→µs normalization identical to batch."""
+    tune(spark)
+    raw = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .parquet(path_of(sf_dir, "events"))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+@register(
+    "stream_tumbling_window",
+    oracle=events_cte(
+        """
+    SELECT (epoch_us(ts)//1000000)//300*300 AS bucket_start,
+           event_type,
+           COUNT(*) AS n,
+           round(SUM(value), 6) AS total_value
+    FROM events GROUP BY bucket_start, event_type
+    """
+    ),
+    tags=("streaming", "window"),
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling window aggregation (streaming, complete mode)."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count("*").alias("n"), r6(F.sum("value")).alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("bucket_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return memory_sink_table(agg, "complete")
+
+
+@register(
+    "stream_sliding_window",
+    oracle=events_cte(
+        """
+    , expanded AS (
+      SELECT unnest([ (epoch_us(ts)//1000000)//300*300,
+                      (epoch_us(ts)//1000000)//300*300 - 300 ]) AS win_start,
+             value
+      FROM events
+    )
+    SELECT win_start, COUNT(*) AS n, round(SUM(value), 6) AS total_value
+    FROM expanded GROUP BY win_start
+    """
+    ),
+    tags=("streaming", "window"),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute window sliding every 5 minutes — each event lands in two
+    windows; the oracle expands windows explicitly."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count("*").alias("n"), r6(F.sum("value")).alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start"),
+            "n",
+            "total_value",
+        )
+    )
+    return memory_sink_table(agg, "complete")
+
+
+@register(
+    "stream_session_window",
+    oracle=events_cte(
+        """
+    , gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 5 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), islands AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM gaps
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM islands GROUP BY user_id, session_id
+    """
+    ),
+    tags=("streaming", "window"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (5-minute gap); oracle is the classic
+    gaps-and-islands rewrite. Boundary semantics: a gap of exactly the
+    window size starts a new session in both formulations."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    return memory_sink_table(agg, "complete")
+
+
+@register(
+    "stream_watermark_dedup",
+    oracle=events_cte(
+        """
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+    FROM events GROUP BY event_type
+    """
+    ),
+    tags=("streaming", "dedup"),
+)
+def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: the stream unioned with itself (every record
+    delivered twice — the at-least-once redelivery shape) then
+    dropDuplicates on event_id under a watermark; counts equal the
+    single-copy distinct counts."""
+    s = events_stream(spark, sf_dir)
+    doubled = s.unionByName(events_stream(spark, sf_dir))
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+    )
+    return memory_sink_table(deduped, "complete")
+
+
+@register(
+    "stream_stream_join",
+    oracle=events_cte(
+        """
+    , clicks AS (SELECT event_id AS click_id, user_id, ts FROM events
+                 WHERE event_type = 'click'),
+      purchases AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+                    WHERE event_type = 'purchase')
+    SELECT c.click_id, p.purchase_id
+    FROM clicks c JOIN purchases p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 10 MINUTE
+    """
+    ),
+    tags=("streaming", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases within 10 minutes after a click,
+    watermarked on both sides so state is bounded (the 100 TB requirement
+    for unbounded streams)."""
+    s = events_stream(spark, sf_dir)
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("click_id", "purchase_id")
+    return memory_sink_table(joined, "append")
+
+
+@register(
+    "stream_static_join",
+    oracle=events_cte(
+        """
+    SELECT c_mktsegment, COUNT(*) AS n_events
+    FROM events JOIN main.customer ON user_id + 1 = c_custkey
+    GROUP BY c_mktsegment
+    """
+    ),
+    tags=("streaming", "join"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ static dimension (broadcast — the dim never shuffles the
+    stream side)."""
+    from lagom_kinesis_spark.catalog import load
+
+    s = events_stream(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer")
+    joined = (
+        s.join(F.broadcast(cust), s.user_id + 1 == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return memory_sink_table(joined, "complete")
+
+
+@register(
+    "stream_stateful_counts",
+    oracle=events_cte(
+        """
+    SELECT event_type, COUNT(*) AS n, round(SUM(value), 6) AS total_value
+    FROM events GROUP BY event_type
+    """
+    ),
+    tags=("streaming", "stateful"),
+)
+def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate state (update-mode semantics); final state equals
+    the batch aggregate."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), r6(F.sum("value")).alias("total_value"))
+    )
+    return memory_sink_table(agg, "complete")
+
+
+@register("stream_arbitrary_state", oracle=None, tags=("streaming", "stateful"))
+def stream_arbitrary_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing via applyInPandasWithState: per-user
+    running (count, total, max_seen) state emitted once per batch — the
+    custom-operator escape hatch (SURVEY.md §2B 'arbitrary state')."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdfs, state: GroupState):
+        count, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            count += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = max(mx, float(pdf["value"].max()))
+        state.update((count, total, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [count],
+                "total_value": [round(total, 6)],
+                "max_value": [mx],
+            }
+        )
+
+    out = (
+        events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType="user_id long, n_events long, total_value double, max_value double",
+            stateStructType="count long, total double, mx double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return memory_sink_table(out, "update")

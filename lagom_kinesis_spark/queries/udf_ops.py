@@ -1,0 +1,147 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2B last table).
+
+These exist to prove the extension surface, with the standing warning
+(mandate: "UDFs are the slow path"): row-at-a-time Python UDFs serialize per
+row; pandas UDFs move Arrow batches (~10-100× faster); pure Column
+expressions beat both. Each UDF's logic is deliberately SQL-expressible so
+the DuckDB oracle can mirror it.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from lagom_kinesis_spark.catalog import load
+from lagom_kinesis_spark.registry import register
+
+
+@register(
+    "udf_python_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           round(CASE WHEN o_totalprice > 250000 THEN o_totalprice * 0.1
+                      ELSE o_totalprice * 0.05 END, 6) AS fee
+    FROM orders
+    """,
+    tags=("udf",),
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (the documented slow path — kept off hot
+    paths; here only to prove the surface)."""
+
+    @F.udf(DoubleType())
+    def fee(price: float) -> float:
+        return round(price * (0.1 if price > 250000 else 0.05), 6)
+
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey", fee("o_totalprice").alias("fee"))
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT event_id,
+           round(sign(value) * ln(1 + abs(value)), 6) AS signed_log
+    FROM events
+    """,
+    tags=("udf",),
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDF (Arrow-batched signed log1p)."""
+    import numpy as np
+
+    @F.pandas_udf(DoubleType())
+    def signed_log(v: pd.Series) -> pd.Series:
+        return (np.sign(v) * np.log1p(np.abs(v))).round(6)
+
+    e = load(spark, sf_dir, "events")
+    return e.select("event_id", signed_log("value").alias("signed_log"))
+
+
+@register(
+    "udf_grouped_map",
+    oracle="""
+    SELECT event_id, user_id,
+           round((value - AVG(value) OVER (PARTITION BY user_id))
+                 / stddev_samp(value) OVER (PARTITION BY user_id), 6) AS zscore
+    FROM events
+    """,
+    tags=("udf",),
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-user z-score normalization (oracle:
+    the equivalent window SQL)."""
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        mean = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "zscore": ((pdf["value"] - mean) / sd).round(6),
+            }
+        )
+
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return e.groupBy("user_id").applyInPandas(
+        normalize, "event_id long, user_id long, zscore double"
+    )
+
+
+@register(
+    "udf_pandas_udaf",
+    oracle="""
+    SELECT event_type,
+           round(SUM(value * (epoch_us(make_timestamp(epoch_ns(ts)//1000))//1000000 % 100 + 1))
+                 / SUM(epoch_us(make_timestamp(epoch_ns(ts)//1000))//1000000 % 100 + 1), 6)
+             AS weighted_avg
+    FROM main.events GROUP BY event_type
+    """,
+    tags=("udf",),
+)
+def udf_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDAF via one-row-per-group applyInPandas: weighted average
+    with a deterministic weight derived from the timestamp."""
+
+    def weighted(pdf: pd.DataFrame) -> pd.DataFrame:
+        w = pdf["w"]
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "weighted_avg": [round((pdf["value"] * w).sum() / w.sum(), 6)],
+            }
+        )
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        (F.unix_timestamp("ts") % 100 + 1).alias("w"),
+    )
+    return e.groupBy("event_type").applyInPandas(
+        weighted, "event_type string, weighted_avg double"
+    )
+
+
+@register("udtf_split_tokens", oracle=None, tags=("udf", "udtf"))
+def udtf_split_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark ≥3.5): table function exploding a document into
+    (token, position) rows — rows-only check (UDTF registration surface)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, token string")
+    class SplitTokens:
+        def eval(self, doc_id: int, text: str):
+            for i, tok in enumerate(text.lower().split(" ")[:20]):
+                yield doc_id, i, tok
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0)
+    spark.udtf.register("split_tokens", SplitTokens)
+    d.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT t.* FROM udtf_docs, LATERAL split_tokens(doc_id, text) t"
+    )

@@ -1,0 +1,328 @@
+"""Window functions + as-of / interval joins (SURVEY.md §2B "Window
+functions" + the two non-native join rows).
+
+Window ops shuffle once on the partition key then sort within partitions —
+the plan shape survives scale as long as no partition key is pathologically
+hot. Ties are pinned by unique keys wherever row order affects the result
+(row_number, ntile, lag/lead, frames) per FIXTURES.md harness rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from lagom_kinesis_spark.catalog import load
+from lagom_kinesis_spark.functions import dec, events_cte, money, r6
+from lagom_kinesis_spark.operators import asof_join
+from lagom_kinesis_spark.registry import register
+
+
+@register(
+    "win_rank_family",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           ROW_NUMBER() OVER w_pin AS rn,
+           RANK() OVER w_val AS rnk,
+           DENSE_RANK() OVER w_val AS drnk
+    FROM lineitem
+    WHERE l_quantity >= 48
+    WINDOW
+      w_val AS (PARTITION BY l_returnflag ORDER BY l_quantity DESC),
+      w_pin AS (PARTITION BY l_returnflag ORDER BY l_quantity DESC, l_orderkey, l_linenumber)
+    """,
+    tags=("window",),
+)
+def win_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number (pinned ties) + rank/dense_rank (tie-stable by definition)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    w_val = W.partitionBy("l_returnflag").orderBy(F.col("l_quantity").desc())
+    w_pin = W.partitionBy("l_returnflag").orderBy(
+        F.col("l_quantity").desc(), "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.row_number().over(w_pin).alias("rn"),
+        F.rank().over(w_val).alias("rnk"),
+        F.dense_rank().over(w_val).alias("drnk"),
+    )
+
+
+@register(
+    "win_ntile_dist",
+    oracle="""
+    SELECT o_orderkey,
+           NTILE(4) OVER w_pin AS quartile,
+           round(PERCENT_RANK() OVER w_val, 6) AS pct_rank,
+           round(CUME_DIST() OVER w_val, 6) AS cdist
+    FROM orders
+    WHERE o_custkey <= 300
+    WINDOW
+      w_val AS (PARTITION BY o_orderpriority ORDER BY o_totalprice),
+      w_pin AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window",),
+)
+def win_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile (pinned) + percent_rank / cume_dist (tie-stable)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 300)
+    w_val = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    w_pin = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w_pin).alias("quartile"),
+        r6(F.percent_rank().over(w_val)).alias("pct_rank"),
+        r6(F.cume_dist().over(w_val)).alias("cdist"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle=events_cte(
+        """
+    SELECT event_id, user_id, value,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           lag(value, 2, -1.0) OVER w AS prev2_or_default
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+    ),
+    tags=("window",),
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / lead with explicit default, pinned ordering."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.lag("value", 2, -1.0).over(w).alias("prev2_or_default"),
+    )
+
+
+@register(
+    "win_running_total",
+    oracle=events_cte(
+        """
+    SELECT event_id, user_id,
+           round(SUM(value) OVER w, 6) AS running_value,
+           COUNT(*) OVER w AS running_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+    ),
+    tags=("window",),
+)
+def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total (cumulative frame)."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        r6(F.sum("value").over(w)).alias("running_value"),
+        F.count("*").over(w).alias("running_n"),
+    )
+
+
+@register(
+    "win_moving_avg",
+    oracle=events_cte(
+        """
+    SELECT event_id, user_id,
+           round(AVG(value) OVER w, 6) AS mavg3,
+           MAX(value) OVER w AS mmax3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """
+    ),
+    tags=("window",),
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over a 3-row trailing frame."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        r6(F.avg("value").over(w)).alias("mavg3"),
+        F.max("value").over(w).alias("mmax3"),
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           COUNT(*) OVER w AS n_in_band,
+           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE), 6)
+             AS sum_in_band
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                 RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window",),
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ordering (tie-safe: peers share frames);
+    exact-decimal sum keeps the float compare bit-identical."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.count("*").over(w).alias("n_in_band"),
+        money(F.sum(dec("o_totalprice")).over(w)).alias("sum_in_band"),
+    )
+
+
+@register(
+    "win_first_last",
+    oracle="""
+    SELECT o_orderkey,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey) OVER w AS last_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window",),
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value with the frame pinned to the whole partition."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w).alias("last_key"),
+    )
+
+
+@register(
+    "win_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the scalable distributed top-k idiom."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of + interval joins (non-native operators, SURVEY.md §4.3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_asof",
+    oracle=events_cte(
+        """
+    , purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      clicks    AS (SELECT event_id AS click_id, user_id, ts, value AS click_value
+                    FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.value, c.click_id, c.click_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """
+    ),
+    tags=("join", "asof"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the latest prior (<=) click of the same user —
+    operators/asof.py rewrite vs DuckDB's native ASOF JOIN."""
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        "ts",
+        F.col("value").alias("click_value"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        ts="ts",
+        by=["user_id"],
+        right_payload=["click_id", "click_value"],
+        tie="click_id",
+    ).select("event_id", "user_id", "value", "click_id", "click_value")
+
+
+@register(
+    "join_interval_overlap",
+    oracle=events_cte(
+        """
+    , purchases AS (SELECT event_id, user_id, ts AS start_ts,
+                           ts + INTERVAL 30 MINUTE AS end_ts
+                    FROM events WHERE event_type = 'purchase'),
+      errors AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+    SELECT p.event_id, COUNT(e.ts) AS n_errors
+    FROM purchases p
+    LEFT JOIN errors e
+      ON p.user_id = e.user_id AND e.ts >= p.start_ts AND e.ts < p.end_ts
+    GROUP BY p.event_id
+    """
+    ),
+    tags=("join", "interval"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: errors falling inside each purchase's 30-min window
+    (equi on user_id keeps it a hash join with a range residual)."""
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    return (
+        purchases.join(
+            errors,
+            (purchases.p_user == errors.e_user)
+            & (errors.e_ts >= purchases.start_ts)
+            & (errors.e_ts < purchases.end_ts),
+            "left",
+        )
+        .groupBy("event_id")
+        .agg(F.count("e_ts").alias("n_errors"))
+    )

@@ -1,0 +1,295 @@
+"""Topic / Subscriber / Producer layer — the reference-faithful surface.
+
+Reproduces lagom-kinesis's stream-transport semantics (SURVEY.md §2A/§2C) on
+Structured Streaming:
+
+- **Topic** — named stream; 1 topic = 1 source location (the reference maps
+  1 topic = 1 Kinesis stream, ScaladslKinesisTopic.scala:16-28). Transport is
+  pluggable: file-stream for tests, ``format("kinesis")`` for production.
+- **Consumer groups** (R9) — groupId selects an independent checkpoint
+  namespace, exactly as the KCL application name keyed the DynamoDB lease
+  table (KinesisSubscriberActor.scala:186-189): here
+  ``<checkpoint_base>/<topic>/<group_id>``.
+- **Delivery modes** (2C.1):
+  * ``at_least_once`` — commit strictly *after* user processing
+    (KinesisSubscriberActor.scala:148-169): Structured Streaming's
+    foreachBatch+checkpoint gives exactly this (offsets commit only after
+    the batch function returns).
+  * ``at_most_once`` — commit strictly *before* processing
+    (ScaladslKinesisSubscriber.scala:94-97): a checkpointed staging query
+    commits the offsets by persisting raw batches; processing then runs
+    best-effort over the staged data — a crash loses staged-but-unprocessed
+    records and never reprocesses.
+  * ``committable`` — manual commit (ScaladslKinesisSubscriber.scala:103-134):
+    user receives a commit handle per batch; not committing fails the batch
+    so it is redelivered.
+- **Producer** (R11-R15) — reads an append-only journal, serializes,
+  assigns a partition key (user strategy, else a pure hash of the message —
+  ScaladslRegisterTopicProducers.scala:58-70), publishes via foreachBatch,
+  offsets committed after publish (Producer.scala:202-215). Ordering is
+  guaranteed *per partition key* (the reference's global ``mapAsync(1)``
+  ordering — Producer.scala:249 — does not scale; SURVEY.md §7 documents the
+  relaxation).
+- **Backoff restart** (R10) — exponential restart wrapper with the
+  reference's parameters: min 3 s, max 30 s, jitter 0.2
+  (reference.conf:19-25, KinesisConfig.scala:64-66).
+"""
+
+from __future__ import annotations
+
+import random
+import time
+import uuid
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lagom_kinesis_spark.session import tune
+
+
+@dataclass(frozen=True)
+class BackoffConfig:
+    """reference.conf:19-25 failure-exponential-backoff defaults."""
+
+    min_s: float = 3.0
+    max_s: float = 30.0
+    random_factor: float = 0.2
+
+
+def run_with_backoff(
+    start: Callable[[], object],
+    should_continue: Callable[[], bool],
+    backoff: BackoffConfig = BackoffConfig(),
+    rng: random.Random | None = None,
+    sleep: Callable[[float], None] = time.sleep,
+) -> list[Exception]:
+    """Restart loop around a streaming query (R10). Returns failures seen."""
+    rng = rng or random.Random(42)
+    delay = backoff.min_s
+    failures: list[Exception] = []
+    while should_continue():
+        try:
+            start()
+            delay = backoff.min_s  # successful run resets the backoff
+        except Exception as e:  # noqa: BLE001 — supervision boundary
+            failures.append(e)
+            jitter = 1.0 + backoff.random_factor * rng.random()
+            sleep(min(delay * jitter, backoff.max_s))
+            delay = min(delay * 2, backoff.max_s)
+    return failures
+
+
+_GROUP_ID_BAD = set(' /:*?"<>|\t\n')
+
+
+def _validate_group_id(group_id: str) -> str:
+    """Charset validation mirroring the reference's GroupId check
+    (ScaladslKinesisSubscriber.scala:168-182)."""
+    if not group_id or any(ch in _GROUP_ID_BAD for ch in group_id):
+        raise ValueError(f"invalid group id: {group_id!r}")
+    return group_id
+
+
+@dataclass
+class Topic:
+    """Named stream over a pluggable transport.
+
+    ``source_format='parquet'`` + ``source_path`` = file transport (tests,
+    replay); ``source_format='kinesis'`` would pass ``source_options`` to the
+    Kinesis connector in a real deployment (same consumer code either way).
+    """
+
+    name: str
+    schema: str
+    spark: SparkSession
+    source_path: str | None = None
+    source_format: str = "parquet"
+    source_options: dict[str, str] = field(default_factory=dict)
+    checkpoint_base: str = "/tmp/lagom_kinesis_spark/checkpoints"
+    #: optional column-level normalization applied after the raw read
+    normalize: Callable[[DataFrame], DataFrame] | None = None
+
+    def stream(self) -> DataFrame:
+        tune(self.spark)
+        reader = self.spark.readStream.format(self.source_format)
+        if self.schema:
+            reader = reader.schema(self.schema)
+        for k, v in self.source_options.items():
+            reader = reader.option(k, v)
+        df = reader.load(self.source_path) if self.source_path else reader.load()
+        return self.normalize(df) if self.normalize else df
+
+    def subscribe(self, group_id: str = "default") -> "Subscriber":
+        return Subscriber(self, _validate_group_id(group_id))
+
+
+class CommitHandle:
+    """Manual-commit token handed to ``committable`` flows (R8)."""
+
+    def __init__(self) -> None:
+        self.committed = False
+
+    def commit(self) -> None:
+        self.committed = True
+
+
+@dataclass
+class Subscriber:
+    topic: Topic
+    group_id: str
+
+    @property
+    def checkpoint_dir(self) -> str:
+        # groupId ⇒ independent progress namespace (R9).
+        return f"{self.topic.checkpoint_base}/{self.topic.name}/{self.group_id}"
+
+    def _run(self, batch_fn, available_now: bool) -> None:
+        q = (
+            self.topic.stream()
+            .writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    def at_least_once(self, flow: Callable[[DataFrame, int], None]) -> None:
+        """Commit-after-process (R5): offsets advance only after ``flow``
+        returns; a failure mid-batch ⇒ redelivery of the whole batch."""
+
+        def batch_fn(df: DataFrame, epoch_id: int) -> None:
+            flow(df, epoch_id)
+
+        self._run(batch_fn, available_now=True)
+
+    def at_most_once(
+        self, flow: Callable[[DataFrame, int], None], staging_dir: str
+    ) -> list[Exception]:
+        """Commit-before-process (R7): phase 1 (checkpointed) stages raw
+        batches — that write IS the commit; phase 2 processes staged data
+        best-effort. A crash between the phases loses data, never dupes."""
+        spark = self.topic.spark
+
+        def stage(df: DataFrame, epoch_id: int) -> None:
+            df.withColumn("__epoch", F.lit(epoch_id)).write.mode("append").parquet(
+                staging_dir
+            )
+
+        self._run(stage, available_now=True)
+
+        errors: list[Exception] = []
+        try:
+            staged = spark.read.parquet(staging_dir)
+            for row in staged.select("__epoch").distinct().collect():
+                epoch = row["__epoch"]
+                try:
+                    flow(staged.filter(F.col("__epoch") == epoch).drop("__epoch"), epoch)
+                except Exception as e:  # noqa: BLE001 — best-effort by design
+                    errors.append(e)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+        return errors
+
+    def committable(
+        self, flow: Callable[[DataFrame, int, CommitHandle], None]
+    ) -> None:
+        """Manual commit (R8): the flow must call ``handle.commit()`` or the
+        batch fails and is redelivered on the next run."""
+
+        def batch_fn(df: DataFrame, epoch_id: int) -> None:
+            handle = CommitHandle()
+            flow(df, epoch_id, handle)
+            if not handle.committed:
+                raise RuntimeError(
+                    f"batch {epoch_id} not committed; will be redelivered"
+                )
+
+        self._run(batch_fn, available_now=True)
+
+
+@dataclass
+class TaggedProducer:
+    """Journal → serialize → partition → publish → commit (R11-R15).
+
+    ``partition_key`` mirrors R13: user strategy column, else a pure
+    function of the message (xxhash64 over all fields — the analogue of the
+    reference's ``hashCode.toString`` fallback,
+    ScaladslRegisterTopicProducers.scala:67).
+    """
+
+    spark: SparkSession
+    journal_path: str
+    journal_schema: str
+    topic_name: str
+    sink_path: str
+    checkpoint_base: str = "/tmp/lagom_kinesis_spark/producer_checkpoints"
+    partition_key: Callable[[DataFrame], F.Column] | None = None
+
+    def _serialized(self, df: DataFrame) -> DataFrame:
+        pk = (
+            self.partition_key(df)
+            if self.partition_key
+            else F.xxhash64(F.to_json(F.struct(*df.columns))).cast("string")
+        )
+        return df.select(
+            F.to_json(F.struct(*df.columns)).cast("binary").alias("value"),
+            pk.alias("partition_key"),
+        )
+
+    def run(self) -> None:
+        """Publish all available journal entries; offsets checkpoint after
+        each published batch (at-least-once publication, R15)."""
+        tune(self.spark)
+        stream = (
+            self.spark.readStream.schema(self.journal_schema)
+            .parquet(self.journal_path)
+        )
+
+        def publish(df: DataFrame, epoch_id: int) -> None:
+            out = self._serialized(df)
+            # Per-key ordering: co-locate each key then write; a real Kinesis
+            # sink would putRecords per partition with keys in order.
+            (
+                out.repartition(F.col("partition_key"))
+                .sortWithinPartitions("partition_key")
+                .write.mode("append")
+                .parquet(self.sink_path)
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(publish)
+            .option(
+                "checkpointLocation",
+                f"{self.checkpoint_base}/{self.topic_name}",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+
+def memory_sink_table(df: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Run a (bounded) streaming DataFrame to completion into a memory sink
+    and return the result table — the harness device for batch-equivalence
+    oracles (SURVEY.md §5.2 layer 2)."""
+    name = f"ms_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)
