@@ -55,6 +55,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def stream_dir(sf_dir: str, name: str) -> str:
+    """Directory view of one fixture file for the file-streaming source
+    (which requires a directory, not a file): a temp dir holding a symlink
+    to the parquet. Idempotent per (sf_dir, name)."""
+    import os
+
+    d = f"/tmp/lagom_kinesis_spark/stream_src/{abs(hash(sf_dir)) % 10**8}_{name}"
+    link = f"{d}/{name}.parquet"
+    if not os.path.islink(link):
+        os.makedirs(d, exist_ok=True)
+        try:
+            os.symlink(path_of(sf_dir, name), link)
+        except FileExistsError:
+            pass
+    return d
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Temp view per table, for spark.sql-expressed queries."""
     for t in tables:

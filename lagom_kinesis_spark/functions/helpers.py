@@ -37,6 +37,18 @@ def r6(c: Column) -> Column:
     return F.round(c, 6)
 
 
+def let(bound: Column, body) -> Column:
+    """Poor-man's let-binding: evaluate ``bound`` ONCE and reference it many
+    times inside ``body`` via a single-element ``transform``.
+
+    Catalyst inlines column expressions at every reference site (projection
+    collapse), so an expression like ``element_at(split(text), i)`` repeated
+    n times re-evaluates the split n times — O(n²) per row. A lambda
+    variable is bound to the evaluated value, making every reference O(1).
+    """
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
 def dec(c: Column | str, scale: int = 2, precision: int = 18) -> Column:
     c = F.col(c) if isinstance(c, str) else c
     return c.cast(f"decimal({precision},{scale})")

@@ -29,16 +29,28 @@ def tokens(text: Column | str) -> Column:
 def shingles(toks: Column, n: int = 3) -> Column:
     """Distinct n-gram shingles (space-joined token windows).
 
-    Empty when the document has fewer than ``n`` tokens.
+    Empty when the document has fewer than ``n`` tokens. The token array is
+    let-bound (helpers.let) so it is evaluated once per row, not once per
+    element reference — without this the split() inlines into every
+    element_at and the expression is O(tokens²) per row.
     """
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
-    return F.array_distinct(grams)
+    from lagom_kinesis_spark.functions.helpers import let
+
+    def build(t: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(t) - n)
+        grams = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+        # Guard: Spark's sequence(0, negative) counts DOWN — short docs
+        # must yield an empty shingle set, not bogus reversed windows.
+        return F.when(F.size(t) >= n, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return let(toks, build)
 
 
 def fingerprint(text: Column | str) -> Column:

@@ -7,5 +7,6 @@ from lagom_kinesis_spark.queries import (  # noqa: F401
     llm_ops,
     relational,
     streaming_ops,
+    udf_ops,
     windows,
 )

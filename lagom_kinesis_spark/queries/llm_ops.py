@@ -19,7 +19,7 @@ from lagom_kinesis_spark.operators.similarity import (
     cosine,
     hyperplane_bucket,
     lsh_candidate_pairs,
-    simhash64,
+    simhash_signatures,
 )
 from lagom_kinesis_spark.operators.text import (
     LANG_MARKERS,
@@ -144,7 +144,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generation (a pair within Hamming distance 3 shares ≥1 band),
     verified by popcount(xor) ≤ 3. Signature computation is map-only."""
     d = load(spark, sf_dir, "documents")
-    sigs = d.select("doc_id", simhash64(tokens("text")).alias("sig"))
+    sigs = simhash_signatures(d, "doc_id", tokens("text"))
     bands = None
     for b in range(4):
         band = sigs.select(
@@ -297,16 +297,22 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram counts, top-5 per language (non-distinct n-grams)."""
+    from lagom_kinesis_spark.functions.helpers import let
+
     d = load(spark, sf_dir, "documents")
-    toks = tokens("text")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0) - 1))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, (i + 1).cast("int")),
-            F.element_at(toks, (i + 2).cast("int")),
-        ),
+    grams = let(
+        tokens("text"),
+        lambda t: F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(t, (i + 1).cast("int")),
+                    F.element_at(t, (i + 2).cast("int")),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
     counted = (
         d.select("lang", F.explode(grams).alias("bigram"))

@@ -387,3 +387,62 @@ def intersect_all_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     ia = a.intersectAll(b).withColumn("tag", F.lit("int_all"))
     ea = a.exceptAll(b).withColumn("tag", F.lit("exc_all"))
     return ia.unionByName(ea)
+
+
+# ---------------------------------------------------------------------------
+# File-format round-trips (csv/json scans, partitioned parquet sink)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_csv_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("scan", "csv"),
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + schema'd CSV scan (no inferSchema — explicit schema is the
+    only scale-safe option: inference re-reads the data)."""
+    tmp = f"/tmp/lagom_kinesis_spark/io/nation_csv_{abs(hash(sf_dir)) % 10**8}"
+    load(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(tmp)
+    return spark.read.schema("n_nationkey int, n_name string, n_regionkey int").option(
+        "header", True
+    ).csv(tmp)
+
+
+@register(
+    "scan_json_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    tags=("scan", "json"),
+)
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON lines sink + schema'd JSON scan."""
+    tmp = f"/tmp/lagom_kinesis_spark/io/supplier_json_{abs(hash(sf_dir)) % 10**8}"
+    load(spark, sf_dir, "supplier").write.mode("overwrite").json(tmp)
+    return spark.read.schema(
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+    ).json(tmp)
+
+
+@register(
+    "sink_parquet_partitioned",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("sink", "parquet"),
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partitionBy parquet sink + partition-pruned re-read: the at-rest
+    topic layout (SURVEY.md §1.1) — partition values become directories,
+    enabling partition pruning on read."""
+    from lagom_kinesis_spark.functions import dec, money
+
+    tmp = f"/tmp/lagom_kinesis_spark/io/orders_part_{abs(hash(sf_dir)) % 10**8}"
+    load(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(tmp)
+    back = spark.read.parquet(tmp)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), money(F.sum(dec("o_totalprice"))).alias("total")
+    )

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lagom_kinesis_spark.catalog import path_of
+from lagom_kinesis_spark.catalog import stream_dir
 from lagom_kinesis_spark.functions import events_cte, r6
 from lagom_kinesis_spark.registry import register
 from lagom_kinesis_spark.session import tune
@@ -36,7 +36,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     raw = (
         spark.readStream.schema(_EVENTS_SCHEMA)
-        .parquet(path_of(sf_dir, "events"))
+        .parquet(stream_dir(sf_dir, "events"))
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 

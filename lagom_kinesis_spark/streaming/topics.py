@@ -183,6 +183,10 @@ class Subscriber:
         self._run(stage, available_now=True)
 
         errors: list[Exception] = []
+        import os
+
+        if not os.path.isdir(staging_dir):
+            return errors  # nothing was staged (already caught up) — no-op
         try:
             staged = spark.read.parquet(staging_dir)
             for row in staged.select("__epoch").distinct().collect():

@@ -1,0 +1,94 @@
+"""Operator-level checks for the rows-only (non-SQL-oracle) surfaces:
+LSH recall vs the exact oracle, ANN sanity, SimHash, multimodal plumbing.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lagom_kinesis_spark.catalog import load
+from lagom_kinesis_spark.operators import multimodal
+from lagom_kinesis_spark.operators.similarity import simhash_signatures
+from lagom_kinesis_spark.operators.text import tokens
+from lagom_kinesis_spark.registry import all_queries
+from tests.conftest import SF_DIR
+
+QS = all_queries()
+
+
+def test_minhash_lsh_recalls_exact_high_jaccard_pairs(spark):
+    """Every exact-Jaccard pair ≥ 0.8 (from the oracle-matched sample query)
+    must be recalled by the LSH path — the S-curve guarantees ~97% per pair;
+    the fixture's near-dups are far above the threshold."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in QS["dedup_jaccard_pairs"].fn(spark, SF_DIR).collect()
+        if r["jac"] >= 0.8
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in QS["dedup_minhash_lsh"].fn(spark, SF_DIR).collect()
+    }
+    missed = exact - lsh
+    assert not missed, f"LSH missed high-similarity pairs: {sorted(missed)[:5]}"
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    """Exact duplicate docs must produce identical SimHash signatures."""
+    d = load(spark, SF_DIR, "documents")
+    sigs = simhash_signatures(d, "doc_id", tokens("text"))
+    joined = (
+        d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
+        .join(sigs, "doc_id")
+        .groupBy("h")
+        .agg(F.countDistinct("sig").alias("n_sigs"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    bad = joined.filter(F.col("n_sigs") > 1).count()
+    assert bad == 0
+
+
+def test_ann_lsh_results_subset_of_valid_cosines(spark):
+    """ANN hits must carry correct cosine values (cross-checked against the
+    exact query for overlapping (q_id, vec_id) pairs) and include the query
+    vector itself (cosine 1.0 lands in its own bucket by construction)."""
+    exact = {
+        (r["q_id"], r["vec_id"]): r["cos_sim"]
+        for r in QS["sim_topk_cosine"].fn(spark, SF_DIR).collect()
+    }
+    ann = QS["sim_ann_lsh"].fn(spark, SF_DIR).collect()
+    assert ann, "ANN returned nothing"
+    for r in ann:
+        key = (r["q_id"], r["vec_id"])
+        if key in exact:
+            assert abs(exact[key] - r["cos_sim"]) < 1e-9
+    self_hits = {r["q_id"] for r in ann if r["q_id"] == r["vec_id"]}
+    assert self_hits == {r["q_id"] for r in ann}
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """HLL estimate within the configured 2% rsd (5% hard bound here)."""
+    for r in QS["agg_approx_count_distinct"].fn(spark, SF_DIR).collect():
+        assert abs(r["approx_parts"] - r["exact_parts"]) <= 0.05 * r["exact_parts"] + 1
+
+
+def test_multimodal_decode_features(spark):
+    blobs = multimodal.attach_payload(load(spark, SF_DIR, "documents"))
+    feats = multimodal.decode_features(blobs)
+    rows = feats.collect()
+    assert rows
+    by_id = {r["doc_id"]: r for r in rows}
+    doc = load(spark, SF_DIR, "documents").filter(F.col("doc_id") == 0).collect()[0]
+    assert by_id[0]["n_bytes"] == len(doc["text"].encode())
+    assert by_id[0]["modality"] == "image"  # doc_id 0 % 3 == 0
+
+
+def test_multimodal_unknown_modality_raises(spark):
+    """The stub decoder must refuse modalities it cannot decode (mandate:
+    clearly-marked NotImplementedError, not silent garbage)."""
+    blobs = multimodal.attach_payload(
+        load(spark, SF_DIR, "documents").limit(3), modality_expr=F.lit("video")
+    )
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        multimodal.decode_features(blobs).collect()

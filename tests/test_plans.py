@@ -1,0 +1,60 @@
+"""Physical-plan assertions: the scale-readiness checks the mandate calls
+out — pushdown reaches the scan, dims broadcast, top-k avoids global sorts,
+aggregates are partial+final. These guard the *plan shape*, which is what
+survives the 1000-executor scale-up."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lagom_kinesis_spark.catalog import load
+from lagom_kinesis_spark.registry import all_queries
+from tests.conftest import SF_DIR
+
+QS = all_queries()
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_and_projection_pushed_to_scan(spark):
+    plan = _plan(QS["scan_parquet_pushdown"].fn(spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+    # Column pruning: the scan must read only the 4 referenced columns.
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" in read_schema and "l_quantity" not in read_schema
+
+
+def test_dim_joins_are_broadcast(spark):
+    plan = _plan(QS["join_broadcast_dims"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    plan = _plan(QS["topk_limit"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_aggregate_is_partial_then_final(spark):
+    plan = _plan(QS["agg_pricing_summary"].fn(spark, SF_DIR))
+    # Two HashAggregate nodes (partial + final) around one exchange.
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_semi_join_planned_as_semi(spark):
+    plan = _plan(QS["join_left_semi"].fn(spark, SF_DIR))
+    assert "LeftSemi" in plan
+
+
+def test_whole_stage_codegen_covers_flagship(spark):
+    df = QS["flagship_revenue_by_nation"].fn(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen"
+    )
+    assert "WholeStageCodegen subtrees" in plan
+    assert "WholeStageCodegen" in plan

@@ -1,0 +1,242 @@
+"""Delivery-semantics fault injection (SURVEY.md §2C contracts 1, 3, 5).
+
+- at-least-once: a flow that fails on first delivery ⇒ batch redelivered,
+  nothing lost (dupes allowed) — commit strictly after processing.
+- at-most-once: processing failure ⇒ records lost, never reprocessed —
+  commit strictly before processing.
+- consumer groups: same topic, different group ⇒ independent progress.
+- committable: uncommitted batch is redelivered; committed is not.
+- producer: journal → serialized records with partition keys; offset
+  checkpoint ⇒ re-run publishes nothing new (replay-from-offset, 2C.5).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lagom_kinesis_spark.streaming.topics import (
+    BackoffConfig,
+    TaggedProducer,
+    Topic,
+    run_with_backoff,
+)
+from tests.conftest import SF_DIR
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+@pytest.fixture()
+def topic(spark, tmp_path):
+    from lagom_kinesis_spark.catalog import stream_dir
+
+    return Topic(
+        name="events",
+        schema=EVENTS_SCHEMA,
+        spark=spark,
+        source_path=stream_dir(SF_DIR, "events"),
+        checkpoint_base=str(tmp_path / "ckpt"),
+    )
+
+
+def _n_events() -> int:
+    import duckdb
+
+    return duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchone()[0]
+
+
+def test_at_least_once_redelivery_no_loss(topic, tmp_path):
+    """Failure mid-batch ⇒ whole batch redelivered on restart (2C.1)."""
+    out = tmp_path / "out.jsonl"
+    attempts = {"n": 0}
+
+    def flaky_flow(df, epoch_id):
+        attempts["n"] += 1
+        rows = df.count()
+        if attempts["n"] == 1:
+            raise RuntimeError("injected failure before commit")
+        with open(out, "a") as f:
+            f.write(json.dumps({"epoch": epoch_id, "rows": rows}) + "\n")
+
+    sub = topic.subscribe("alo-group")
+    runs = {"n": 0}
+
+    def start():
+        runs["n"] += 1
+        sub.at_least_once(flaky_flow)
+
+    failures = run_with_backoff(
+        start,
+        should_continue=lambda: runs["n"] < 2 and not out.exists(),
+        backoff=BackoffConfig(min_s=0.01, max_s=0.05),
+        sleep=lambda s: None,
+    )
+    assert len(failures) == 1  # first run failed before commit
+    processed = sum(
+        json.loads(line)["rows"] for line in open(out).read().splitlines()
+    )
+    assert processed == _n_events()  # redelivered in full — no loss
+
+
+def test_at_most_once_loss_no_redelivery(topic, tmp_path):
+    """Processing failure after eager commit ⇒ loss, never dupes (2C.1)."""
+    staging = str(tmp_path / "staging")
+    processed_rows = []
+
+    def failing_flow(df, epoch_id):
+        raise RuntimeError("injected processing failure after commit")
+
+    sub = topic.subscribe("amo-group")
+    errors = sub.at_most_once(failing_flow, staging_dir=staging)
+    assert errors, "processing errors are swallowed, not committed-around"
+
+    # The offsets are committed (staged); a restarted consumer sees nothing new.
+    def recording_flow(df, epoch_id):
+        processed_rows.append(df.count())
+
+    errors2 = sub.at_most_once(recording_flow, staging_dir=str(tmp_path / "s2"))
+    assert errors2 == []
+    assert sum(processed_rows) == 0  # records lost for this group — by design
+
+
+def test_consumer_groups_independent(topic):
+    """Same topic, two groups ⇒ disjoint checkpoints and progress (2C.3)."""
+    seen = {"g1": 0, "g2": 0}
+    sub1, sub2 = topic.subscribe("group-one"), topic.subscribe("group-two")
+    assert sub1.checkpoint_dir != sub2.checkpoint_dir
+
+    sub1.at_least_once(lambda df, e: seen.__setitem__("g1", seen["g1"] + df.count()))
+    # group-one is fully caught up; a second run sees nothing new
+    sub1.at_least_once(lambda df, e: seen.__setitem__("g1", seen["g1"] + df.count()))
+    # group-two still replays from the start (its own TRIM_HORIZON)
+    sub2.at_least_once(lambda df, e: seen.__setitem__("g2", seen["g2"] + df.count()))
+
+    n = _n_events()
+    assert seen["g1"] == n
+    assert seen["g2"] == n
+
+
+def test_group_id_validation(topic):
+    with pytest.raises(ValueError):
+        topic.subscribe("bad group id")
+    with pytest.raises(ValueError):
+        topic.subscribe("")
+
+
+def test_committable_redelivers_uncommitted(topic):
+    """Manual commit: no commit() ⇒ batch fails and is redelivered (R8)."""
+    sub = topic.subscribe("manual-group")
+    deliveries = []
+
+    def no_commit(df, epoch, handle):
+        deliveries.append(df.count())
+        # deliberately no handle.commit()
+
+    with pytest.raises(Exception):
+        sub.committable(no_commit)
+
+    def commits(df, epoch, handle):
+        deliveries.append(df.count())
+        handle.commit()
+
+    sub.committable(commits)
+    n = _n_events()
+    assert deliveries[0] == n and deliveries[-1] == n  # redelivered in full
+
+
+def test_producer_publish_and_replay_from_offset(spark, tmp_path):
+    """Journal → serialize → partition-key publish; checkpointed offsets ⇒
+    a second run publishes nothing (2C.2/2C.5 analogue)."""
+    journal = str(tmp_path / "journal")
+    sink = str(tmp_path / "sink")
+    spark.range(100).select(
+        F.col("id").alias("entity_id"),
+        (F.col("id") % 7).alias("shard_key"),
+        F.lit("created").alias("event"),
+    ).write.parquet(journal)
+
+    prod = TaggedProducer(
+        spark=spark,
+        journal_path=journal,
+        journal_schema="entity_id long, shard_key long, event string",
+        topic_name="entities",
+        sink_path=sink,
+        checkpoint_base=str(tmp_path / "pckpt"),
+        partition_key=lambda df: F.col("shard_key").cast("string"),
+    )
+    prod.run()
+    out = spark.read.parquet(sink)
+    assert out.count() == 100
+    assert set(out.columns) == {"value", "partition_key"}
+    # payloads deserialize back to the journal rows
+    decoded = out.select(
+        F.from_json(F.col("value").cast("string"), "entity_id long, shard_key long, event string").alias("j")
+    ).select("j.*")
+    assert decoded.agg(F.countDistinct("entity_id")).collect()[0][0] == 100
+
+    prod.run()  # replay from stored offset — nothing new
+    assert spark.read.parquet(sink).count() == 100
+
+
+def test_producer_default_partition_key_is_pure(spark, tmp_path):
+    """Default partition key = pure hash of the message (2C.4)."""
+    journal = str(tmp_path / "j2")
+    spark.range(10).select(F.col("id").alias("x")).write.parquet(journal)
+    common = dict(
+        spark=spark,
+        journal_path=journal,
+        journal_schema="x long",
+        topic_name="t",
+    )
+    p1 = TaggedProducer(
+        **common, sink_path=str(tmp_path / "s1"), checkpoint_base=str(tmp_path / "c1")
+    )
+    p2 = TaggedProducer(
+        **common, sink_path=str(tmp_path / "s2"), checkpoint_base=str(tmp_path / "c2")
+    )
+    p1.run()
+    p2.run()
+    k1 = {
+        (r["pk"], bytes(r["value"]))
+        for r in spark.read.parquet(str(tmp_path / "s1"))
+        .select(F.col("partition_key").alias("pk"), "value")
+        .collect()
+    }
+    k2 = {
+        (r["pk"], bytes(r["value"]))
+        for r in spark.read.parquet(str(tmp_path / "s2"))
+        .select(F.col("partition_key").alias("pk"), "value")
+        .collect()
+    }
+    assert k1 == k2  # same messages ⇒ same keys, across independent runs
+
+
+def test_backoff_parameters():
+    """Backoff follows reference.conf:19-25: 3s → 30s cap, jitter ≤ 0.2."""
+    sleeps = []
+    calls = {"n": 0}
+
+    def always_fails():
+        calls["n"] += 1
+        raise RuntimeError("boom")
+
+    run_with_backoff(
+        always_fails,
+        should_continue=lambda: calls["n"] < 6,
+        backoff=BackoffConfig(),  # real defaults, fake sleep
+        sleep=sleeps.append,
+    )
+    assert len(sleeps) == 6
+    assert 3.0 <= sleeps[0] <= 3.0 * 1.2
+    assert sleeps[-1] <= 30.0
+    for a, b in zip(sleeps, sleeps[1:]):
+        assert b >= a * 0.99  # monotone growth up to the cap
