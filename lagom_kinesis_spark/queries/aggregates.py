@@ -312,3 +312,52 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         agged.filter((F.col("n_orders") >= 12) & (F.col("_spend_dec") > 1000000))
         .select("o_custkey", "n_orders", money(F.col("_spend_dec")).alias("spend"))
     )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS DOUBLE), 6) AS qty_O,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS DOUBLE), 6) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "pivot"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with pinned value list (never let Spark scan for pivot values
+    at scale) — oracle is the FILTER-per-column rewrite."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(money(F.sum(dec("l_quantity"))))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+    SELECT o_orderkey, kind, round(amount, 6) AS amount
+    FROM (
+      SELECT o_orderkey, 'price' AS kind, o_totalprice AS amount FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'key_x10' AS kind, CAST(o_custkey * 10 AS DOUBLE) AS amount FROM orders
+    )
+    """,
+    tags=("agg", "unpivot"),
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) via stack()."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            (F.col("o_custkey") * 10).cast("double").alias("key_x10"),
+        )
+        .unpivot("o_orderkey", ["price", "key_x10"], "kind", "amount")
+        .select("o_orderkey", "kind", r6(F.col("amount")).alias("amount"))
+    )

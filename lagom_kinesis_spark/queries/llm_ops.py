@@ -16,7 +16,7 @@ from lagom_kinesis_spark.catalog import load
 from lagom_kinesis_spark.functions import r6
 from lagom_kinesis_spark.operators import multimodal
 from lagom_kinesis_spark.operators.similarity import (
-    cosine,
+    cosine_pandas,
     hyperplane_bucket,
     lsh_candidate_pairs,
     simhash_signatures,
@@ -126,6 +126,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select("doc_id", shingles(tokens("text")).alias("sh")).filter(
         F.size("sh") > 0
     )
+    # The shingled relation feeds signature generation AND both sides of the
+    # verification join: persist it so the (expensive) shingling runs once.
+    # At cluster scale this would be a checkpoint to fast storage.
+    sh = sh.persist()
     cands = lsh_candidate_pairs(sh, "doc_id", "sh", num_hashes=16, bands=4)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -145,15 +149,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified by popcount(xor) ≤ 3. Signature computation is map-only."""
     d = load(spark, sf_dir, "documents")
     sigs = simhash_signatures(d, "doc_id", tokens("text"))
-    bands = None
-    for b in range(4):
-        band = sigs.select(
-            "doc_id",
-            "sig",
-            F.lit(b).alias("band"),
-            F.shiftright("sig", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("band_key"),
-        )
-        bands = band if bands is None else bands.unionByName(band)
+    # One pass for all 4 band keys (explode, not union — a union would
+    # recompute the signature aggregation per band per join side).
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("sig", b * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("band_key"),
+            )
+            for b in range(4)
+        ]
+    )
+    bands = (
+        sigs.select("doc_id", "sig", F.explode(band_structs).alias("bb"))
+        .select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"))
+        .persist()
+    )
     a = bands.select(
         F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_key"
     )
@@ -210,7 +223,7 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            r6(cosine(F.col("qv"), F.col("embedding"))).alias("cos_sim"),
+            r6(cosine_pandas(F.col("qv"), F.col("embedding"))).alias("cos_sim"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
@@ -233,7 +246,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(q)
         .join(bucketed, "bucket")
         .select(
-            "q_id", "vec_id", r6(cosine(F.col("qv"), F.col("embedding"))).alias("cos_sim")
+            "q_id", "vec_id", r6(cosine_pandas(F.col("qv"), F.col("embedding"))).alias("cos_sim")
         )
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")

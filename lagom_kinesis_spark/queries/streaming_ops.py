@@ -301,3 +301,32 @@ def stream_arbitrary_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return memory_sink_table(out, "update")
+
+
+@register("stream_rate_source_smoke", oracle=None, tags=("streaming", "smoke"))
+def stream_rate_source_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate source smoke (dev/diagnostic source, SURVEY.md §2B scans)."""
+    tune(spark)
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "500")
+        .option("numPartitions", "2")
+        .load()
+    )
+    agg = rate.groupBy().agg(F.count("*").alias("n"), F.max("value").alias("max_v"))
+    name = "rate_smoke_tbl"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    import time as _t
+
+    try:
+        _t.sleep(2.0)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

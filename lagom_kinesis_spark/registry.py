@@ -48,6 +48,13 @@ def register(
 
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             tune(spark)
+            # Operators may persist() intermediates (LSH shingles/buckets);
+            # drop leftovers from earlier queries so sequential runs don't
+            # accumulate executor-memory pressure.
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__

@@ -35,6 +35,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas interchange (pandas UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Right-size shuffles for a single-host session (AQE coalesces further);
+    # on a real cluster this would be ~2-3× total cores instead.
+    "spark.sql.shuffle.partitions": "32",
 }
 
 

@@ -1,0 +1,73 @@
+"""Watermark late-data semantics (SURVEY.md §2B 'watermark + late-data
+drop'): a record arriving after its window's state has been evicted (the
+watermark passed the window end in an earlier batch) is dropped from an
+append-mode windowed aggregation.
+
+Spark's eviction is lazy: a late row arriving in the same batch where the
+watermark first passes its window still merges into live state. The drop is
+only guaranteed once eviction happened in a PRIOR batch — hence three
+batches here: data, watermark-advancer (evicts + emits), late straggler.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def three_batch_source(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write(name: str, minutes: list[int], id0: int) -> None:
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(id0, id0 + len(minutes)),
+                "ts": [base + pd.Timedelta(minutes=m) for m in minutes],
+                "value": [1.0] * len(minutes),
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src / name))
+        time.sleep(1.1)  # file source orders batches by modification time
+
+    write("batch_a", list(range(100)), 0)  # minutes 0..99
+    write("batch_b", list(range(100, 110)), 1000)  # advances watermark, evicts
+    write("batch_c", [5], 2000)  # late straggler for an evicted window
+    return str(src)
+
+
+def test_late_rows_dropped_beyond_watermark(spark, three_batch_source):
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(three_batch_source + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_timestamp("window.start").alias("start"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_drop_tbl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 3, "expected one batch per file"
+    q.stop()
+    counts = [
+        r["n"]
+        for r in spark.table("late_drop_tbl").collect()
+        if r["start"] == int(pd.Timestamp("2024-01-01 00:00:00").timestamp())
+    ]
+    # Window [00:00, 00:10) was evicted+emitted with its on-time count of 10;
+    # the batch-3 straggler (minute 5) must be dropped, not re-emitted.
+    assert counts == [10]
