@@ -521,3 +521,77 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     real plumbing — schema, batching, partition parallelism)."""
     blobs = multimodal.attach_payload(load(spark, sf_dir, "documents"))
     return multimodal.decode_features(blobs)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH sub AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                 FROM embeddings WHERE vec_id % 10 = 0)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.25
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (mandate row): exact pairwise over a
+    1/10 sample with the threshold applied to the ROUNDED cosine on both
+    engines (no boundary flips). The full-corpus path is the same verify
+    step fed by sim_ann_lsh-style bucket candidates instead of all pairs."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", r6(cosine_pandas(F.col("va"), F.col("vb"))))
+        .filter(F.col("cos_sim") >= 0.25)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+@register("sim_ann_ivf", oracle=None, tags=("llm", "similarity", "scale"))
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: k-means coarse quantizer (MLlib, fixed seed), inverted
+    lists = cluster assignments, queries probe their 2 nearest centroids,
+    exact cosine re-rank within probed lists only.
+
+    Scale shape: centroids are model-sized (k×dim — driver-safe); the
+    corpus-side work is one ML scoring pass (map-only) plus an equi-join on
+    cluster id. Only the |query-set| rows are collected to pick probes."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load(spark, sf_dir, "embeddings")
+    data = e.select("vec_id", "embedding", array_to_vector("embedding").alias("__fv"))
+    model = KMeans(k=8, seed=42, maxIter=10, featuresCol="__fv").fit(data)
+    assigned = model.transform(data).select(
+        "vec_id", "embedding", F.col("prediction").alias("cluster")
+    )
+    centers = np.vstack([c for c in model.clusterCenters()])
+
+    # Probe selection for the (small, bounded) query set — documented
+    # driver-side step over |queries| rows, never the corpus.
+    qrows = assigned.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    probes = []
+    for r in qrows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        d = ((centers - v) ** 2).sum(axis=1)
+        for c in np.argsort(d)[:2]:
+            probes.append((r["vec_id"], int(c)))
+    probe_df = spark.createDataFrame(probes, "q_id long, cluster int")
+    q = assigned.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    cands = (
+        F.broadcast(probe_df)
+        .join(assigned, "cluster")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id", "vec_id", r6(cosine_pandas(F.col("qv"), F.col("embedding"))).alias("cos_sim")
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return cands.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
