@@ -1,0 +1,44 @@
+"""Skew-mitigation: salted two-phase aggregation.
+
+At 100 TB a single hot key (one viral user, one dominant language) turns a
+groupBy into one straggler task. AQE's skew-join splitting covers joins;
+for *aggregations* the classic fix is salting: scatter each key over
+``n_salts`` sub-keys, partially aggregate, then merge. Correct for any
+algebraic aggregate (sum/count/min/max — and avg via sum+count).
+
+The salt must be deterministic-per-row but uniform: we hash a unique column
+rather than using rand() so reruns are reproducible (oracle-testable).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_sum_count(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: Column,
+    unique_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """groupBy(keys) → (sum(value) AS total, count(*) AS n), skew-safely.
+
+    Phase 1 groups on (keys + salt) — the hot key's rows spread over
+    ``n_salts`` reducers; phase 2 merges the ``n_salts`` partials per key.
+    Phase-2 input is tiny (n_salts rows per key), so the merge is free.
+    """
+    keys = list(keys)
+    salt = F.pmod(F.xxhash64(F.col(unique_col)), F.lit(n_salts)).alias("__salt")
+    phase1 = (
+        df.select(*keys, salt, value.alias("__v"))
+        .groupBy(*keys, "__salt")
+        .agg(F.sum("__v").alias("__partial_sum"), F.count("*").alias("__partial_n"))
+    )
+    return phase1.groupBy(*keys).agg(
+        F.sum("__partial_sum").alias("total"),
+        F.sum("__partial_n").alias("n"),
+    )

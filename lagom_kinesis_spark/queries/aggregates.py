@@ -361,3 +361,101 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unpivot("o_orderkey", ["price", "key_x10"], "kind", "amount")
         .select("o_orderkey", "kind", r6(F.col("amount")).alias("amount"))
     )
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+    SELECT l_returnflag,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS total,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "skew"),
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted two-phase aggregation (operators/skew.py): result
+    identical to a plain groupBy — the oracle — but the hot key's rows
+    spread over 16 sub-reducers in phase 1. l_returnflag has only 3 values,
+    the canonical low-cardinality/hot-key shape."""
+    from lagom_kinesis_spark.functions import money
+    from lagom_kinesis_spark.operators.skew import salted_sum_count
+
+    li = load(spark, sf_dir, "lineitem")
+    out = salted_sum_count(
+        li,
+        keys=["l_returnflag"],
+        value=dec("l_quantity"),
+        unique_col="l_orderkey",
+        n_salts=16,
+    )
+    return out.select("l_returnflag", money(F.col("total")).alias("total"), "n")
+
+
+@register(
+    "sql_correlated_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > (
+      SELECT 2 * AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+    tags=("sql", "subquery"),
+)
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + join (no per-row re-execution, unlike a naive interpreter);
+    the SQL API and DataFrame API share the same plan."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > (
+          SELECT 2 * AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@register(
+    "sql_cte_chain",
+    oracle="""
+    WITH cust_orders AS (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT o_custkey, n_orders,
+             round(CAST(spend AS DOUBLE), 6) AS spend,
+             ROW_NUMBER() OVER (ORDER BY spend DESC, o_custkey) AS rn
+      FROM cust_orders
+    )
+    SELECT r.rn, r.o_custkey, c.c_name, r.n_orders, r.spend
+    FROM ranked r JOIN customer c ON r.o_custkey = c.c_custkey
+    WHERE r.rn <= 25
+    """,
+    tags=("sql", "cte"),
+)
+def sql_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained CTEs + window + join through the SQL API (top-25 customers
+    by exact-decimal spend)."""
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        WITH cust_orders AS (
+          SELECT o_custkey, COUNT(*) AS n_orders,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+          FROM orders GROUP BY o_custkey
+        ), ranked AS (
+          SELECT o_custkey, n_orders,
+                 round(CAST(spend AS DOUBLE), 6) AS spend,
+                 ROW_NUMBER() OVER (ORDER BY spend DESC, o_custkey) AS rn
+          FROM cust_orders
+        )
+        SELECT r.rn, r.o_custkey, c.c_name, r.n_orders, r.spend
+        FROM ranked r JOIN customer c ON r.o_custkey = c.c_custkey
+        WHERE r.rn <= 25
+        """
+    )
