@@ -29,6 +29,52 @@ _EVENTS_SCHEMA = (
 )
 
 
+def _events_dir_with_sentinel(sf_dir: str) -> str:
+    """events stream dir + one far-future '__eos' sentinel record.
+
+    Outer stream joins only emit null-extended rows once the watermark
+    proves no match can arrive; on a bounded replay the watermark stalls at
+    max(ts) - delay, stranding the tail. The sentinels (a standard bounded-
+    replay device) advance the watermark past all real data. They must
+    SURVIVE the per-side event_type filters (Catalyst pushes filters below
+    the watermark node, so a filtered-out sentinel never updates it) —
+    hence one 'click' and one 'purchase' sentinel with never-matching
+    user_ids. Neither appears in output: the purchase sentinel matches no
+    click window; the click sentinel's own window cannot close before the
+    replay ends (its ts IS the max event time)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lagom_kinesis_spark.catalog import path_of
+
+    d = f"/tmp/lagom_kinesis_spark/stream_src/{abs(hash(sf_dir)) % 10**8}_events_eos"
+    link = f"{d}/events.parquet"
+    sentinel = f"{d}/zz_sentinel.parquet"
+    if not (os.path.islink(link) and os.path.exists(sentinel)):
+        os.makedirs(d, exist_ok=True)
+        if not os.path.islink(link):
+            os.symlink(path_of(sf_dir, "events"), link)
+        max_ns = pq.read_table(path_of(sf_dir, "events"), columns=["ts"])[
+            "ts"
+        ].cast(pa.int64()).to_pylist()
+        eos_ts = max(max_ns) + 2 * 3600 * 10**9
+        table = pa.table(
+            {
+                "event_id": pa.array([-1, -2], pa.int64()),
+                "ts": pa.array([eos_ts, eos_ts], pa.int64()),
+                "user_id": pa.array([-999, -998], pa.int64()),
+                "event_type": pa.array(["click", "purchase"], pa.string()),
+                "value": pa.array([0.0, 0.0], pa.float64()),
+                "props": pa.array(["{}", "{}"], pa.string()),
+            }
+        )
+        # Write int64 ns to match the raw file's nanosAsLong read schema.
+        pq.write_table(table, sentinel)
+    return d
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming view of the events topic (Kinesis-semantics source; file
     transport in tests, same TRIM_HORIZON = process-all-available replay —
@@ -330,3 +376,56 @@ def stream_rate_source_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register(
+    "stream_stream_left_join",
+    oracle=events_cte(
+        """
+    , clicks AS (SELECT event_id AS click_id, user_id, ts FROM events
+                 WHERE event_type = 'click'),
+      purchases AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+                    WHERE event_type = 'purchase')
+    SELECT c.click_id, p.purchase_id
+    FROM clicks c LEFT JOIN purchases p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 10 MINUTE
+    """
+    ),
+    tags=("streaming", "join"),
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: null-extended click rows are emitted
+    only once the watermark proves no matching purchase can arrive — state
+    stays bounded and the result still equals the batch LEFT JOIN. Uses the
+    sentinel-advanced source so the bounded replay finalizes its tail."""
+    tune(spark)
+    eos_dir = _events_dir_with_sentinel(sf_dir)
+
+    def eos_stream():
+        raw = spark.readStream.schema(_EVENTS_SCHEMA).parquet(eos_dir)
+        # Watermark BEFORE the event-type filter: the watermark must track
+        # the whole stream (incl. the sentinel), not just the filtered
+        # subset — else each side's watermark stalls at its own last event.
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ).withWatermark("ts", "30 minutes")
+
+    clicks = eos_stream().filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = eos_stream().filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    ).select("click_id", "purchase_id")
+    return memory_sink_table(joined, "append")

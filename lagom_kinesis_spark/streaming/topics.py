@@ -233,6 +233,10 @@ class TaggedProducer:
     sink_path: str
     checkpoint_base: str = "/tmp/lagom_kinesis_spark/producer_checkpoints"
     partition_key: Callable[[DataFrame], F.Column] | None = None
+    #: at-least-once (reference semantics, append) vs exactly-once
+    #: (epoch-keyed overwrite: a replayed batch rewrites its own epoch dir,
+    #: so crash-between-write-and-commit cannot duplicate).
+    exactly_once: bool = False
 
     def _serialized(self, df: DataFrame) -> DataFrame:
         pk = (
@@ -258,12 +262,17 @@ class TaggedProducer:
             out = self._serialized(df)
             # Per-key ordering: co-locate each key then write; a real Kinesis
             # sink would putRecords per partition with keys in order.
-            (
-                out.repartition(F.col("partition_key"))
-                .sortWithinPartitions("partition_key")
-                .write.mode("append")
-                .parquet(self.sink_path)
+            ordered = out.repartition(F.col("partition_key")).sortWithinPartitions(
+                "partition_key"
             )
+            if self.exactly_once:
+                # Idempotent epoch-keyed write: retrying epoch N overwrites
+                # sink/__epoch=N — no duplicates across crash/retry.
+                ordered.write.mode("overwrite").parquet(
+                    f"{self.sink_path}/__epoch={epoch_id}"
+                )
+            else:
+                ordered.write.mode("append").parquet(self.sink_path)
 
         q = (
             stream.writeStream.foreachBatch(publish)
