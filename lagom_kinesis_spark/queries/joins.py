@@ -173,7 +173,7 @@ def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_cross",
     oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
-    tags=("join",),
+    tags=("join", "cross"),
 )
 def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit cartesian product (small dims only)."""

@@ -446,3 +446,67 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"), money(F.sum(dec("o_totalprice"))).alias("total")
     )
+
+
+@register(
+    "merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, concat('UPDATED_', c_name) AS c_name, c_nationkey,
+             round(c_acctbal + 1000, 6) AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT -1 AS c_custkey, 'NEW_CUSTOMER' AS c_name, 0 AS c_nationkey,
+             0.0 AS c_acctbal, 'BUILDING' AS c_mktsegment
+    )
+    SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 6) AS c_acctbal,
+           c_mktsegment
+    FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 6) AS c_acctbal,
+           c_mktsegment
+    FROM updates
+    """,
+    tags=("merge",),
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation (operators/merge.py): updated rows replace
+    matches, new keys insert — anti-join + union, updates broadcast."""
+    from lagom_kinesis_spark.operators.merge import upsert
+
+    cust = load(spark, sf_dir, "customer")
+    updates = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            F.concat(F.lit("UPDATED_"), F.col("c_name")).alias("c_name"),
+            "c_nationkey",
+            (F.col("c_acctbal") + 1000).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(-1, "NEW_CUSTOMER", 0, 0.0, "BUILDING")],
+                "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+            )
+        )
+    )
+    merged = upsert(cust, updates, keys=["c_custkey"])
+    return merged.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        r6(F.col("c_acctbal")).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+
+
+@register("sample_bernoulli", oracle=None, tags=("scan", "sample"))
+def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sampling — the cheap first stage of any
+    data-pipeline experiment loop (rows-only: sampling is seed+partition
+    dependent, not cross-engine comparable)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

@@ -1,0 +1,67 @@
+"""Bucketed-table co-located join: the pre-shuffle strategy for repeated
+big⋈big joins at 100 TB (SURVEY.md §4.2 horizontal partitioning).
+
+Writing both sides bucketed by the join key into the warehouse lets Spark
+plan the join with NO Exchange on either side — the shuffle is paid once at
+write time and amortized over every subsequent join.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lagom_kinesis_spark.catalog import load
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    load(spark, SF_DIR, "orders").write.bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).mode("overwrite").saveAsTable("b_orders")
+    load(spark, SF_DIR, "lineitem").write.bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).mode("overwrite").saveAsTable("b_lineitem")
+    yield
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    # Disable auto-broadcast: at test scale Catalyst would broadcast the
+    # dim side; the point here is the big⋈big case where bucketing removes
+    # the shuffle a SortMergeJoin would otherwise need.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.table("b_lineitem")
+        o = spark.table("b_orders")
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_totalprice"
+        )
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:800]}"
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # And it is correct: row count matches the plain parquet join.
+    plain = load(spark, SF_DIR, "lineitem").join(
+        load(spark, SF_DIR, "orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    assert joined.count() == plain.count()
+
+
+def test_bucketed_aggregation_avoids_shuffle(spark, bucketed_tables):
+    """groupBy on the bucket key reuses the bucketing — no Exchange."""
+    o = spark.table("b_orders")
+    agged = o.groupBy("o_orderkey").agg(F.count("*").alias("n"))
+    plan = agged._sc._jvm.PythonSQLUtils.explainString(
+        agged._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
