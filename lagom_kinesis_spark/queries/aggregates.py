@@ -459,3 +459,15 @@ def sql_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE r.rn <= 25
         """
     )
+
+
+@register("agg_percentile_approx", oracle=None, tags=("agg", "approx"))
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (mergeable KLL-style sketch): the 100 TB path for
+    quantiles — agg_percentile's exact variant is the oracle; closeness is
+    asserted in tests/test_operators.py."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        r6(F.percentile("l_extendedprice", F.lit(0.5))).alias("exact_median"),
+    )

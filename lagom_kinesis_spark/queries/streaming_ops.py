@@ -311,11 +311,24 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memory_sink_table(agg, "complete")
 
 
-@register("stream_arbitrary_state", oracle=None, tags=("streaming", "stateful"))
+@register(
+    "stream_arbitrary_state",
+    oracle=events_cte(
+        """
+    SELECT user_id, COUNT(*) AS n_events,
+           round(SUM(value), 6) AS total_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY user_id
+    """
+    ),
+    tags=("streaming", "stateful"),
+)
 def stream_arbitrary_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful processing via applyInPandasWithState: per-user
     running (count, total, max_seen) state emitted once per batch — the
-    custom-operator escape hatch (SURVEY.md §2B 'arbitrary state')."""
+    custom-operator escape hatch (SURVEY.md §2B 'arbitrary state'). The
+    bounded replay is a single batch, so the emitted state equals the batch
+    aggregate (the oracle)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

@@ -145,14 +145,22 @@ class Subscriber:
         # groupId ⇒ independent progress namespace (R9).
         return f"{self.topic.checkpoint_base}/{self.topic.name}/{self.group_id}"
 
+    #: None → bounded replay (Trigger.AvailableNow, the test/backfill mode);
+    #: e.g. "5 seconds" → continuous consumption (production mode; caller
+    #: owns termination via the backoff wrapper).
+    processing_time: str | None = None
+
     def _run(self, batch_fn, available_now: bool) -> None:
-        q = (
+        writer = (
             self.topic.stream()
             .writeStream.foreachBatch(batch_fn)
             .option("checkpointLocation", self.checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
         )
+        if self.processing_time is not None:
+            writer = writer.trigger(processingTime=self.processing_time)
+        else:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
         try:
             q.awaitTermination()
         finally:

@@ -92,3 +92,9 @@ def test_multimodal_unknown_modality_raises(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|not available"):
         multimodal.decode_features(blobs).collect()
+
+
+def test_percentile_approx_close_to_exact(spark):
+    for r in QS["agg_percentile_approx"].fn(spark, SF_DIR).collect():
+        rel = abs(r["approx_median"] - r["exact_median"]) / max(r["exact_median"], 1)
+        assert rel < 0.01, f"approx median off by {rel:.3%}"
