@@ -282,3 +282,77 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             money(F.sum(revenue_expr())).alias("revenue"),
         )
     )
+
+
+@register(
+    "q_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           round(CAST(SUM({revenue_sql}) AS DOUBLE), 6) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped BUILDING orders by revenue —
+    selective dim filter, fact join, agg, ordered limit (ties key-pinned)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(money(F.sum(revenue_expr())).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           round(CAST(SUM({revenue_sql}) AS DOUBLE), 6) AS lost_revenue,
+           n_name AS nation
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1999-01-01'
+      AND o_orderdate <  TIMESTAMP '2000-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY lost_revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers who returned the most revenue in 1999."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1999-01-01") & (F.col("o_orderdate") < "2000-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(money(F.sum(revenue_expr())).alias("lost_revenue"))
+        .select("c_custkey", "c_name", "lost_revenue", "nation")
+        .orderBy(F.col("lost_revenue").desc(), "c_custkey")
+        .limit(20)
+    )
