@@ -324,3 +324,36 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text").cast("binary")).alias("text_md5"),
         F.sha2(F.col("text").cast("binary"), 256).alias("text_sha256"),
     )
+
+
+@register(
+    "fn_array_gen",
+    oracle="""
+    SELECT s_suppkey,
+           range(1, s_nationkey + 2) AS seq_to_nation,
+           len(flatten([[s_suppkey], [s_nationkey, s_suppkey]])) AS flat_len,
+           [s_suppkey, NULL][2] AS null_elem
+    FROM supplier
+    """,
+    tags=("scalar", "array"),
+)
+def fn_array_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array generation family: sequence, flatten, explicit-null elements
+    (DuckDB range(a,b) is end-exclusive; Spark sequence(a,b) inclusive —
+    bounds adjusted so both emit 1..s_nationkey+1)."""
+    s = load(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.sequence(F.lit(1), F.col("s_nationkey") + 1).alias("seq_to_nation"),
+        F.size(
+            F.flatten(
+                F.array(
+                    F.array(F.col("s_suppkey")),
+                    F.array(F.col("s_nationkey").cast("long"), F.col("s_suppkey")),
+                )
+            )
+        ).alias("flat_len"),
+        F.element_at(F.array(F.col("s_suppkey"), F.lit(None).cast("long")), 2).alias(
+            "null_elem"
+        ),
+    )

@@ -384,8 +384,11 @@ def stream_rate_source_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _t
 
     try:
-        _t.sleep(2.0)
-        q.processAllAvailable()
+        # Bounded observation window — processAllAvailable would chase the
+        # unbounded rate source forever.
+        deadline = _t.time() + 10
+        while _t.time() < deadline and not spark.table(name).take(1):
+            _t.sleep(0.3)
     finally:
         q.stop()
     return spark.table(name)
