@@ -98,3 +98,20 @@ def test_percentile_approx_close_to_exact(spark):
     for r in QS["agg_percentile_approx"].fn(spark, SF_DIR).collect():
         rel = abs(r["approx_median"] - r["exact_median"]) / max(r["exact_median"], 1)
         assert rel < 0.01, f"approx median off by {rel:.3%}"
+
+
+def test_golden_lsh_pair_sets(spark):
+    """Golden pins for the deterministic rows-only LSH ops (SURVEY.md §5.2
+    layer 5): xxhash64-based signatures are pure functions of the frozen
+    fixtures, so the pair sets are stable across runs/machines."""
+    import hashlib
+
+    golden = {
+        "dedup_minhash_lsh": (28, "7d6e643b2347380cccd696dbdfe6f8e8"),
+        "dedup_simhash": (27, "793d1711ed5ce34c64e511cd3f1b09a9"),
+    }
+    for name, (n, digest) in golden.items():
+        rows = sorted(tuple(r)[:2] for r in QS[name].fn(spark, SF_DIR).collect())
+        assert len(rows) == n, f"{name}: {len(rows)} pairs (expected {n})"
+        got = hashlib.md5(repr(rows).encode()).hexdigest()
+        assert got == digest, f"{name}: pair-set hash drifted: {got}"
