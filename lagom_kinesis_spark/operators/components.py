@@ -1,0 +1,64 @@
+"""Connected components over a pair graph — near-dup cluster resolution.
+
+The last step of every dedup pipeline: near-dup *pairs* → duplicate
+*clusters* → one canonical doc per cluster. Implemented as iterative
+min-label propagation driven from the driver: each round every node takes
+the min label among itself and its neighbors; converges in O(diameter)
+rounds (dup clusters are near-cliques, so 2-3 rounds in practice).
+
+Scale notes:
+- Each round is one join + one aggregation — all shuffles on the node id.
+- ``localCheckpoint`` truncates the lineage each round; without it the
+  plan doubles per iteration and the job dies long before 100 TB.
+- For adversarial graphs (long chains) swap in the large-star/small-star
+  algorithm (Kiveris et al., "Connected Components in MapReduce"), which
+  converges in O(log n) rounds with the same join/agg building blocks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """(id, cluster_id) for every node in ``pairs``; cluster_id = min node
+    id of the component. Deterministic; fixpoint-checked each round."""
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # truncate lineage — mandatory for iteration
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))

@@ -87,7 +87,7 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                     string_split(lower(text), ' ')[i+1],
                     string_split(lower(text), ' ')[i+2])
              )) AS sh
-      FROM documents WHERE doc_id % 20 = 0
+      FROM documents WHERE doc_id % 2 = 0
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(len(list_intersect(a.sh, b.sh))
@@ -99,10 +99,10 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup"),
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram-shingle Jaccard pairs (≥0.3) over a 1/20 sample — the
+    """Exact 3-gram-shingle Jaccard pairs (≥0.3) over a 1/2 sample — the
     correctness oracle for near-dup detection. All-pairs is O(n²): only ever
     run on samples; the full-corpus path is dedup_minhash_lsh."""
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
     sub = d.select("doc_id", shingles(tokens("text")).alias("sh"))
     a = sub.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sub.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -595,3 +595,130 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
     return cands.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+
+
+@register(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    sub AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1)),
+               i -> concat_ws(' ',
+                    string_split(lower(text), ' ')[i],
+                    string_split(lower(text), ' ')[i+1],
+                    string_split(lower(text), ' ')[i+2])
+             )) AS sh
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sub a JOIN sub b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))
+            / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.3
+    ),
+    edges AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT id_a AS id FROM edges),
+    walk AS (
+      SELECT id, id AS label FROM nodes
+      UNION
+      SELECT e.id_b AS id, w.label FROM walk w JOIN edges e ON w.id = e.id_a
+    )
+    SELECT id AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY id
+    """,
+    tags=("llm", "dedup", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: exact Jaccard pairs (≥0.3, sampled) →
+    connected components (operators/components.py, iterative min-label
+    propagation) → (doc_id, cluster_id). Oracle: DuckDB recursive CTE
+    transitive closure. The full-scale variant feeds dedup_minhash_lsh
+    pairs into the same component operator."""
+    from lagom_kinesis_spark.operators.components import connected_components
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    sub = d.select("doc_id", shingles(tokens("text")).alias("sh"))
+    a = sub.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sub.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.3)
+        .select("id_a", "id_b")
+    )
+    return connected_components(pairs).withColumnRenamed("id", "doc_id")
+
+
+@register(
+    "pipeline_corpus_filter",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, text, n_chars,
+             string_split(lower(text), ' ') AS toks,
+             md5(text) AS h
+      FROM documents
+    ), filtered AS (
+      SELECT doc_id, h,
+             CASE WHEN len(list_intersect(toks, ['the','and','of'])) > 0 THEN 'en'
+                  WHEN len(list_intersect(toks, ['der','und','nicht'])) > 0 THEN 'de'
+                  WHEN len(list_intersect(toks, ['el','la','que'])) > 0 THEN 'es'
+                  WHEN len(list_intersect(toks, ['le','et','les'])) > 0 THEN 'fr'
+                  ELSE 'und' END AS lang_guess,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS ttr
+      FROM scored
+      WHERE len(toks) >= 20
+        AND len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) >= 0.2
+    ), deduped AS (
+      SELECT MIN(doc_id) AS doc_id, h FROM filtered GROUP BY h
+    )
+    SELECT f.lang_guess, COUNT(*) AS n_docs,
+           round(CAST(SUM(f.n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+           round(AVG(f.ttr), 6) AS avg_ttr
+    FROM deduped d JOIN filtered f ON d.doc_id = f.doc_id
+    GROUP BY f.lang_guess
+    """,
+    tags=("llm", "pipeline"),
+)
+def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus filter pipeline: quality gate (length +
+    type/token ratio) → language-ID → exact dedup (keep first) → per-lang
+    corpus stats. One composed DataFrame plan: Catalyst fuses the gates
+    into the scan, dedup is one shuffle, stats one more — the whole
+    pipeline is 2 shuffles regardless of corpus size."""
+    from lagom_kinesis_spark.functions.helpers import let
+
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    langexpr = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        markers = F.array([F.lit(m) for m in LANG_MARKERS[lang]])
+        langexpr = F.when(F.arrays_overlap(F.col("toks"), markers), lang).otherwise(
+            langexpr
+        )
+    scored = d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        toks.alias("toks"),
+    ).select(
+        "doc_id",
+        "h",
+        langexpr.alias("lang_guess"),
+        F.size("toks").alias("n_tokens"),
+        (F.size(F.array_distinct("toks")) / F.size("toks").cast("double")).alias(
+            "ttr"
+        ),
+    )
+    filtered = scored.filter((F.col("n_tokens") >= 20) & (F.col("ttr") >= 0.2))
+    deduped = filtered.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        deduped.join(filtered, ["doc_id", "h"])
+        .groupBy("lang_guess")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.count("*"), 6
+            ).alias("avg_tokens"),
+            r6(F.avg("ttr")).alias("avg_ttr"),
+        )
+    )
