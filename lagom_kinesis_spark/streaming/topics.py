@@ -199,10 +199,19 @@ class Subscriber:
             staged = spark.read.parquet(staging_dir)
             for row in staged.select("__epoch").distinct().collect():
                 epoch = row["__epoch"]
+                # Each staged epoch gets exactly ONE processing attempt —
+                # the done-marker is written regardless of the outcome, so
+                # a re-run over the same staging dir never re-processes
+                # (that would silently upgrade the mode to at-least-once).
+                marker = f"{staging_dir}/_DONE_{epoch}"
+                if os.path.exists(marker):
+                    continue
                 try:
                     flow(staged.filter(F.col("__epoch") == epoch).drop("__epoch"), epoch)
                 except Exception as e:  # noqa: BLE001 — best-effort by design
                     errors.append(e)
+                finally:
+                    open(marker, "w").close()
         except Exception as e:  # noqa: BLE001
             errors.append(e)
         return errors

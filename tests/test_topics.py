@@ -107,6 +107,12 @@ def test_at_most_once_loss_no_redelivery(topic, tmp_path):
     assert errors2 == []
     assert sum(processed_rows) == 0  # records lost for this group — by design
 
+    # Re-running over the SAME staging dir must not re-attempt the failed
+    # epoch either — one processing attempt per staged record, ever.
+    errors3 = sub.at_most_once(recording_flow, staging_dir=staging)
+    assert errors3 == []
+    assert sum(processed_rows) == 0
+
 
 def test_consumer_groups_independent(topic):
     """Same topic, two groups ⇒ disjoint checkpoints and progress (2C.3)."""
