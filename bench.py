@@ -34,6 +34,8 @@ HEADLINE = [
     "sim_topk_cosine",
     "text_top_tokens",
     "text_tfidf",
+    "pipeline_corpus_filter",
+    "q_shipping_priority",
     "stream_tumbling_window",
     "stream_session_window",
 ]
@@ -71,17 +73,21 @@ def main() -> None:
 
     memory_sink_table(warm_stream, "complete").count()
 
+    # Steady-state protocol: best of 2 runs per query, both engines — the
+    # OS page cache warms within a run anyway, so first-run numbers just
+    # measure whoever ran first. Same treatment both sides.
     times: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs[name].fn
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = round(time.time() - t0, 3)
-        times[name] = dt
-        total += dt
-        print(f"# {name}: {dt}s ({n} rows)", file=sys.stderr)
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
+        total += times[name]
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
     # BASELINE.md §3 protocol: the operative bar is DuckDB executing the
     # matching oracle_sql on the same parquet, same machine.
@@ -98,9 +104,12 @@ def main() -> None:
             oracle = qs[name].oracle
             if oracle is None:
                 continue
-            t0 = time.time()
-            con.sql(oracle).fetchall()
-            duck_times[name] = round(time.time() - t0, 3)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                con.sql(oracle).fetchall()
+                best = min(best, time.time() - t0)
+            duck_times[name] = round(best, 3)
             print(f"# duckdb {name}: {duck_times[name]}s", file=sys.stderr)
     except Exception as e:  # noqa: BLE001 — comparison is best-effort
         print(f"# duckdb comparison skipped: {e}", file=sys.stderr)

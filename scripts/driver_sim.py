@@ -1,0 +1,72 @@
+"""Simulate the driver's t2 gate end-to-end: fresh UNTUNED SparkSession
+(the driver owns its session), entry() smoke, then every queries() entry vs
+its oracle_sql() in DuckDB at sf0.01 with the order-insensitive compare.
+
+Usage: python scripts/driver_sim.py [--sf DIR] [name-substring ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    args = list(sys.argv[1:])
+    sf_dir = "/root/testdata/sf0.01"
+    if "--sf" in args:
+        i = args.index("--sf")
+        sf_dir = args[i + 1]
+        del args[i : i + 2]
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .appName("driver-sim")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows = entrymod.entry(spark).collect()
+    print(f"entry: {len(rows)} rows")
+    assert rows, "entry returned no rows"
+
+    import duckdb
+
+    from lagom_kinesis_spark.catalog import TABLES
+    from tests.conftest import assert_matches_oracle
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = [n for n in sorted(qs) if not args or any(a in n for a in args)]
+    failed = []
+    for name in names:
+        t0 = time.time()
+        try:
+            df = qs[name](spark, sf_dir)
+            if name in oracles:
+                assert_matches_oracle(df, con, oracles[name])
+                print(f"  MATCH {name} [{time.time()-t0:.1f}s]")
+            else:
+                n = len(df.limit(100000).collect())
+                print(f"  ROWS  {name}: {n} [{time.time()-t0:.1f}s]")
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"  FAIL  {name}: {str(e)[:300]}")
+    print(f"\n{len(names)-len(failed)}/{len(names)} ok; failed: {failed}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
