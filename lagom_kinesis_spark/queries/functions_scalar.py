@@ -357,3 +357,24 @@ def fn_array_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "null_elem"
         ),
     )
+
+
+@register(
+    "fn_json_variant",
+    oracle=events_cte(
+        """
+    SELECT event_id, CAST(props->>'k' AS INT) AS k_variant
+    FROM events WHERE CAST(props->>'k' AS INT) > 50
+    """
+    ),
+    tags=("scalar", "json", "variant"),
+)
+def fn_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType JSON path: parse_json → variant_get — the
+    shredding-friendly successor to string-typed JSON columns (binary
+    variant encoding, no per-access re-parse at scale)."""
+    e = load(spark, sf_dir, "events")
+    v = e.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id", F.variant_get("v", "$.k", "int").alias("k_variant")
+    ).filter(F.col("k_variant") > 50)

@@ -115,3 +115,23 @@ def test_golden_lsh_pair_sets(spark):
         assert len(rows) == n, f"{name}: {len(rows)} pairs (expected {n})"
         got = hashlib.md5(repr(rows).encode()).hexdigest()
         assert got == digest, f"{name}: pair-set hash drifted: {got}"
+
+
+def test_observation_metrics(spark):
+    """Observation API: accumulator-style metrics piggybacked on a real
+    action — the zero-extra-pass way to instrument 100 TB pipelines."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F2
+
+    from lagom_kinesis_spark.catalog import load as _load
+
+    obs = Observation("lineitem_metrics")
+    li = _load(spark, SF_DIR, "lineitem").observe(
+        obs,
+        F2.count(F2.lit(1)).alias("rows_seen"),
+        F2.sum("l_quantity").alias("total_qty"),
+    )
+    out = li.filter(F2.col("l_quantity") >= 30).count()
+    m = obs.get
+    assert m["rows_seen"] > out > 0
+    assert m["total_qty"] > 0
