@@ -378,3 +378,34 @@ def fn_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select(
         "event_id", F.variant_get("v", "$.k", "int").alias("k_variant")
     ).filter(F.col("k_variant") > 50)
+
+
+@register(
+    "fn_datetime_extended",
+    oracle=events_cte(
+        """
+    SELECT event_id,
+           CAST(week(ts) AS INT) AS iso_week,
+           CAST(quarter(ts) AS INT) AS qtr,
+           CAST(ts + INTERVAL 3 MONTH AS DATE) AS plus3mo,
+           CAST(hour(ts) AS INT) AS hh,
+           CAST(minute(ts) AS INT) AS mi,
+           CAST(second(ts) AS INT) AS ss
+    FROM events
+    """
+    ),
+    tags=("scalar", "datetime"),
+)
+def fn_datetime_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended date/time family: ISO week, quarter, add_months (both
+    engines clamp month-end identically), hour/minute/second extraction."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.weekofyear("ts").alias("iso_week"),
+        F.quarter("ts").alias("qtr"),
+        F.add_months("ts", 3).alias("plus3mo"),
+        F.hour("ts").alias("hh"),
+        F.minute("ts").alias("mi"),
+        F.second("ts").alias("ss"),
+    )
