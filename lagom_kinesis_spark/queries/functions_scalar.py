@@ -409,3 +409,42 @@ def fn_datetime_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.minute("ts").alias("mi"),
         F.second("ts").alias("ss"),
     )
+
+
+@register(
+    "fn_string_distance",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+             a.p_name AS name_a, b.p_name AS name_b
+      FROM part a JOIN part b
+        ON a.p_partkey < b.p_partkey
+       AND a.p_brand = b.p_brand AND a.p_partkey % 7 = 0 AND b.p_partkey % 7 = 0
+    )
+    SELECT key_a, key_b, levenshtein(name_a, name_b) AS edit_dist
+    FROM pairs WHERE levenshtein(name_a, name_b) <= 6
+    """,
+    tags=("scalar", "string", "dedup"),
+)
+def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-match pairs (levenshtein ≤ 6) within brand blocks —
+    the string-distance verify step of entity-resolution pipelines; the
+    brand equi-key keeps the pairing blocked, never all-pairs."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 0)
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand"),
+    )
+    return (
+        a.join(b, ["brand"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 6)
+        .select("key_a", "key_b", "edit_dist")
+    )
