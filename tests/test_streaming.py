@@ -71,3 +71,25 @@ def test_late_rows_dropped_beyond_watermark(spark, three_batch_source):
     # Window [00:00, 00:10) was evicted+emitted with its on-time count of 10;
     # the batch-3 straggler (minute 5) must be dropped, not re-emitted.
     assert counts == [10]
+
+
+def test_rocksdb_state_store_provider(spark):
+    """The engine's stateful streaming ops run unchanged on the RocksDB
+    state store — the production provider for large state (HDFS-backed
+    in-memory maps OOM once per-partition state outgrows the heap)."""
+    from lagom_kinesis_spark.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        df = all_queries()["stream_session_window"].fn(spark, SF_DIR)
+        assert df.count() > 0
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
