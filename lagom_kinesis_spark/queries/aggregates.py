@@ -471,3 +471,24 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
         r6(F.percentile("l_extendedprice", F.lit(0.5))).alias("exact_median"),
     )
+
+
+@register(
+    "agg_bool",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 2000) AS all_above_2k,
+           bool_or(o_totalprice > 400000) AS any_above_400k,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "bool"),
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates: bool_and / bool_or (ALL / ANY predicates)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 2000).alias("all_above_2k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_above_400k"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+    )

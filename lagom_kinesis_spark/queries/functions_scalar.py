@@ -448,3 +448,32 @@ def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 6)
         .select("key_a", "key_b", "edit_dist")
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+           CAST(o_orderkey | 4096 AS BIGINT) AS with_flag,
+           CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS keys_xor,
+           CAST(bit_count(CAST(o_orderkey AS BIGINT)) AS INT) AS popcount,
+           CAST(o_custkey << 3 AS BIGINT) AS shifted_up,
+           CAST(o_orderkey >> 4 AS BIGINT) AS shifted_down
+    FROM orders
+    """,
+    tags=("scalar", "bitwise"),
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: AND/OR/XOR, popcount, shifts — the primitives behind
+    the engine's SimHash banding and bucket keys."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("o_orderkey").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("o_orderkey").bitwiseXOR(F.col("o_custkey")).alias("keys_xor"),
+        F.bit_count("o_orderkey").alias("popcount"),
+        F.shiftleft("o_custkey", 3).alias("shifted_up"),
+        F.shiftright("o_orderkey", 4).alias("shifted_down"),
+    )

@@ -326,3 +326,30 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_id")
         .agg(F.count("e_ts").alias("n_errors"))
     )
+
+
+@register(
+    "win_nth_value",
+    oracle="""
+    SELECT o_orderkey,
+           nth_value(o_orderkey, 2) OVER w AS second_cheapest,
+           nth_value(o_orderkey, 3) OVER w AS third_cheapest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window",),
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value with a pinned whole-partition frame and key-pinned order."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        F.nth_value("o_orderkey", 2).over(w).alias("second_cheapest"),
+        F.nth_value("o_orderkey", 3).over(w).alias("third_cheapest"),
+    )
