@@ -526,3 +526,55 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return memory_sink_table(out, "update")
+
+
+@register(
+    "stream_chained_windows",
+    oracle=events_cte(
+        """
+    , l1 AS (
+      SELECT (epoch_us(ts)//1000000)//300*300 AS b5, COUNT(*) AS n
+      FROM events GROUP BY b5
+    )
+    SELECT b5//900*900 AS b15,
+           CAST(SUM(n) AS BIGINT) AS total_events,
+           MAX(n) AS busiest_5min,
+           COUNT(*) AS n_buckets
+    FROM l1 GROUP BY b15
+    """
+    ),
+    tags=("streaming", "window"),
+)
+def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained time-window aggregation (Spark ≥3.4): 5-minute counts
+    re-aggregated into 15-minute roll-ups in ONE streaming query — the
+    hypertable-style multi-resolution rollup, incrementally maintained."""
+    # Complete-mode chaining trips Spark's global-watermark correctness
+    # check, which guards against LATE data reaching the downstream stateful
+    # op. A bounded availableNow replay has no late data, so the check is
+    # safely disabled for this query (production continuous mode would use
+    # append + watermark finalization instead).
+    spark.conf.set(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false"
+    )
+    l1 = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")  # required to chain stateful ops
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(F.count("*").alias("n"))
+    )
+    l2 = (
+        l1.groupBy(F.window(F.col("window"), "15 minutes"))
+        .agg(
+            F.sum("n").alias("total_events"),
+            F.max("n").alias("busiest_5min"),
+            F.count("*").alias("n_buckets"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("b15"),
+            "total_events",
+            "busiest_5min",
+            "n_buckets",
+        )
+    )
+    return memory_sink_table(l2, "complete")
