@@ -554,27 +554,29 @@ def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # op. A bounded availableNow replay has no late data, so the check is
     # safely disabled for this query (production continuous mode would use
     # append + watermark finalization instead).
-    spark.conf.set(
-        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false"
-    )
-    l1 = (
-        events_stream(spark, sf_dir)
-        .withWatermark("ts", "1 hour")  # required to chain stateful ops
-        .groupBy(F.window("ts", "5 minutes"))
-        .agg(F.count("*").alias("n"))
-    )
-    l2 = (
-        l1.groupBy(F.window(F.col("window"), "15 minutes"))
-        .agg(
-            F.sum("n").alias("total_events"),
-            F.max("n").alias("busiest_5min"),
-            F.count("*").alias("n_buckets"),
+    check_key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    spark.conf.set(check_key, "false")
+    try:
+        l1 = (
+            events_stream(spark, sf_dir)
+            .withWatermark("ts", "1 hour")  # required to chain stateful ops
+            .groupBy(F.window("ts", "5 minutes"))
+            .agg(F.count("*").alias("n"))
         )
-        .select(
-            F.unix_timestamp(F.col("window.start")).alias("b15"),
-            "total_events",
-            "busiest_5min",
-            "n_buckets",
+        l2 = (
+            l1.groupBy(F.window(F.col("window"), "15 minutes"))
+            .agg(
+                F.sum("n").alias("total_events"),
+                F.max("n").alias("busiest_5min"),
+                F.count("*").alias("n_buckets"),
+            )
+            .select(
+                F.unix_timestamp(F.col("window.start")).alias("b15"),
+                "total_events",
+                "busiest_5min",
+                "n_buckets",
+            )
         )
-    )
-    return memory_sink_table(l2, "complete")
+        return memory_sink_table(l2, "complete")
+    finally:
+        spark.conf.set(check_key, "true")
