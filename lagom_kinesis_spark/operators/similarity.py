@@ -63,6 +63,61 @@ def cosine_pandas(a: Column, b: Column) -> Column:
     return _cos(a, b)
 
 
+def batch_topk_cosine(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    q_ids: list,
+    q_vecs: "np.ndarray",
+    k: int = 10,
+    batch_margin: int = 64,
+) -> DataFrame:
+    """Scored (q_id, vec_id, cos_sim) candidates for exact top-k cosine.
+
+    One ``mapInPandas`` pass over the corpus: each Arrow batch does a single
+    (N×d)·(d×|Q|) float64 matmul against the broadcast query matrix — one
+    Python call per batch instead of a pandas_udf per (qv, embedding) pair
+    (~10× fewer Arrow conversions, no duplicated query arrays per row).
+
+    Each batch emits only its local top ``k + batch_margin`` rows per query
+    (partial top-k, the map-side-combine analogue): the final global window
+    ranks |batches|·|Q|·(k+margin) rows, not |corpus|·|Q|. The margin
+    absorbs post-hoc rounding ties; exactness vs the all-pairs oracle is
+    gate-checked. At 100 TB this is a map-only scan + a tiny shuffle.
+    """
+    qm = np.asarray(q_vecs, dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qid_arr = np.asarray(q_ids, dtype=np.int64)
+    keep = k + batch_margin
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf[vec_col].values).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            sims = Vn @ qn.T  # (N, |Q|)
+            ids = pdf[id_col].values
+            out = {"q_id": [], "vec_id": [], "cos_sim": []}
+            for j in range(sims.shape[1]):
+                col = sims[:, j]
+                if len(col) > keep:
+                    # top-`keep` by (cos desc, vec_id asc) — lexsort keys
+                    order = np.lexsort((ids, -col))[:keep]
+                else:
+                    order = np.arange(len(col))
+                out["q_id"].append(np.full(len(order), qid_arr[j]))
+                out["vec_id"].append(ids[order])
+                out["cos_sim"].append(col[order])
+            yield pd.DataFrame(
+                {c: np.concatenate(v) for c, v in out.items()}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        score, "q_id long, vec_id long, cos_sim double"
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + banded LSH over shingle arrays
 # ---------------------------------------------------------------------------

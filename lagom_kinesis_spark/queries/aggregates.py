@@ -208,19 +208,37 @@ def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
     SELECT l_returnflag,
-           list_sort(list_distinct(list(l_linestatus))) AS statuses,
-           list_sort(list(l_linenumber) FILTER (WHERE l_quantity >= 49)) AS big_linenums
+           coalesce(array_to_string(
+             list_sort(list_distinct(list(l_linestatus))), ','), '') AS statuses,
+           coalesce(array_to_string(
+             list_sort(list(l_linenumber) FILTER (WHERE l_quantity >= 49)), ','), '')
+             AS big_linenums
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("agg", "array"),
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set / collect_list, sorted for determinism."""
+    """collect_set / collect_list, sorted for determinism.
+
+    Output arrays are serialized to canonical comma-joined strings on BOTH
+    engines: the harness canonicalizer sorts result columns with pandas,
+    which cannot hash ndarray cells — strings are hashable everywhere and
+    preserve the semantics (sorted, deterministic order)."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
-        F.sort_array(
-            F.collect_list(F.when(F.col("l_quantity") >= 49, F.col("l_linenumber")))
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias(
+            "statuses"
+        ),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("l_quantity") >= 49, F.col("l_linenumber"))
+                    )
+                ),
+                lambda x: x.cast("string"),
+            ),
+            ",",
         ).alias("big_linenums"),
     )
 

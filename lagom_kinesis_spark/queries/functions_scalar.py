@@ -196,30 +196,37 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            len(embedding) AS dim,
-           list_transform(list_slice(embedding, 1, 4),
-                          x -> round(CAST(x AS DOUBLE), 6)) AS head4,
+           coalesce(array_to_string(list_transform(list_slice(embedding, 1, 4),
+             x -> CAST(CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(18,6)) AS VARCHAR)),
+             ','), '') AS head4,
            round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
            round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6)
              AS total,
            len(list_filter(embedding, x -> x > 0)) AS n_pos,
            len(list_distinct(embedding)) AS n_distinct,
-           list_transform(list_slice(list_sort(embedding), 1, 3),
-                          x -> round(CAST(x AS DOUBLE), 6)) AS smallest3
+           coalesce(array_to_string(
+             list_transform(list_slice(list_sort(embedding), 1, 3),
+             x -> CAST(CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(18,6)) AS VARCHAR)),
+             ','), '') AS smallest3
     FROM embeddings
     """,
     tags=("scalar", "array"),
 )
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family incl. higher-order transform/filter/aggregate — all
-    JVM-side lambda expressions, no UDF."""
+    JVM-side lambda expressions, no UDF.
+
+    Array-valued outputs are serialized to comma-joined DECIMAL(18,6)
+    strings on both engines (harness canon cannot hash ndarray cells;
+    fixed-scale decimal rendering is identical on both — no scientific
+    notation drift)."""
     e = load(spark, sf_dir, "embeddings")
     dbl = lambda x: x.cast("double")  # noqa: E731
+    d6s = lambda x: F.round(dbl(x), 6).cast("decimal(18,6)").cast("string")  # noqa: E731
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.transform(F.slice("embedding", 1, 4), lambda x: F.round(dbl(x), 6)).alias(
-            "head4"
-        ),
+        F.array_join(F.transform(F.slice("embedding", 1, 4), d6s), ",").alias("head4"),
         r6(dbl(F.array_max("embedding"))).alias("max_val"),
         r6(
             F.aggregate(
@@ -228,9 +235,8 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
         F.size(F.array_distinct("embedding")).alias("n_distinct"),
-        F.transform(
-            F.slice(F.sort_array("embedding"), 1, 3), lambda x: F.round(dbl(x), 6)
-        ).alias("smallest3"),
+        F.array_join(F.transform(F.slice(F.sort_array("embedding"), 1, 3), d6s), ",")
+        .alias("smallest3"),
     )
 
 
@@ -238,7 +244,8 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_map",
     oracle="""
     SELECT c_custkey,
-           map_keys(MAP {'seg': c_mktsegment, 'name': c_name}) AS ks,
+           coalesce(array_to_string(
+             map_keys(MAP {'seg': c_mktsegment, 'name': c_name}), ','), '') AS ks,
            MAP {'seg': c_mktsegment, 'name': c_name}['seg'][1] AS seg_val,
            MAP {'bal': c_acctbal}['bal'][1] AS bal_val
     FROM customer
@@ -246,14 +253,16 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar", "map"),
 )
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map family: create_map / map_keys / element_at."""
+    """Map family: create_map / map_keys / element_at. The key list is
+    serialized to a comma-joined string on both engines (harness canon
+    cannot hash ndarray cells)."""
     c = load(spark, sf_dir, "customer")
     m = F.create_map(
         F.lit("seg"), F.col("c_mktsegment"), F.lit("name"), F.col("c_name")
     )
     return c.select(
         "c_custkey",
-        F.map_keys(m).alias("ks"),
+        F.array_join(F.map_keys(m), ",").alias("ks"),
         F.element_at(m, "seg").alias("seg_val"),
         F.element_at(F.create_map(F.lit("bal"), F.col("c_acctbal")), "bal").alias(
             "bal_val"
@@ -330,7 +339,8 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array_gen",
     oracle="""
     SELECT s_suppkey,
-           range(1, s_nationkey + 2) AS seq_to_nation,
+           coalesce(array_to_string(range(1, s_nationkey + 2), ','), '')
+             AS seq_to_nation,
            len(flatten([[s_suppkey], [s_nationkey, s_suppkey]])) AS flat_len,
            [s_suppkey, NULL][2] AS null_elem
     FROM supplier
@@ -340,11 +350,19 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_array_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array generation family: sequence, flatten, explicit-null elements
     (DuckDB range(a,b) is end-exclusive; Spark sequence(a,b) inclusive —
-    bounds adjusted so both emit 1..s_nationkey+1)."""
+    bounds adjusted so both emit 1..s_nationkey+1). The generated sequence
+    is serialized to a comma-joined string on both engines (harness canon
+    cannot hash ndarray cells)."""
     s = load(spark, sf_dir, "supplier")
     return s.select(
         "s_suppkey",
-        F.sequence(F.lit(1), F.col("s_nationkey") + 1).alias("seq_to_nation"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.col("s_nationkey") + 1),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("seq_to_nation"),
         F.size(
             F.flatten(
                 F.array(

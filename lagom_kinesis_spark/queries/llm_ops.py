@@ -207,27 +207,30 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "similarity"),
 )
 def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force exact top-10 cosine neighbors for 5 query vectors —
-    higher-order array math, no UDF. Ranking is on the *rounded* cosine
-    (+ vec_id pin) so both engines rank identically. At scale brute force
-    is one broadcast of the query set over a map-only scan — viable for
-    small query sets; sim_ann_lsh is the indexed path."""
+    """Brute-force exact top-10 cosine neighbors for 5 query vectors.
+    The query set (bounded, documented) is collected to a numpy matrix and
+    broadcast into ONE mapInPandas matmul per Arrow batch with per-batch
+    partial top-k (operators/similarity.batch_topk_cosine) — a map-only
+    corpus scan; the final window ranks only the per-batch survivors.
+    Ranking is on the *rounded* cosine (+ vec_id pin) so both engines rank
+    identically. sim_ann_lsh / sim_ann_ivf are the indexed paths."""
+    import numpy as np
+
+    from lagom_kinesis_spark.operators.similarity import batch_topk_cosine
+
     e = load(spark, sf_dir, "embeddings")
-    q = (
-        e.filter(F.col("vec_id") < 5)
-        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
-    )
-    scored = (
-        F.broadcast(q)
-        .crossJoin(e.select("vec_id", "embedding"))
-        .select(
-            "q_id",
-            "vec_id",
-            r6(cosine_pandas(F.col("qv"), F.col("embedding"))).alias("cos_sim"),
-        )
-    )
+    qrows = (
+        e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    )  # |Q| = 5 rows — bounded query set, never the corpus
+    q_ids = [r["vec_id"] for r in qrows]
+    q_vecs = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    scored = batch_topk_cosine(e, "vec_id", "embedding", q_ids, q_vecs, k=10)
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    return (
+        scored.select("q_id", "vec_id", r6(F.col("cos_sim")).alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+    )
 
 
 @register("sim_ann_lsh", oracle=None, tags=("llm", "similarity", "scale"))
@@ -275,15 +278,20 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize + word count, top-50. explode→groupBy is the scalable shape
-    (partial aggregation collapses counts before the shuffle)."""
+    (partial aggregation collapses counts before the shuffle); the top-50 is
+    taken with orderBy+limit (TakeOrderedAndProject: per-partition heaps,
+    never a global single-partition window over the whole vocabulary —
+    asserted in tests/test_plans.py), then rn is derived over the 50
+    survivors only."""
     d = load(spark, sf_dir, "documents")
     counted = (
         d.select(F.explode(tokens("text")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
+    top = counted.orderBy(F.col("n").desc(), "token").limit(50)
     w = W.orderBy(F.col("n").desc(), "token")
-    return counted.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 50)
+    return top.withColumn("rn", F.row_number().over(w))
 
 
 @register(
@@ -356,18 +364,27 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf over a 1/50 sample: tf per (doc, token), df via distinct-doc
-    count, idf = ln(N/df). Joins on token — at scale the df side is tiny
-    after aggregation and broadcasts."""
+    count, idf = ln(N/df).
+
+    df is a window count over the tf relation (rows are unique per
+    (doc, token), so COUNT(*) over the token partition IS the distinct-doc
+    frequency): the tokenization/aggregation subtree is evaluated exactly
+    once — the previous join formulation fed `tf` into both sides and
+    Catalyst recomputed the explode→groupBy per side. At extreme corpus
+    scale a head-token partition gets large; the swap then is tf →
+    checkpoint → broadcast-join the aggregated df table (vocab-sized),
+    trading a persist for the window."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
     tf = (
         d.select("doc_id", F.explode(tokens("text")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
     )
-    df_ = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # Bounded driver-side scalar (one column-pruned count over the sample),
+    # broadcast into the expression — not a per-row subquery.
     n_docs = d.count()
     return (
-        tf.join(F.broadcast(df_), "token")
+        tf.withColumn("df", F.count("*").over(W.partitionBy("token")))
         .filter(F.col("tf") >= 2)
         .select(
             "doc_id",

@@ -184,9 +184,14 @@ class Subscriber:
         spark = self.topic.spark
 
         def stage(df: DataFrame, epoch_id: int) -> None:
-            df.withColumn("__epoch", F.lit(epoch_id)).write.mode("append").parquet(
-                staging_dir
-            )
+            # Idempotent per-epoch staging: a crash between this write and
+            # the streaming checkpoint commit replays the same epoch_id —
+            # overwrite of the epoch's own directory rewrites rather than
+            # appends, so the retry cannot double the staged records (which
+            # would make the single processing attempt deliver dupes,
+            # violating commit-before-process semantics). Same device as
+            # TaggedProducer's exactly_once epoch-keyed sink.
+            df.write.mode("overwrite").parquet(f"{staging_dir}/__epoch={epoch_id}")
 
         self._run(stage, available_now=True)
 
@@ -250,6 +255,10 @@ class TaggedProducer:
     sink_path: str
     checkpoint_base: str = "/tmp/lagom_kinesis_spark/producer_checkpoints"
     partition_key: Callable[[DataFrame], F.Column] | None = None
+    #: Optional explicit hash key (KinesisOutboundRecord.scala:5-9 carries
+    #: ``explicitHashKey: Option[String]`` — overrides the partition-key
+    #: hash for shard routing). None → null column, the Option.empty case.
+    explicit_hash_key: Callable[[DataFrame], F.Column] | None = None
     #: at-least-once (reference semantics, append) vs exactly-once
     #: (epoch-keyed overwrite: a replayed batch rewrites its own epoch dir,
     #: so crash-between-write-and-commit cannot duplicate).
@@ -261,9 +270,15 @@ class TaggedProducer:
             if self.partition_key
             else F.xxhash64(F.to_json(F.struct(*df.columns))).cast("string")
         )
+        ehk = (
+            self.explicit_hash_key(df)
+            if self.explicit_hash_key
+            else F.lit(None).cast("string")
+        )
         return df.select(
             F.to_json(F.struct(*df.columns)).cast("binary").alias("value"),
             pk.alias("partition_key"),
+            ehk.alias("explicit_hash_key"),
         )
 
     def run(self) -> None:
@@ -306,11 +321,82 @@ class TaggedProducer:
             q.stop()
 
 
+@dataclass(frozen=True)
+class TopicProducerSpec:
+    """Declarative producer descriptor — one row of the registration sweep
+    (the analogue of a Lagom service's ``TopicProducer`` declaration that
+    ``ScaladslRegisterTopicProducers.scala:33-101`` reflects over)."""
+
+    topic_name: str
+    journal_path: str
+    journal_schema: str
+    sink_path: str
+    partition_key: Callable[[DataFrame], F.Column] | None = None
+    explicit_hash_key: Callable[[DataFrame], F.Column] | None = None
+    exactly_once: bool = False
+
+
+def register_topic_producers(
+    spark: SparkSession,
+    specs: list[TopicProducerSpec],
+    checkpoint_base: str = "/tmp/lagom_kinesis_spark/producer_checkpoints",
+) -> dict[str, TaggedProducer]:
+    """Wire N topic producers from declarative specs in one sweep
+    (ScaladslRegisterTopicProducers.scala:33-101: iterate the service's
+    topic descriptors, resolve each to its journal + serializer + transport,
+    fail fast on duplicates). Returns producers keyed by topic name."""
+    producers: dict[str, TaggedProducer] = {}
+    for spec in specs:
+        if spec.topic_name in producers:
+            raise ValueError(f"duplicate topic producer: {spec.topic_name}")
+        producers[spec.topic_name] = TaggedProducer(
+            spark=spark,
+            journal_path=spec.journal_path,
+            journal_schema=spec.journal_schema,
+            topic_name=spec.topic_name,
+            sink_path=spec.sink_path,
+            checkpoint_base=checkpoint_base,
+            partition_key=spec.partition_key,
+            explicit_hash_key=spec.explicit_hash_key,
+            exactly_once=spec.exactly_once,
+        )
+    return producers
+
+
+def run_topic_producers(producers: dict[str, TaggedProducer]) -> None:
+    """Publish all available journal entries for every registered producer
+    (each with its own checkpoint namespace, so progress is per-topic)."""
+    for p in producers.values():
+        p.run()
+
+
+#: Memory-sink tables from prior calls, dropped lazily at the NEXT call —
+#: the previous query's returned table must stay readable until its caller
+#: consumes it, so cleanup is one call behind (same pattern as the registry's
+#: clearCache-at-start). Keeps long suites from accumulating sink rows.
+_prior_sinks: list[str] = []
+
+#: Streaming shuffle/state partitions for the bounded-replay harness. The
+#: number of state-store instances per stateful op == shuffle partitions at
+#: query start; fixture replays are single-batch and small, so 8 keeps state
+#: provider count (and per-query setup) low. A production continuous job
+#: sizes this to cluster cores like any other shuffle.
+_STREAM_SHUFFLE_PARTITIONS = "8"
+
+
 def memory_sink_table(df: DataFrame, output_mode: str = "append") -> DataFrame:
     """Run a (bounded) streaming DataFrame to completion into a memory sink
     and return the result table — the harness device for batch-equivalence
     oracles (SURVEY.md §5.2 layer 2)."""
+    spark = df.sparkSession
+    while _prior_sinks:
+        try:
+            spark.catalog.dropTempView(_prior_sinks.pop())
+        except Exception:
+            pass
     name = f"ms_{uuid.uuid4().hex[:12]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS)
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -322,4 +408,23 @@ def memory_sink_table(df: DataFrame, output_mode: str = "append") -> DataFrame:
         q.awaitTermination()
     finally:
         q.stop()
-    return df.sparkSession.table(name)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        _unload_state_stores(spark)
+    _prior_sinks.append(name)
+    return spark.table(name)
+
+
+def _unload_state_stores(spark: SparkSession) -> None:
+    """Unload HDFS-backed state-store providers after a bounded replay.
+
+    Each streaming query loads one provider per (stateful op × partition)
+    into a process-global registry that holds the state maps in memory;
+    short-lived harness queries never reuse them (fresh checkpoint each
+    run), so without an explicit stop a long suite accumulates hundreds of
+    providers — unbounded executor-memory growth. Maintenance threads
+    restart lazily on the next streaming query, so this is safe to call
+    between queries."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()  # noqa: SLF001
+    except Exception:
+        pass  # diagnostic-only cleanup — never fail a query over it

@@ -39,6 +39,23 @@ def test_topk_uses_take_ordered_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_text_top_tokens_uses_take_ordered(spark):
+    """The vocabulary top-50 must be per-partition heaps + driver merge
+    (TakeOrderedAndProject), never a single-partition global window over
+    the whole vocabulary — the 100×-scale killer flagged in round 1."""
+    plan = _plan(QS["text_top_tokens"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sim_topk_cosine_has_no_cartesian(spark):
+    """Brute-force cosine must be a map-only corpus scan (mapInPandas
+    against the broadcast query matrix) — no crossJoin materializing
+    |Q|×|corpus| rows before scoring."""
+    plan = _plan(QS["sim_topk_cosine"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "MapInPandas" in plan
+
+
 def test_aggregate_is_partial_then_final(spark):
     plan = _plan(QS["agg_pricing_summary"].fn(spark, SF_DIR))
     # Two HashAggregate nodes (partial + final) around one exchange.

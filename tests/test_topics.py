@@ -182,7 +182,9 @@ def test_producer_publish_and_replay_from_offset(spark, tmp_path):
     prod.run()
     out = spark.read.parquet(sink)
     assert out.count() == 100
-    assert set(out.columns) == {"value", "partition_key"}
+    assert set(out.columns) == {"value", "partition_key", "explicit_hash_key"}
+    # no explicit hash key strategy ⇒ Option.empty ⇒ null column
+    assert out.filter(F.col("explicit_hash_key").isNotNull()).count() == 0
     # payloads deserialize back to the journal rows
     decoded = out.select(
         F.from_json(F.col("value").cast("string"), "entity_id long, shard_key long, event string").alias("j")
@@ -246,6 +248,110 @@ def test_backoff_parameters():
     assert sleeps[-1] <= 30.0
     for a, b in zip(sleeps, sleeps[1:]):
         assert b >= a * 0.99  # monotone growth up to the cap
+
+
+def test_at_most_once_staging_retry_is_idempotent(topic, tmp_path):
+    """Crash in the stage-retry window: the staging write lands but the
+    streaming checkpoint does not commit, so the SAME epoch_id is replayed.
+    The per-epoch overwrite must rewrite (not append) the staged records —
+    otherwise the single processing attempt would deliver every record
+    twice, violating commit-before-process 'never dupes'."""
+    staging = str(tmp_path / "staging_retry")
+    spark = topic.spark
+    n = _n_events()
+
+    sub = topic.subscribe("amo-retry-a")
+    sub.at_most_once(lambda df, e: None, staging_dir=staging)
+    assert spark.read.parquet(staging).count() == n
+
+    # Simulated crash before checkpoint commit: a fresh group replays the
+    # same data as epoch 0 into the SAME staging dir.
+    processed = []
+    sub2 = topic.subscribe("amo-retry-b")
+    errors = sub2.at_most_once(
+        lambda df, e: processed.append(df.count()), staging_dir=staging
+    )
+    assert errors == []
+    assert spark.read.parquet(staging).count() == n  # rewritten, not doubled
+    assert sum(processed) == 0  # _DONE_ marker: one attempt per epoch, ever
+
+
+def test_producer_explicit_hash_key_roundtrip(spark, tmp_path):
+    """User-supplied explicit hash key (KinesisOutboundRecord.scala:5-9)
+    rides the outbound record alongside the partition key."""
+    journal = str(tmp_path / "jehk")
+    sink = str(tmp_path / "sehk")
+    spark.range(20).select(F.col("id").alias("x")).write.parquet(journal)
+    prod = TaggedProducer(
+        spark=spark,
+        journal_path=journal,
+        journal_schema="x long",
+        topic_name="tehk",
+        sink_path=sink,
+        checkpoint_base=str(tmp_path / "cehk"),
+        partition_key=lambda df: F.col("x").cast("string"),
+        explicit_hash_key=lambda df: (F.col("x") * 1000).cast("string"),
+    )
+    prod.run()
+    out = spark.read.parquet(sink)
+    got = {
+        (r["partition_key"], r["explicit_hash_key"])
+        for r in out.select("partition_key", "explicit_hash_key").collect()
+    }
+    assert got == {(str(i), str(i * 1000)) for i in range(20)}
+
+
+def test_kinesis_source_config_wiring(spark):
+    """Production path type-checked end to end: KinesisSourceConfig options
+    feed Topic(source_format='kinesis'); without the connector jar the
+    stream fails with the connector-missing error, not a config error."""
+    from lagom_kinesis_spark.streaming.config import KinesisSourceConfig
+
+    cfg = KinesisSourceConfig(stream_name="events", region="us-east-1")
+    t = Topic(
+        name="events-kinesis",
+        schema="",  # connector supplies the record schema
+        spark=spark,
+        source_format="kinesis",
+        source_options=cfg.source_options(),
+    )
+    with pytest.raises(Exception) as ei:
+        t.stream()
+    msg = str(ei.value)
+    assert "kinesis" in msg.lower()  # clean 'data source not found', not a crash
+
+
+def test_register_topic_producers_sweep(spark, tmp_path):
+    """Multi-topic registration sweep (ScaladslRegisterTopicProducers
+    analogue): N declarative specs wired and run in one loop, each with its
+    own checkpoint namespace and sink."""
+    from lagom_kinesis_spark.streaming.topics import (
+        TopicProducerSpec,
+        register_topic_producers,
+        run_topic_producers,
+    )
+
+    specs = []
+    for name, rows in (("orders-topic", 30), ("users-topic", 40)):
+        journal = str(tmp_path / f"j_{name}")
+        spark.range(rows).select(F.col("id").alias("x")).write.parquet(journal)
+        specs.append(
+            TopicProducerSpec(
+                topic_name=name,
+                journal_path=journal,
+                journal_schema="x long",
+                sink_path=str(tmp_path / f"s_{name}"),
+            )
+        )
+    producers = register_topic_producers(
+        spark, specs, checkpoint_base=str(tmp_path / "sweep_ckpt")
+    )
+    assert set(producers) == {"orders-topic", "users-topic"}
+    run_topic_producers(producers)
+    assert spark.read.parquet(str(tmp_path / "s_orders-topic")).count() == 30
+    assert spark.read.parquet(str(tmp_path / "s_users-topic")).count() == 40
+    with pytest.raises(ValueError):
+        register_topic_producers(spark, specs + [specs[0]])
 
 
 def test_producer_exactly_once_epoch_idempotence(spark, tmp_path):
