@@ -2,6 +2,7 @@ from lagom_kinesis_spark.functions.helpers import (  # noqa: F401
     EVENTS_US_SQL,
     dec,
     events_cte,
+    fan_out,
     money,
     money_sum_sql,
     r6,

@@ -49,6 +49,24 @@ def let(bound: Column, body) -> Column:
     return F.element_at(F.transform(F.array(bound), body), 1)
 
 
+def fan_out(df, min_factor: int = 1):
+    """Repartition a scan up to the session's core count when the source
+    yields fewer splits than cores.
+
+    Compute-heavy per-row operators (shingling, hashing, tokenization) are
+    CPU-bound, not IO-bound: a small compressed text file arrives as ONE
+    input split, serializing the expensive map work on a single core. The
+    shuffle this adds moves only the raw input (cheap at the scale where
+    the condition triggers); on a real cluster reading many splits the
+    condition is false and this is a no-op.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism * min_factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def dec(c: Column | str, scale: int = 2, precision: int = 18) -> Column:
     c = F.col(c) if isinstance(c, str) else c
     return c.cast(f"decimal({precision},{scale})")

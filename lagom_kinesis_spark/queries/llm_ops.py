@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from lagom_kinesis_spark.catalog import load
-from lagom_kinesis_spark.functions import r6
+from lagom_kinesis_spark.functions import fan_out, r6
 from lagom_kinesis_spark.operators import multimodal
 from lagom_kinesis_spark.operators.similarity import (
     cosine_pandas,
@@ -122,7 +122,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     then exact Jaccard verification within candidates only.
     tests/test_operators.py asserts every high-Jaccard pair from the exact
     sample is recalled by LSH."""
-    d = load(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"))
     sh = d.select("doc_id", shingles(tokens("text")).alias("sh")).filter(
         F.size("sh") > 0
     )
@@ -147,7 +147,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit signatures, banded into 4×16-bit keys for
     candidate generation (a pair within Hamming distance 3 shares ≥1 band),
     verified by popcount(xor) ≤ 3. Signature computation is map-only."""
-    d = load(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"))
     sigs = simhash_signatures(d, "doc_id", tokens("text"))
     # One pass for all 4 band keys (explode, not union — a union would
     # recompute the signature aggregation per band per join side).

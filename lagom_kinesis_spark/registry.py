@@ -36,6 +36,26 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
+#: Queries executed since the last driver-side JVM GC nudge (see wrapped()).
+_calls_since_gc = 0
+
+
+def _periodic_gc(spark: SparkSession, every: int = 16) -> None:
+    """Nudge the JVM GC every ``every`` queries in a long single-session
+    sweep. Spark's ContextCleaner only reclaims dead broadcasts / shuffle
+    files / accumulators after a driver GC discovers the dead references —
+    with a large heap and mostly-small queries, organic GCs are rare and
+    JVM-side state accumulates across a 100+ query run (the round-1
+    mid-suite degradation). Cost: ~0.1-0.3 s per nudge, amortized."""
+    global _calls_since_gc
+    _calls_since_gc += 1
+    if _calls_since_gc >= every:
+        _calls_since_gc = 0
+        try:
+            spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+        except Exception:
+            pass
+
 
 def register(
     name: str, oracle: str | None = None, tags: tuple[str, ...] = (), doc: str = ""
@@ -55,6 +75,7 @@ def register(
                 spark.catalog.clearCache()
             except Exception:
                 pass
+            _periodic_gc(spark)
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__

@@ -1,0 +1,102 @@
+"""Simulate the driver's correctness gate: every registered query at sf0.01,
+Spark result vs DuckDB oracle, canonicalized like the driver (pandas
+sort_values over name-sorted columns + value hash), with per-query wall time.
+
+Usage: python scripts/gate_sim.py [sf_dir]  (default /root/testdata/sf0.01)
+Prints one line per query and a budget summary — the tool for keeping all
+116 queries inside the driver's check budget.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def canon_frame(pdf):
+    """Driver-style canonicalization: lowercase + name-sorted columns,
+    sort_values over everything, then a stable hash of the values."""
+    import pandas as pd  # noqa: F401
+
+    pdf = pdf.rename(columns={c: c.lower() for c in pdf.columns})
+    pdf = pdf[sorted(pdf.columns)]
+    pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+    return pdf
+
+
+def value_hash(pdf) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    for row in pdf.itertuples(index=False):
+        for v in row:
+            if isinstance(v, float):
+                v = round(v, 9)
+            h.update(repr(v).encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import duckdb
+
+    from lagom_kinesis_spark.catalog import TABLES
+    from lagom_kinesis_spark.registry import all_queries
+    from lagom_kinesis_spark.session import get_spark
+
+    spark = get_spark("gate-sim")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    results: dict[str, dict] = {}
+    t_all = time.time()
+    for name, q in all_queries().items():
+        t0 = time.time()
+        entry: dict = {}
+        try:
+            sdf = q.fn(spark, sf_dir)
+            spdf = sdf.toPandas()
+            if q.oracle is None:
+                entry = {"err": "no_oracle", "spark_rows": len(spdf)}
+            else:
+                dpdf = con.sql(q.oracle).df()
+                sc = canon_frame(spdf)
+                dc = canon_frame(dpdf)
+                entry = {
+                    "rows_match": len(sc) == len(dc),
+                    "schema_match": list(sc.columns) == list(dc.columns),
+                    "hash_match": value_hash(sc) == value_hash(dc),
+                    "spark_rows": len(sc),
+                    "oracle_rows": len(dc),
+                }
+        except Exception as e:  # noqa: BLE001
+            entry = {"err": f"{type(e).__name__}: {e}"[:300]}
+        entry["sec"] = round(time.time() - t0, 2)
+        results[name] = entry
+        ok = entry.get("hash_match")
+        flag = "PASS" if ok else ("rows-only" if entry.get("err") == "no_oracle" else "FAIL")
+        print(f"{flag:9s} {name:32s} {entry['sec']:6.2f}s", flush=True)
+
+    total = round(time.time() - t_all, 1)
+    n_pass = sum(1 for e in results.values() if e.get("hash_match"))
+    n_ro = sum(1 for e in results.values() if e.get("err") == "no_oracle")
+    n_fail = len(results) - n_pass - n_ro
+    print(f"\ntotal {total}s  queries={len(results)}  pass={n_pass} rows_only={n_ro} fail={n_fail}")
+    slow = sorted(results.items(), key=lambda kv: -kv[1]["sec"])[:10]
+    print("slowest:", [(k, v["sec"]) for k, v in slow])
+    with open("/tmp/gate_sim_results.json", "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
