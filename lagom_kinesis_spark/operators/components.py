@@ -27,9 +27,17 @@ def connected_components(
     """(id, cluster_id) for every node in ``pairs``; cluster_id = min node
     id of the component. Deterministic; fixpoint-checked each round."""
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # Materialize the edge list ONCE: every iteration joins against it, and
+    # without truncation each round would re-run the (potentially expensive)
+    # pair-generation plan upstream — e.g. an all-pairs Jaccard join —
+    # once per iteration.
+    edges = (
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

@@ -118,6 +118,48 @@ def batch_topk_cosine(
     )
 
 
+def batch_range_cosine(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    q_ids: list,
+    q_vecs: "np.ndarray",
+    tau: float,
+) -> DataFrame:
+    """Scored (q_id, vec_id, cos_sim) pairs with cosine ≥ tau − ε — range
+    search over the corpus against a broadcast query matrix.
+
+    Same map-only matmul shape as :func:`batch_topk_cosine`, but the
+    per-batch prune is the threshold itself (emitted with a small epsilon
+    so the final Spark-side round(...,6) ≥ tau comparison owns the
+    boundary). Output is |matches|, not |corpus|·|Q|."""
+    qm = np.asarray(q_vecs, dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qid_arr = np.asarray(q_ids, dtype=np.int64)
+    cutoff = tau - 1e-9
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf[vec_col].values).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            sims = Vn @ qn.T
+            ids = pdf[id_col].values
+            rows, cols = np.nonzero(sims >= cutoff)
+            yield pd.DataFrame(
+                {
+                    "q_id": qid_arr[cols],
+                    "vec_id": ids[rows],
+                    "cos_sim": sims[rows, cols],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        score, "q_id long, vec_id long, cos_sim double"
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + banded LSH over shingle arrays
 # ---------------------------------------------------------------------------

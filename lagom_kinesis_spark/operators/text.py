@@ -69,3 +69,62 @@ def jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+#: Rabin–Karp polynomial base/modulus for rolling-hash fingerprints.
+#: codepoint·B^(k-1)·k fits comfortably in int64 for k=8 and B=31, so the
+#: polynomial is exact integer math — bit-identical on any engine (no
+#: engine-specific hash function needed for the cross-check).
+RK_BASE = 31
+RK_MOD = 2_147_483_647  # 2^31 - 1
+
+
+def winnow_fingerprints(text: Column | str, k: int = 8, w: int = 4) -> Column:
+    """Winnowed rolling-hash fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): Rabin–Karp hash every k-char window of the
+    lowercased text — h = (Σ_j code_j · B^(k-1-j)) mod M — then keep the
+    minimum hash of each w-long hash window, distinct.
+
+    Entirely JVM higher-order expressions (map-only at any scale): the
+    codepoint array is let-bound and computed once, window hashes index
+    into it, winnowing is a min over slices. Documents shorter than
+    ``k + w - 1`` chars yield an empty fingerprint set."""
+    from lagom_kinesis_spark.functions.helpers import let
+
+    c = F.col(text) if isinstance(text, str) else text
+    lowered = F.lower(c)
+    weights = [RK_BASE ** (k - 1 - j) for j in range(k)]
+
+    def build_codes(s: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
+            lambda p: F.ascii(F.substring(s, p.cast("int"), 1)).cast("long"),
+        )
+
+    def build_fps(codes: Column) -> Column:
+        n = F.size(codes)
+        hashes = F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: (
+                sum(
+                    (
+                        F.element_at(codes, (i + j + 1).cast("int")) * F.lit(wt)
+                        for j, wt in enumerate(weights)
+                    ),
+                    F.lit(0).cast("long"),
+                )
+                % RK_MOD
+            ),
+        )
+        winnowed = let(
+            hashes,
+            lambda h: F.transform(
+                F.sequence(F.lit(1), F.size(h) - (w - 1)),
+                lambda i: F.array_min(F.slice(h, i.cast("int"), w)),
+            ),
+        )
+        return F.when(
+            n >= k + w - 1, F.array_distinct(winnowed)
+        ).otherwise(F.array().cast("array<long>"))
+
+    return let(lowered, lambda s: let(build_codes(s), build_fps))

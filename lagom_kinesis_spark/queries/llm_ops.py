@@ -23,11 +23,14 @@ from lagom_kinesis_spark.operators.similarity import (
 )
 from lagom_kinesis_spark.operators.text import (
     LANG_MARKERS,
+    RK_BASE,
+    RK_MOD,
     STOPWORDS,
     fingerprint,
     jaccard,
     shingles,
     tokens,
+    winnow_fingerprints,
 )
 from lagom_kinesis_spark.registry import register
 
@@ -102,7 +105,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard pairs (≥0.3) over a 1/2 sample — the
     correctness oracle for near-dup detection. All-pairs is O(n²): only ever
     run on samples; the full-corpus path is dedup_minhash_lsh."""
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    d = fan_out(load(spark, sf_dir, "documents")).filter(F.col("doc_id") % 2 == 0)
     sub = d.select("doc_id", shingles(tokens("text")).alias("sh"))
     a = sub.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sub.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -557,7 +560,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     1/10 sample with the threshold applied to the ROUNDED cosine on both
     engines (no boundary flips). The full-corpus path is the same verify
     step fed by sim_ann_lsh-style bucket candidates instead of all pairs."""
-    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    e = fan_out(load(spark, sf_dir, "embeddings")).filter(F.col("vec_id") % 10 == 0)
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     return (
@@ -654,7 +657,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs into the same component operator."""
     from lagom_kinesis_spark.operators.components import connected_components
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    d = fan_out(load(spark, sf_dir, "documents")).filter(F.col("doc_id") % 2 == 0)
     sub = d.select("doc_id", shingles(tokens("text")).alias("sh"))
     a = sub.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sub.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -738,4 +741,87 @@ def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_tokens"),
             r6(F.avg("ttr")).alias("avg_ttr"),
         )
+    )
+
+
+@register(
+    "sim_range_search",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 3)
+    SELECT q.q_id, e.vec_id,
+           round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM q CROSS JOIN embeddings e
+    WHERE round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) >= 0.25
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine range search: every corpus vector within cosine >= 0.25 of a
+    (bounded, collected) query set — the radius-query sibling of
+    sim_topk_cosine, same map-only mapInPandas matmul shape; the threshold
+    is applied to the ROUNDED cosine on both engines so the boundary never
+    flips."""
+    import numpy as np
+
+    from lagom_kinesis_spark.operators.similarity import batch_range_cosine
+
+    e = load(spark, sf_dir, "embeddings")
+    qrows = (
+        e.filter(F.col("vec_id") < 3).select("vec_id", "embedding").collect()
+    )  # bounded query set, never the corpus
+    q_ids = [r["vec_id"] for r in qrows]
+    q_vecs = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    scored = batch_range_cosine(e, "vec_id", "embedding", q_ids, q_vecs, tau=0.25)
+    return scored.select(
+        "q_id", "vec_id", r6(F.col("cos_sim")).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= 0.25)
+
+
+@register(
+    "text_winnow_fingerprint",
+    oracle="""
+    WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+    codes AS (
+      SELECT doc_id, len(s) AS n,
+             list_transform(range(1, len(s)+1),
+                            p -> CAST(ord(substring(s, p, 1)) AS BIGINT)) AS cs
+      FROM t
+    ),
+    hashes AS (
+      SELECT doc_id, n,
+             CASE WHEN n >= 11 THEN
+               list_transform(range(0, n-8+1), i -> (cs[i+1]*27512614111 + cs[i+2]*887503681 + cs[i+3]*28629151 + cs[i+4]*923521 + cs[i+5]*29791 + cs[i+6]*961 + cs[i+7]*31 + cs[i+8]*1) % 2147483647)
+             ELSE [] END AS hs
+      FROM codes
+    ),
+    fps AS (
+      SELECT doc_id,
+             CASE WHEN n >= 11 THEN
+               list_distinct(list_transform(range(1, len(hs)-4+2),
+                             i -> list_min(list_slice(hs, i, i+4-1))))
+             ELSE [] END AS fp
+      FROM hashes
+    )
+    SELECT doc_id, len(fp) AS n_fp,
+           list_min(fp) AS min_fp, list_max(fp) AS max_fp
+    FROM fps
+    """,
+    tags=("llm", "text", "dedup"),
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via winnowed rolling hashes (MOSS,
+    Schleimer et al. 2003): Rabin-Karp polynomial over 8-char windows,
+    min-of-4 winnowing, distinct fingerprints per doc. The polynomial is
+    exact int64 arithmetic so Spark and DuckDB agree bit-for-bit — no
+    engine hash function involved. Map-only at any scale; grouping docs by
+    shared fingerprint is then one explode + shuffle (same shape as
+    dedup_fingerprint)."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    fp = winnow_fingerprints("text", k=8, w=4)
+    return d.select("doc_id", fp.alias("fp")).select(
+        "doc_id",
+        F.size("fp").alias("n_fp"),
+        F.array_min("fp").alias("min_fp"),
+        F.array_max("fp").alias("max_fp"),
     )

@@ -33,12 +33,25 @@ def canon_frame(pdf):
 def value_hash(pdf) -> str:
     import hashlib
 
+    import datetime as _dt
+
+    import numpy as np
+    import pandas as pd
+
     h = hashlib.sha256()
     for row in pdf.itertuples(index=False):
         for v in row:
             if isinstance(v, float):
-                v = round(v, 9)
-            h.update(repr(v).encode())
+                v = repr(round(v, 9))
+            elif isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+                v = str(int(v))
+            elif isinstance(v, (pd.Timestamp, _dt.datetime, _dt.date)):
+                # Spark dates arrive as datetime.date, DuckDB as datetime64 —
+                # same instant, different repr; compare on the ISO string.
+                v = str(pd.Timestamp(v))
+            else:
+                v = repr(v)
+            h.update(v.encode())
         h.update(b"\n")
     return h.hexdigest()
 

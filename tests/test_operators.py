@@ -106,10 +106,25 @@ def test_golden_lsh_pair_sets(spark):
     fixtures, so the pair sets are stable across runs/machines."""
     import hashlib
 
-    golden = {
-        "dedup_minhash_lsh": (28, "7d6e643b2347380cccd696dbdfe6f8e8"),
-        "dedup_simhash": (27, "793d1711ed5ce34c64e511cd3f1b09a9"),
+    # Pair sets are pure functions of the fixture CONTENT, which differs
+    # per scale factor (sf0.001 and sf0.01 both hold 500 docs but not the
+    # same docs) — pins are per-SF.
+    golden_by_sf = {
+        "sf0.001": {
+            "dedup_minhash_lsh": (28, "7d6e643b2347380cccd696dbdfe6f8e8"),
+            "dedup_simhash": (27, "793d1711ed5ce34c64e511cd3f1b09a9"),
+        },
+        "sf0.01": {
+            "dedup_minhash_lsh": (25, "68dfba100641afd2cc5a6a485fa22b66"),
+            "dedup_simhash": (17, "3430cb09951133cd81566574a27b8205"),
+        },
     }
+    sf_key = SF_DIR.rstrip("/").rsplit("/", 1)[-1]
+    if sf_key not in golden_by_sf:
+        import pytest as _pytest
+
+        _pytest.skip(f"no golden pins for {sf_key}")
+    golden = golden_by_sf[sf_key]
     for name, (n, digest) in golden.items():
         rows = sorted(tuple(r)[:2] for r in QS[name].fn(spark, SF_DIR).collect())
         assert len(rows) == n, f"{name}: {len(rows)} pairs (expected {n})"
