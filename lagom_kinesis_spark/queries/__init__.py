@@ -9,6 +9,7 @@ unverified block."""
 
 from lagom_kinesis_spark.queries import (  # noqa: F401
     analytics,
+    llm_pipeline,
     windows,
     relational,
     udf_ops,

@@ -1,0 +1,296 @@
+"""Training-data curation pipeline operators (driver mandate, LLM block):
+deterministic sampling & source mixing, benchmark decontamination,
+repetition filtering, PII masking, embedding quantization & centroids.
+
+These extend ``llm_ops.py``'s dedup/similarity/text family with the
+*pipeline-assembly* steps a 100 TB pretraining corpus build needs between
+dedup and tokenization. Every operator is engine-deterministic by
+construction (md5-prefix bucketing instead of rand(); exact integer /
+canonical-string outputs) so each carries a full DuckDB oracle.
+
+Scale notes:
+- sampling/mixing are map-only or per-source-partitioned windows — no
+  global ordering anywhere;
+- decontamination joins the corpus against a *broadcast* distinct n-gram
+  set of the (always comparatively tiny) benchmark suite;
+- embedding ops posexplode to (vec, dim) rows — 64× row inflation with
+  partial aggregation, which distributes evenly; no vector ever needs to
+  see another vector except through the (label, dim)-keyed centroid join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from lagom_kinesis_spark.catalog import load
+from lagom_kinesis_spark.functions import r6
+from lagom_kinesis_spark.registry import register
+
+
+def _md5_prefix(col: F.Column, n: int) -> F.Column:
+    """First ``n`` hex chars of md5(value-as-string) — an engine-agnostic
+    uniform hash bucket (DuckDB: ``substr(md5(CAST(x AS VARCHAR)), 1, n)``).
+    rand()/xxhash64 are engine- or seed-specific; md5 of the UTF-8 string
+    is bit-identical everywhere."""
+    return F.substring(F.md5(col.cast("string").cast("binary")), 1, n)
+
+
+@register(
+    "sample_stratified_hash",
+    oracle="""
+    WITH buckets AS (
+      SELECT lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE b < CASE WHEN lang = 'en' THEN '40' ELSE '80' END)
+             AS n_kept,
+           round(COUNT(*) FILTER (WHERE b < CASE WHEN lang = 'en' THEN '40' ELSE '80' END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS kept_share
+    FROM buckets GROUP BY lang
+    """,
+    tags=("llm", "pipeline", "sample"),
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training-mix construction:
+    keep a doc iff its md5(doc_id) prefix falls under the stratum's rate
+    (en: 0x40/0x100 = 25%, others 50%). Unlike ``sample()``/rand(), the
+    decision is a pure function of the row — reproducible across engines,
+    retries, and cluster sizes, and map-only at any scale."""
+    d = load(spark, sf_dir, "documents")
+    b = _md5_prefix(F.col("doc_id"), 2)
+    thresh = F.when(F.col("lang") == "en", F.lit("40")).otherwise(F.lit("80"))
+    kept = F.when(b < thresh, 1).otherwise(0)
+    return (
+        d.select("lang", kept.alias("k"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("k").alias("n_kept"),
+            r6(F.sum("k") / F.count("*").cast("double")).alias("kept_share"),
+        )
+    )
+
+
+@register(
+    "mix_source_quota",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, rn FROM ranked WHERE rn <= 12
+    """,
+    tags=("llm", "pipeline", "sample"),
+)
+def mix_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota mixing: each source contributes its top-12 docs
+    under a deterministic hash order — the data-mixing step that caps any
+    one crawl/source's share of the corpus. The window partitions by
+    source, so work distributes across sources; the hash order means the
+    sample is stable under re-runs and insertion order."""
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(_md5_prefix(F.col("doc_id"), 8), "doc_id")
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 12)
+    )
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               list_transform(generate_series(1, len(w) - 7),
+                              i -> array_to_string(w[i:i+7], ' ')))) AS g
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+    )
+    SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_shared_ngrams
+    FROM grams c
+    JOIN (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0) b ON c.g = b.g
+    WHERE c.doc_id % 50 <> 0
+    GROUP BY c.doc_id
+    """,
+    tags=("llm", "pipeline", "decontaminate"),
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any 8-gram with
+    the held-out set (here: doc_id % 50 == 0 stands in for the benchmark
+    suite). The benchmark's distinct 8-grams BROADCAST — eval suites are
+    MBs while the corpus is TBs — so the corpus side stays map-only:
+    shingle, hash-join against the broadcast set, partial-agg the count.
+    Spark's sequence() descends when end < start (unlike DuckDB's empty
+    generate_series), hence the explicit short-doc guard."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), " ")
+    grams_expr = F.when(
+        F.size(w) >= 8,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 7),
+                lambda i: F.array_join(F.slice(w, i, 8), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select("doc_id", F.explode(grams_expr).alias("g"))
+    bench = grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
+    corpus = grams.filter(F.col("doc_id") % 50 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared_ngrams"))
+    )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle="""
+    WITH wc AS (
+      SELECT doc_id, w, COUNT(*) AS n
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents)
+      GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           round(MAX(n) / CAST(SUM(n) AS DOUBLE), 6) AS top_word_share,
+           CASE WHEN MAX(n) / CAST(SUM(n) AS DOUBLE) > 0.08 THEN 1 ELSE 0 END
+             AS is_repetitive
+    FROM wc GROUP BY doc_id
+    """,
+    tags=("llm", "pipeline", "quality"),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: share of the document owned by its
+    most frequent word; docs above 8% get flagged. Two partial-combining
+    aggregations ((doc, word) then doc) — never a per-doc Python loop, and
+    the (doc_id, word) key is high-cardinality so it spreads evenly."""
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("n"))
+    )
+    share = F.max("n") / F.sum("n").cast("double")
+    return wc.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        r6(share).alias("top_word_share"),
+        F.when(share > 0.08, 1).otherwise(0).alias("is_repetitive"),
+    )
+
+
+@register(
+    "pii_mask_digits",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(length(props)
+                    - length(regexp_replace(props, '[0-9]+', '', 'g'))) AS BIGINT)
+             AS n_masked_chars,
+           COUNT(DISTINCT regexp_replace(props, '[0-9]+', '<NUM>', 'g'))
+             AS n_templates
+    FROM events GROUP BY event_type
+    """,
+    tags=("llm", "pipeline", "pii"),
+)
+def pii_mask_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style masking over the semi-structured props payload: replace
+    digit runs with a placeholder, count masked characters and surviving
+    distinct templates per event type. Map-only scan + one aggregation;
+    regexp stays JVM-side (no Python in the hot path)."""
+    e = load(spark, sf_dir, "events")
+    masked_empty = F.regexp_replace("props", "[0-9]+", "")
+    template = F.regexp_replace("props", "[0-9]+", "<NUM>")
+    return (
+        e.select(
+            "event_type",
+            (F.length("props") - F.length(masked_empty)).alias("m"),
+            template.alias("tpl"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("m").cast("bigint").alias("n_masked_chars"),
+            F.countDistinct("tpl").alias("n_templates"),
+        )
+    )
+
+
+@register(
+    "emb_quantize_int8",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id,
+             CAST(127 AS DOUBLE)
+               / CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+               AS scale,
+             embedding
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           to_json(list_transform(embedding,
+                                  x -> CAST(floor(x * scale + 0.5) AS INT)))
+             AS q_json
+    FROM scaled
+    """,
+    tags=("llm", "pipeline", "embedding"),
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (the storage /
+    ANN-memory compression step): per-vector scale = 127/max|x|, elements
+    rounded half-up. Map-only, JVM-side array ops; the quantized vector is
+    emitted as canonical JSON so the gate hash-compares it as a string.
+    float32→double promotion is exact on both engines, so floor(x*scale+.5)
+    is bit-identical."""
+    e = load(spark, sf_dir, "embeddings")
+    mx = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    scale = F.lit(127.0) / mx
+    q = F.transform("embedding", lambda x: F.floor(x * F.col("scale") + 0.5).cast("int"))
+    return (
+        e.select("vec_id", scale.alias("scale"), "embedding")
+        .select("vec_id", r6(F.col("scale")).alias("scale"), F.to_json(q).alias("q_json"))
+    )
+
+
+@register(
+    "emb_centroid_distance",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label,
+             unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos, AVG(v) AS c FROM ex GROUP BY label, pos
+    )
+    SELECT ex.vec_id,
+           round(sqrt(SUM((ex.v - cent.c) * (ex.v - cent.c))), 6) AS l2_to_centroid
+    FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+    GROUP BY ex.vec_id
+    """,
+    tags=("llm", "pipeline", "embedding"),
+)
+def emb_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid and each vector's L2 distance to it — the inner
+    step of k-means/IVF training and the standard embedding-drift check.
+    posexplode to (vec, dim) rows so the centroid is a plain partial-
+    combining AVG keyed by (label, dim); vectors re-join the
+    |labels|×64-row centroid table by broadcast. No pairwise anything."""
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
+    cent = ex.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    diff = F.col("v") - F.col("c")
+    return (
+        ex.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id")
+        .agg(r6(F.sqrt(F.sum(diff * diff))).alias("l2_to_centroid"))
+    )
