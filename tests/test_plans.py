@@ -68,6 +68,32 @@ def test_semi_join_planned_as_semi(spark):
     assert "LeftSemi" in plan
 
 
+def test_analytics_dims_broadcast_no_nested_loop(spark):
+    """The TPC-H-adapted suite must broadcast every dimension and keep the
+    single fact-fact shuffle: no SortMergeJoin against nation/supplier/
+    part, no nested-loop anywhere."""
+    for name in ("q_volume_shipping", "q_market_share", "q_product_type_profit"):
+        plan = _plan(QS[name].fn(spark, SF_DIR))
+        assert plan.count("BroadcastHashJoin") >= 2, name
+        assert "BroadcastNestedLoop" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_top_supplier_has_no_global_window(spark):
+    """Q15's global max must reduce+broadcast, not sort or window the
+    per-supplier aggregate into one partition."""
+    plan = _plan(QS["q_top_supplier"].fn(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "GlobalLimit" not in plan or "TakeOrderedAndProject" in plan
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark):
+    """The benchmark n-gram set must be the broadcast side; the corpus
+    side must never shuffle on the n-gram key."""
+    plan = _plan(QS["decontaminate_ngram_overlap"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
 def test_whole_stage_codegen_covers_flagship(spark):
     df = QS["flagship_revenue_by_nation"].fn(spark, SF_DIR)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
