@@ -542,7 +542,7 @@ def q_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                       AND o_orderdate >= TIMESTAMP '1999-01-01')
     GROUP BY n_name
     """,
-    tags=("analytics", "anti-join", "agg"),
+    tags=("analytics", "anti-join", "agg", "theta"),
 )
 def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: well-funded customers gone quiet — above-average
