@@ -529,6 +529,43 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_corpus_dedup",
+    oracle="""
+    SELECT lang,
+           COUNT(DISTINCT md5(text)) AS n_unique_docs,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+    tags=("streaming", "llm", "dedup"),
+)
+def stream_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup for the training-corpus pipeline: documents
+    arrive as a stream (at-least-once transport ⇒ content re-deliveries),
+    dedup on md5(text) state, count unique vs raw per language. The LLM
+    exact-dedup operator in its streaming form — state is keyed by the
+    content hash, so at scale the dedup state shuffles evenly and a
+    watermark on ingest time would bound it (the bounded fixture replay
+    needs none)."""
+    tune(spark)
+    raw = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(stream_dir(sf_dir, "documents"))
+    deduped = (
+        raw.withColumn("h", F.md5(F.col("text").cast("binary")))
+        .dropDuplicates(["h"])
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_unique_docs"))
+    )
+    totals = raw.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    # Two stateful branches of one source joined at the sink would need
+    # multi-watermark complete-mode support; run them as two bounded
+    # replays into memory sinks and join the (|langs|-sized) results.
+    left = memory_sink_table(deduped, "complete")
+    right = memory_sink_table(totals, "complete")
+    return left.join(right, "lang")
+
+
+@register(
     "stream_chained_windows",
     oracle=events_cte(
         """
