@@ -225,6 +225,79 @@ def pii_mask_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_word_entropy",
+    oracle="""
+    WITH wc AS (
+      SELECT doc_id, w, COUNT(*) AS n
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents)
+      GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           round(ln(CAST(SUM(n) AS DOUBLE))
+                 - SUM(n * ln(CAST(n AS DOUBLE))) / CAST(SUM(n) AS DOUBLE), 6)
+             AS word_entropy
+    FROM wc GROUP BY doc_id
+    """,
+    tags=("llm", "pipeline", "quality"),
+)
+def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram entropy per document (perplexity-proxy quality signal; low
+    entropy ⇒ repetitive/templated text). Uses the H = ln N − Σ n·ln n / N
+    identity so ONE partial-combining aggregation pass computes it — no
+    per-doc normalization join."""
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("n"))
+    )
+    n_d = F.col("n").cast("double")
+    return wc.groupBy("doc_id").agg(
+        r6(
+            F.log(F.sum("n").cast("double"))
+            - F.sum(n_d * F.log(n_d)) / F.sum("n").cast("double")
+        ).alias("word_entropy")
+    )
+
+
+@register(
+    "text_length_outliers",
+    oracle="""
+    WITH p AS (
+      SELECT lang,
+             quantile_cont(n_chars, 0.05) AS p05,
+             quantile_cont(n_chars, 0.95) AS p95
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang,
+           COUNT(*) FILTER (WHERE n_chars < p05 OR n_chars > p95) AS n_outliers,
+           COUNT(*) AS n_docs
+    FROM documents d JOIN p ON d.lang = p.lang
+    GROUP BY d.lang
+    """,
+    tags=("llm", "pipeline", "quality"),
+)
+def text_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-percentile outlier filter per language: docs outside their
+    language's exact [p05, p95] n_chars band (the truncation/boilerplate
+    heuristic). The per-lang percentile table is |langs| rows — broadcast
+    back; at scale the exact percentile would swap for percentile_approx
+    with the identical plan shape."""
+    d = load(spark, sf_dir, "documents")
+    p = d.groupBy(F.col("lang").alias("p_lang")).agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("p05"),
+        F.percentile("n_chars", F.lit(0.95)).alias("p95"),
+    )
+    out = F.when((F.col("n_chars") < F.col("p05")) | (F.col("n_chars") > F.col("p95")), 1).otherwise(0)
+    return (
+        d.join(F.broadcast(p), d.lang == F.col("p_lang"))
+        .groupBy("lang")
+        .agg(F.sum(out).alias("n_outliers"), F.count("*").alias("n_docs"))
+    )
+
+
+@register(
     "emb_quantize_int8",
     oracle="""
     WITH scaled AS (
