@@ -566,6 +566,67 @@ def stream_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kinesis_sim_roundtrip",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_records, COUNT(DISTINCT shard) AS n_shards
+    FROM (
+      SELECT lang,
+             CAST(('0x' || substr(md5(lang), 1, 8)) AS BIGINT) % 4 AS shard
+      FROM documents
+    )
+    GROUP BY lang
+    """,
+    tags=("streaming", "source", "kinesis"),
+)
+def kinesis_sim_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full transport round-trip over the kinesis_sim Python DataSource:
+    publish every document as a (json, partition_key=lang) record via the
+    KPL-analogue ``put_records``, scan it back with
+    ``format("kinesis_sim")`` (one input partition per shard — the KCL
+    lease model), decode, and aggregate. The oracle recomputes the
+    md5-ring shard routing in SQL, so the check covers payload fidelity
+    AND the same-key→same-shard contract. Harness-scale publish happens
+    driver-side; production publishing is the distributed TaggedProducer."""
+    import json as _json
+    import shutil as _shutil
+
+    import pyarrow.parquet as _pq
+
+    from lagom_kinesis_spark.catalog import path_of
+    from lagom_kinesis_spark.sources import KinesisSimDataSource, put_records
+
+    tune(spark)
+    try:
+        spark.dataSource.register(KinesisSimDataSource)
+    except Exception:
+        pass  # already registered in this session
+    d = f"/tmp/lagom_kinesis_spark/ksim/{abs(hash(sf_dir)) % 10**8}_docs"
+    _shutil.rmtree(d, ignore_errors=True)
+    tbl = _pq.read_table(path_of(sf_dir, "documents"), columns=["doc_id", "lang"])
+    put_records(
+        d,
+        [
+            (_json.dumps({"doc_id": i, "lang": lang}), lang)
+            for i, lang in zip(
+                tbl["doc_id"].to_pylist(), tbl["lang"].to_pylist()
+            )
+        ],
+        n_shards=4,
+    )
+    rec = spark.read.format("kinesis_sim").option("path", d).load()
+    return (
+        rec.select(
+            F.get_json_object("data", "$.lang").alias("lang"), "shard_id"
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.countDistinct("shard_id").alias("n_shards"),
+        )
+    )
+
+
+@register(
     "stream_chained_windows",
     oracle=events_cte(
         """

@@ -1,0 +1,201 @@
+"""`kinesis_sim` — a Spark 4 Python DataSource with Kinesis semantics.
+
+The reference consumes real Kinesis through the KCL
+(`KinesisSubscriberActor.scala:176-207`: one lease per shard, per-shard
+ordering, TRIM_HORIZON replay, checkpointed progress). No AWS exists in
+this environment, so the transport contract is proven on a faithful local
+simulator instead — not a mock of our own consumer, but a real pluggable
+``spark.read/readStream.format("kinesis_sim")`` source going through
+Spark's public DataSource V2 Python API:
+
+- a *stream* is a directory of ``shard-NNNNN/`` subdirs of append-only
+  jsonl files; a *record* is ``(data, partition_key, sequence_number,
+  shard_id)``;
+- ``put_records`` is the KPL-analogue: routes each record to
+  ``shard_for(partition_key)`` (md5-based, engine-reproducible) and
+  assigns the next per-shard sequence number — same partition key ⇒ same
+  shard ⇒ strictly ordered, exactly Kinesis's guarantee
+  (`Producer.scala:217-250` relies on the same property);
+- batch read = TRIM_HORIZON full replay, one InputPartition per shard
+  (the KCL's lease-per-shard parallelism);
+- stream read exposes per-shard sequence offsets: ``initialOffset`` is
+  zeros (TRIM_HORIZON, `KinesisSubscriberActor.scala:193`) or the current
+  tip (LATEST); Structured Streaming's checkpoint persists the offsets —
+  the DynamoDB lease-table analogue (R17) — so a restarted query resumes
+  where it left off.
+
+Scale note: one input partition per shard is exactly Kinesis's
+parallelism model; resharding = more shard dirs. Record files are read
+sequentially per shard — the per-shard order IS the contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+SCHEMA = (
+    "data string, partition_key string, sequence_number bigint, shard_id string"
+)
+
+
+def shard_for(partition_key: str, n_shards: int) -> int:
+    """md5-based shard routing: deterministic, engine-reproducible (the
+    simulator's MD5-of-key stand-in for Kinesis's MD5 hash-key ring)."""
+    return int(hashlib.md5(partition_key.encode()).hexdigest()[:8], 16) % n_shards
+
+
+def _shard_name(i: int) -> str:
+    return f"shard-{i:05d}"
+
+
+def _shard_file(stream_dir: str, i: int) -> str:
+    return os.path.join(stream_dir, _shard_name(i), "records.jsonl")
+
+
+def put_records(
+    stream_dir: str, records: list[tuple[str, str]], n_shards: int = 4
+) -> dict[str, int]:
+    """Append (data, partition_key) records — the KPL-analogue producer.
+    Returns the per-shard tip (record count) after the put."""
+    buckets: dict[int, list[str]] = {}
+    for data, pk in records:
+        buckets.setdefault(shard_for(pk, n_shards), []).append(
+            json.dumps({"data": data, "partition_key": pk})
+        )
+    tips: dict[str, int] = {}
+    for i in range(n_shards):
+        path = _shard_file(stream_dir, i)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        lines = buckets.get(i, [])
+        if lines:
+            with open(path, "a") as f:
+                f.write("\n".join(lines) + "\n")
+        tips[_shard_name(i)] = _count_records(path)
+    return tips
+
+
+def _count_records(path: str) -> int:
+    if not os.path.exists(path):
+        return 0
+    with open(path) as f:
+        return sum(1 for ln in f if ln.strip())
+
+
+def _shards_of(stream_dir: str) -> list[str]:
+    if not os.path.isdir(stream_dir):
+        return []
+    return sorted(d for d in os.listdir(stream_dir) if d.startswith("shard-"))
+
+
+def _read_shard(
+    stream_dir: str, shard: str, start: int, end: int | None
+) -> Iterator[tuple]:
+    """Rows of one shard with sequence numbers in [start, end)."""
+    path = os.path.join(stream_dir, shard, "records.jsonl")
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        seq = 0
+        for ln in f:
+            if not ln.strip():
+                continue
+            if seq >= start and (end is None or seq < end):
+                rec = json.loads(ln)
+                yield (rec["data"], rec["partition_key"], seq, shard)
+            seq += 1
+            if end is not None and seq >= end:
+                break
+
+
+class _ShardPartition(InputPartition):
+    def __init__(self, shard: str, start: int, end: int | None):
+        self.shard = shard
+        self.start = start
+        self.end = end
+
+
+class _BatchReader(DataSourceReader):
+    """TRIM_HORIZON full replay; one partition per shard (lease model)."""
+
+    def __init__(self, options):
+        self.stream_dir = options["path"]
+
+    def partitions(self):
+        return [_ShardPartition(s, 0, None) for s in _shards_of(self.stream_dir)] or [
+            _ShardPartition(_shard_name(0), 0, 0)
+        ]
+
+    def read(self, partition: _ShardPartition):
+        yield from _read_shard(
+            self.stream_dir, partition.shard, partition.start, partition.end
+        )
+
+
+class _StreamReader(DataSourceStreamReader):
+    """Per-shard sequence offsets, checkpoint-persisted by Spark (R17)."""
+
+    def __init__(self, options):
+        self.stream_dir = options["path"]
+        self.starting = options.get("startingposition", "TRIM_HORIZON").upper()
+
+    def _tips(self) -> dict[str, int]:
+        return {
+            s: _count_records(os.path.join(self.stream_dir, s, "records.jsonl"))
+            for s in _shards_of(self.stream_dir)
+        }
+
+    def initialOffset(self) -> dict:
+        if self.starting == "LATEST":
+            return self._tips()
+        return {s: 0 for s in _shards_of(self.stream_dir)}
+
+    def latestOffset(self) -> dict:
+        return self._tips()
+
+    def partitions(self, start: dict, end: dict):
+        parts = []
+        for shard, tip in end.items():
+            lo = int(start.get(shard, 0))
+            if tip > lo:
+                parts.append(_ShardPartition(shard, lo, int(tip)))
+        return parts or [_ShardPartition(_shard_name(0), 0, 0)]
+
+    def read(self, partition: _ShardPartition):
+        yield from _read_shard(
+            self.stream_dir, partition.shard, partition.start, partition.end
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # progress lives in the Structured Streaming checkpoint (R17)
+
+    def stop(self) -> None:
+        pass
+
+
+class KinesisSimDataSource(DataSource):
+    """``spark.read.format("kinesis_sim").option("path", dir)`` — register
+    with ``spark.dataSource.register(KinesisSimDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kinesis_sim"
+
+    def schema(self) -> str | StructType:
+        return SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return _BatchReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _StreamReader(self.options)
