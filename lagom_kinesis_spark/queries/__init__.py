@@ -8,6 +8,7 @@ with the streaming family (highest per-query spin-up cost) last within the
 unverified block."""
 
 from lagom_kinesis_spark.queries import (  # noqa: F401
+    timeseries,
     analytics,
     llm_pipeline,
     windows,

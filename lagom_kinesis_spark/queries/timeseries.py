@@ -1,0 +1,273 @@
+"""Time-series operators: hypertable-style bucket rollups, gap-fill with
+LOCF interpolation, OHLC resampling, and gap-based sessionization.
+
+The reference is a stream transport (SURVEY.md §2A) whose payloads are
+time-ordered event streams; this module is the *at-rest* analytical
+counterpart a consumer of those streams needs — the continuous-aggregate /
+time_bucket surface popularized by TimescaleDB and KDB-style resamplers,
+re-expressed as Catalyst-friendly DataFrame plans.
+
+Scale notes:
+- every bucket aggregation is a hash aggregate keyed on
+  (series, bucket) — map-side partial combine, one shuffle, no windows
+  over raw rows;
+- the gap-fill grid is generated per-series from its [min, max] bucket
+  bounds (`sequence` + `explode`), so grid size is bounded by the time
+  range — never by row count — and joins back on the (series, bucket)
+  key it was aggregated on;
+- LOCF uses a running window over *bucketed* rows (cardinality =
+  series × buckets, already reduced ~1000× from raw events); partitioning
+  is per-series so a 100 TB corpus with millions of series spreads evenly
+  (the fixture's 5 event_types are the worst case, not the design);
+- OHLC open/close use `min_by`/`max_by` over a (ts, tiebreak) struct —
+  single-pass partial aggregation, not a row_number sort;
+- sessionization is the classic lag-gap-cumsum plan: two window passes
+  over per-user partitions, then one hash aggregate. No global ordering
+  anywhere.
+
+Money/float discipline per ``functions/helpers.py``: events.value is
+exact at 2 decimals, so sums accumulate in DECIMAL(18,2) on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from lagom_kinesis_spark.catalog import load
+from lagom_kinesis_spark.functions import dec, events_cte, money, r6
+from lagom_kinesis_spark.registry import register
+
+#: 5-minute bucket — Spark `window(ts, '5 minutes').start` and DuckDB
+#: `time_bucket(INTERVAL '5 minutes', ts)` both align to the Unix epoch
+#: (DuckDB's 2000-01-01 origin is a multiple of 300 s past the epoch),
+#: so bucket boundaries are bit-identical across engines.
+_BUCKET_5M = "time_bucket(INTERVAL '5 minutes', ts)"
+_BUCKET_15M = "time_bucket(INTERVAL '15 minutes', ts)"
+
+
+@register(
+    "ts_gapfill_locf",
+    oracle=events_cte(
+        f"""
+    , agg AS (
+      SELECT event_type, {_BUCKET_5M} AS bucket,
+             round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS bucket_sum
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM agg GROUP BY 1),
+    grid AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 5 MINUTE)) AS bucket
+      FROM bounds
+    ),
+    j AS (
+      SELECT g.event_type, g.bucket, a.bucket_sum
+      FROM grid g LEFT JOIN agg a ON g.event_type = a.event_type AND g.bucket = a.bucket
+    )
+    SELECT event_type, bucket,
+           (bucket_sum IS NOT NULL) AS observed,
+           last_value(bucket_sum IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+    FROM j
+    """
+    ),
+    tags=("timeseries", "window"),
+)
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled 5-minute rollup with last-observation-carried-forward:
+    aggregate per (event_type, bucket), densify each series over its own
+    [min, max] bucket range, and fill holes with the previous observed
+    value — the TimescaleDB ``time_bucket_gapfill`` + ``locf`` contract.
+
+    The grid is generated from per-series *bounds* (one row per series),
+    so its size is time-range-bound; LOCF runs over bucketed rows only.
+    """
+    e = load(spark, sf_dir, "events")
+    agg = e.groupBy(
+        "event_type", F.window("ts", "5 minutes").start.alias("bucket")
+    ).agg(money(F.sum(dec("value"))).alias("bucket_sum"))
+    bounds = agg.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 5 minutes"))
+        ).alias("bucket"),
+    )
+    j = grid.join(agg, ["event_type", "bucket"], "left")
+    locf = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "event_type",
+        "bucket",
+        F.col("bucket_sum").isNotNull().alias("observed"),
+        F.last("bucket_sum", ignorenulls=True).over(locf).alias("value_locf"),
+    )
+
+
+@register(
+    "ts_ohlc_resample",
+    oracle=events_cte(
+        f"""
+    , b AS (
+      SELECT event_type, {_BUCKET_15M} AS bucket, ts, event_id, value FROM events
+    ),
+    ordered AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY ts, event_id) AS rn_first,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY ts DESC, event_id DESC) AS rn_last
+      FROM b
+    )
+    SELECT event_type, bucket,
+           MAX(CASE WHEN rn_first = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_last = 1 THEN value END) AS close,
+           COUNT(*) AS n_ticks,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS volume
+    FROM ordered GROUP BY 1, 2
+    """
+    ),
+    tags=("timeseries", "agg"),
+)
+def ts_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick resample (KDB/TimescaleDB staple): per
+    (event_type, 15-minute bucket) — first/last value by (ts, event_id)
+    order plus high/low/count/volume.
+
+    open/close use ``min_by``/``max_by`` over a (ts, event_id) struct:
+    a single-pass hash aggregate with partial combine — no per-bucket
+    sort, no window over raw rows (the oracle's row_number formulation is
+    the *verification* device, not the plan). Raw values pass through
+    untouched, so cross-engine equality is exact.
+    """
+    e = load(spark, sf_dir, "events")
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return e.groupBy(
+        "event_type", F.window("ts", "15 minutes").start.alias("bucket")
+    ).agg(
+        F.min_by("value", order_key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", order_key).alias("close"),
+        F.count("*").alias("n_ticks"),
+        money(F.sum(dec("value"))).alias("volume"),
+    )
+
+
+@register(
+    "ts_sessionize_gap",
+    oracle=events_cte(
+        """
+    , flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq,
+           COUNT(*) AS n_events,
+           (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_sec,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS session_value
+    FROM sessions GROUP BY 1, 2
+    """
+    ),
+    tags=("timeseries", "window"),
+)
+def ts_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization by inactivity gap (30 min) — the batch twin of
+    the streaming ``session_window`` operator (streaming_ops.py): lag to
+    flag session starts, running sum to assign session ids, then one hash
+    aggregate per (user, session).
+
+    Two window passes over per-user partitions and one shuffle on the
+    (user, session) key; at 100 TB the user-id partitioning spreads the
+    windows evenly (no global ordering).
+    """
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sessions = flagged.withColumn("session_seq", F.sum("is_new").over(run))
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1_000_000)
+        .cast("bigint")
+        .alias("duration_sec"),
+        money(F.sum(dec("value"))).alias("session_value"),
+    )
+
+
+@register(
+    "ts_hierarchical_rollup",
+    oracle=events_cte(
+        f"""
+    , fine AS (
+      SELECT event_type, {_BUCKET_5M} AS bucket_5m,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,2))) AS s,
+             MIN(value) AS lo, MAX(value) AS hi
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, date_trunc('hour', bucket_5m) AS bucket_1h,
+           SUM(n) AS n_events,
+           round(CAST(SUM(s) AS DOUBLE), 6) AS total_value,
+           MIN(lo) AS min_value, MAX(hi) AS max_value,
+           COUNT(*) AS n_populated_5m
+    FROM fine GROUP BY 1, 2
+    """
+    ),
+    tags=("timeseries", "agg"),
+)
+def ts_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (continuous-aggregate) rollup: aggregate once at
+    5-minute grain, then derive the 1-hour grain *from the 5-minute
+    partials* — count/sum/min/max are re-aggregable, so the coarse level
+    reads series × buckets rows instead of raw events.
+
+    This is the hypertable continuous-aggregate contract: at 100 TB the
+    hourly/daily levels never rescan the fact table, and the decimal sum
+    stays exact through both levels (cast to double only at the end).
+    """
+    e = load(spark, sf_dir, "events")
+    fine = e.groupBy(
+        "event_type", F.window("ts", "5 minutes").start.alias("bucket_5m")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(dec("value")).alias("s"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    return fine.groupBy(
+        "event_type", F.date_trunc("hour", "bucket_5m").alias("bucket_1h")
+    ).agg(
+        F.sum("n").alias("n_events"),
+        money(F.sum("s")).alias("total_value"),
+        F.min("lo").alias("min_value"),
+        F.max("hi").alias("max_value"),
+        F.count("*").alias("n_populated_5m"),
+    )
