@@ -8,7 +8,7 @@ automatically, so the shuffle carries one row per (partition, group) — the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from lagom_kinesis_spark.catalog import load, register_views
@@ -509,4 +509,102 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("o_totalprice") > 2000).alias("all_above_2k"),
         F.bool_or(F.col("o_totalprice") > 400000).alias("any_above_400k"),
         F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+    )
+
+
+@register(
+    "agg_linear_regression",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+    tags=("agg", "stats"),
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate (regr_slope/intercept/r2 semantics) of
+    extendedprice on quantity per returnflag.
+
+    Native ``regr_*`` accumulates floating partials whose summation order
+    differs per engine; here the five moments accumulate in exact DECIMAL
+    (quantity/price are 2-decimal-exact), are cast once to double, and the
+    closed-form slope/intercept/r² arithmetic is the *same IEEE expression
+    tree* on both engines — bit-identical, and still a single partial-combine
+    hash aggregate at any scale."""
+    li = load(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(dec("l_quantity")).cast("double").alias("sx"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sy"),
+        F.sum(dec("l_quantity") * dec("l_extendedprice")).cast("double").alias("sxy"),
+        F.sum(dec("l_quantity") * dec("l_quantity")).cast("double").alias("sxx"),
+        F.sum(dec("l_extendedprice") * dec("l_extendedprice"))
+        .cast("double")
+        .alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov_n = n * sxy - sx * sy
+    var_n = n * sxx - sx * sx
+    slope = cov_n / var_n
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        r6(slope).alias("slope"),
+        r6((sy - slope * sx) / n).alias("intercept"),
+        r6(cov_n * cov_n / (var_n * (n * syy - sy * sy))).alias("r2"),
+    )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH counts AS (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                   ORDER BY cnt DESC, l_quantity) AS rn
+      FROM counts
+    )
+    SELECT l_returnflag, l_quantity AS mode_quantity, cnt AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("agg",),
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode with a pinned tie-break (smallest value wins): native ``mode()``
+    leaves ties engine-defined, so the deterministic form is count-per-value
+    (hash aggregate, partial combine) then a rank over the *aggregated*
+    (group, value) rows — the window never sees raw fact rows."""
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("l_returnflag").orderBy(F.desc("cnt"), "l_quantity")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_quantity"),
+            F.col("cnt").alias("mode_count"),
+        )
     )

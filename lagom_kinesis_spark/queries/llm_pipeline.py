@@ -367,3 +367,127 @@ def emb_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(r6(F.sqrt(F.sum(diff * diff))).alias("l2_to_centroid"))
     )
+
+
+@register(
+    "dedup_passage_chunks",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    chunked AS (
+      SELECT doc_id,
+             md5(unnest(list_transform(
+               range(0, CAST(floor(len(t) / 8) AS INT)),
+               i -> array_to_string(t[i*8+1 : i*8+8], ' ')))) AS h
+      FROM toks
+    ),
+    chunk_docs AS (
+      SELECT h, COUNT(*) AS n_docs
+      FROM (SELECT DISTINCT doc_id, h FROM chunked) GROUP BY h
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
+           round(SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS shared_share
+    FROM chunked c JOIN chunk_docs d ON c.h = d.h
+    GROUP BY c.doc_id
+    """,
+    tags=("llm", "pipeline", "dedup"),
+)
+def dedup_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level (sub-document) duplication audit — the
+    RefinedWeb/CCNet-style step between document dedup and tokenization:
+    split each doc into fixed 8-token passages, hash them, and score each
+    doc by the share of its passages that also appear in *another* doc.
+
+    Plan: explode to (doc, passage-hash), one distinct + hash aggregate
+    keyed on the passage hash (partial combine), then an equi-join back on
+    that same hash key — both sides arrive partitioned by ``h`` so the
+    join co-locates; nothing is ever pairwise. Docs shorter than one
+    passage drop out identically on both engines (empty explode)."""
+    d = load(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    n_chunks = F.floor(F.size(t) / 8).cast("int")
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.md5(F.array_join(F.slice(t, i * 8 + 1, F.lit(8)), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    chunked = d.select("doc_id", F.explode(chunks).alias("h"))
+    chunk_docs = (
+        chunked.distinct().groupBy("h").agg(F.count("*").alias("n_docs"))
+    )
+    shared = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+    return (
+        chunked.join(chunk_docs, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(shared).cast("bigint").alias("n_shared_chunks"),
+            r6(F.sum(shared) / F.count("*").cast("double")).alias("shared_share"),
+        )
+    )
+
+
+@register(
+    "text_feature_hashing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1 AS bucket,
+             COUNT(*) AS cnt
+      FROM toks WHERE tok <> '' GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             map_from_entries(list((bucket, cnt))) AS mp
+      FROM b GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           array_to_string(list_transform(range(0, 16),
+             i -> CAST(coalesce(mp[i][1], 0) AS VARCHAR)), ',') AS fvec
+    FROM m
+    """,
+    tags=("llm", "pipeline", "text"),
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorizer (hashing trick): each token hashes into
+    one of 16 buckets via its md5 first hex digit — an engine-agnostic
+    stand-in for murmur-mod-d — and each doc emits its dense count vector
+    as a canonical comma-joined string (driver-gate hashable).
+
+    Plan: explode → (doc, bucket) hash aggregate with partial combine →
+    per-doc map assembly. The vector dimension is a constant (16), so the
+    densify step is a map lookup over a literal ``sequence`` — map-only
+    after the aggregate; no pivot, no per-row Python. At 100 TB this is
+    the exact shape of a d=2^20 hashed bag-of-words featurizer."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    bucket = F.expr("instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1")
+    b = toks.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count("*").alias("cnt")
+    )
+    m = b.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "cnt"))
+        ).alias("mp"),
+    )
+    fvec = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: F.coalesce(
+                F.element_at("mp", i), F.lit(0).cast("bigint")
+            ).cast("string"),
+        ),
+        ",",
+    )
+    return m.select("doc_id", "n_tokens", fvec.alias("fvec"))
