@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from lagom_kinesis_spark.catalog import load
-from lagom_kinesis_spark.functions import money, r6, revenue_expr, revenue_sql
+from lagom_kinesis_spark.functions import dec, money, r6, revenue_expr, revenue_sql
 from lagom_kinesis_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -509,4 +509,72 @@ def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "scan_orc_roundtrip",
+    oracle="SELECT p_partkey, p_name, p_brand, p_retailprice FROM part",
+    tags=("scan", "orc"),
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan (Spark's second built-in columnar format — same
+    pushdown/pruning machinery as parquet). The oracle reads the original
+    parquet: a lossless roundtrip through ORC must reproduce it."""
+    tmp = f"/tmp/lagom_kinesis_spark/io/part_orc_{abs(hash(sf_dir)) % 10**8}"
+    load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_retailprice"
+    ).write.mode("overwrite").orc(tmp)
+    return spark.read.orc(tmp)
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6)
+             AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "bucketed"),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join: both fact tables are written
+    ``bucketBy`` the join key into the warehouse, so the big⋈big join (and
+    the groupBy that follows a bucket-key join) plans with NO Exchange on
+    the bucketed sides — the one-time write-side shuffle is amortized over
+    every later join, the canonical repeated-fact-join strategy at 100 TB
+    (tests/test_bucketing.py asserts the Exchange-free plan).
+
+    A ``merge`` join hint pins the big⋈big SortMergeJoin path that
+    bucketing de-shuffles (a broadcast would mask the point at test
+    scale; at 100 TB neither fact side fits a broadcast anyway)."""
+    tag = abs(hash(sf_dir)) % 10**8
+    bo, bl = f"bq_orders_{tag}", f"bq_lineitem_{tag}"
+    if not (spark.catalog.tableExists(bo) and spark.catalog.tableExists(bl)):
+        # The warehouse directory outlives the in-memory catalog across
+        # sessions — clear both metadata and location before (re)writing.
+        import os
+        import shutil
+
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for t in (bo, bl):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(bo)
+        load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(bl)
+    li, o = spark.table(bl), spark.table(bo)
+    return (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            money(F.sum(dec("l_quantity"))).alias("total_qty"),
+        )
     )

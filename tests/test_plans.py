@@ -101,3 +101,26 @@ def test_whole_stage_codegen_covers_flagship(spark):
     )
     assert "WholeStageCodegen subtrees" in plan
     assert "WholeStageCodegen" in plan
+
+
+def test_bucketed_join_query_is_exchange_free_to_join(spark):
+    """The registered bucketed co-located join must read both sides from
+    their buckets straight into the SortMergeJoin — no Exchange below the
+    join (the only allowed shuffle is the one for the final small groupBy
+    on the non-bucket key)."""
+    plan = _plan(QS["join_bucketed_colocated"].fn(spark, SF_DIR))
+    assert "SortMergeJoin" in plan
+    # Neither side may shuffle on the join key — buckets already co-locate
+    # it. (The final groupBy on o_orderpriority is the one allowed Exchange.)
+    assert "hashpartitioning(l_orderkey" not in plan
+    assert "hashpartitioning(o_orderkey" not in plan
+
+
+def test_ts_rollup_reaggregates_partials(spark):
+    """Hierarchical rollup: two aggregate levels, and the coarse level's
+    input is the fine aggregate (not a second fact scan)."""
+    plan = _plan(QS["ts_hierarchical_rollup"].fn(spark, SF_DIR))
+    import re
+
+    # One numbered operator-detail header per physical scan.
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
