@@ -495,3 +495,74 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft("o_custkey", 3).alias("shifted_up"),
         F.shiftright("o_orderkey", 4).alias("shifted_down"),
     )
+
+
+@register(
+    "fn_explode_outer",
+    oracle="""
+    WITH hits AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t = 'spark') AS toks
+      FROM documents
+    )
+    SELECT doc_id, unnest(CASE WHEN len(toks) = 0 THEN [NULL] ELSE toks END)
+             AS tok
+    FROM hits
+    """,
+    tags=("scalar", "array", "generator"),
+)
+def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode_outer`` null-preserving generator semantics: documents with
+    no matching token still emit one row with a NULL token (inner
+    ``explode`` would drop them — the LEFT JOIN LATERAL contract). The
+    oracle states the same semantics explicitly: an empty list becomes
+    ``[NULL]`` before unnest."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t == "spark")
+    return d.select("doc_id", F.explode_outer(toks).alias("tok"))
+
+
+@register(
+    "fn_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             concat('https://', source, '.example.com/', lang, '/',
+                    CAST(doc_id AS VARCHAR), '?id=', CAST(doc_id AS VARCHAR),
+                    '&page=2') AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+           regexp_extract(url, 'https?://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]id=([^&]*)', 1) AS query_id,
+           regexp_extract(url, '^([a-z]+):', 1) AS protocol
+    FROM u
+    """,
+    tags=("scalar", "string"),
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function family: ``parse_url`` HOST / PATH / QUERY-param /
+    PROTOCOL over a URL synthesized from document metadata (the fixture
+    carries no URL column). JVM-side expression, no UDF; the oracle
+    re-derives each part with anchored regexes."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&page=2"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("query_id"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+    )

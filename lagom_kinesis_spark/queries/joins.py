@@ -356,3 +356,64 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lost_revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    WITH fact AS (
+      SELECT CASE WHEN l_partkey % 4 = 0 THEN 1 ELSE l_partkey END AS sk,
+             l_quantity
+      FROM lineitem
+    )
+    SELECT p_brand,
+           COUNT(*) AS n_items,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6)
+             AS total_qty
+    FROM fact JOIN part ON sk = p_partkey
+    GROUP BY p_brand
+    """,
+    tags=("join", "skew"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join (the join-side twin of
+    ``agg_salted_skew``): the fact side's foreign key is deliberately
+    skewed (~25% of rows collapse onto key 1 — one viral part), which in a
+    plain shuffle join sends every hot-key row to ONE reducer. Salting
+    scatters them: the fact side gets a deterministic salt in [0, 8), the
+    dim side replicates each row 8× via ``explode(sequence(...))``, and the
+    join key becomes (key, salt) — the hot key now spreads over 8 tasks.
+
+    The salt hashes a unique column (never rand()) so reruns reproduce;
+    the oracle is the UNSALTED plain join — equality proves salting is
+    semantics-preserving. Dim replication cost is |dim|×8 rows, paid only
+    for the skewed-join pattern where |dim| ≪ |fact| (AQE skew-split
+    covers sort-merge spills; salting is the shape that also works for
+    hash-partitioned state at 100 TB)."""
+    n_salts = 8
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    fact = li.select(
+        F.when(F.col("l_partkey") % 4 == 0, F.lit(1))
+        .otherwise(F.col("l_partkey"))
+        .alias("sk"),
+        "l_quantity",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salts)).alias(
+            "salt"
+        ),
+    )
+    dim = p.select(
+        "p_partkey",
+        "p_brand",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("salt"),
+    ).withColumn("salt", F.col("salt").cast("bigint"))
+    return (
+        fact.join(dim, (fact.sk == dim.p_partkey) & (fact.salt == dim.salt))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            money(F.sum(F.col("l_quantity").cast("decimal(18,2)"))).alias(
+                "total_qty"
+            ),
+        )
+    )

@@ -175,9 +175,9 @@ def ts_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
-      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS session_seq
+      SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS session_seq
       FROM flagged
     )
     SELECT user_id, session_seq,
@@ -234,7 +234,7 @@ def ts_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2
     )
     SELECT event_type, date_trunc('hour', bucket_5m) AS bucket_1h,
-           SUM(n) AS n_events,
+           CAST(SUM(n) AS BIGINT) AS n_events,
            round(CAST(SUM(s) AS DOUBLE), 6) AS total_value,
            MIN(lo) AS min_value, MAX(hi) AS max_value,
            COUNT(*) AS n_populated_5m
