@@ -8,6 +8,8 @@ with the streaming family (highest per-query spin-up cost) last within the
 unverified block."""
 
 from lagom_kinesis_spark.queries import (  # noqa: F401
+    behavior,
+    graph,
     timeseries,
     analytics,
     llm_pipeline,

@@ -1,0 +1,204 @@
+"""Behavioral / product-analytics operators over the event stream:
+cohort retention, ordered funnel conversion, and statistical anomaly
+detection on bucketed series.
+
+The reference transports user-event streams (SURVEY.md §2A payloads);
+this module is the canonical read-side workload a consumer of those
+topics runs — the retention/funnel/anomaly triad every event-analytics
+engine (Amplitude/Mixpanel-class, or a Kinesis Analytics application)
+ships as first-class queries.
+
+Scale notes:
+- cohort retention is two user-keyed hash aggregates plus one join on
+  user_id — every stage partitions on the same key, so at 100 TB the
+  plan is scan → one exchange on user_id reused across the join and
+  both aggregations (AQE coalesces), then a tiny (cohort, offset) agg;
+- the funnel's step timestamps are unordered-window MIN-CASE expressions
+  over ``PARTITION BY user_id`` — all four window nodes share ONE
+  exchange (same partitioning, no ORDER BY ⇒ no sort), then a per-user
+  aggregate collapses to one row per user before the global count;
+- anomaly detection aggregates raw events to (series, bucket) first
+  (~1000× reduction, map-side partial combine), and only then computes
+  per-series moments with an unordered window — the window input is
+  bucket-cardinality, never raw-event-cardinality.
+
+Float discipline (functions/helpers.py): bucket sums accumulate in
+DECIMAL; z-scores and shares are small-magnitude doubles rounded to 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from lagom_kinesis_spark.catalog import load
+from lagom_kinesis_spark.functions import dec, events_cte, money, r6
+from lagom_kinesis_spark.registry import register
+
+
+@register(
+    "behavior_cohort_retention",
+    oracle=events_cte(
+        """
+    , firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week FROM events
+    )
+    SELECT f.cohort_week,
+           CAST((a.activity_week - f.cohort_week) // 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """
+    ),
+    tags=("behavior", "agg", "join"),
+)
+def behavior_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users bucketed by first-seen week,
+    counted in every subsequent week they were active.
+
+    Both the cohort derivation and the activity set aggregate on
+    user_id, and the join is user_id-keyed too — one partitioning
+    serves the whole plan; the final (cohort, offset) aggregate is
+    time-range-bounded, not user-bounded.
+    """
+    e = load(spark, sf_dir, "events")
+    week = lambda c: F.to_date(F.date_trunc("week", c))  # noqa: E731
+    firsts = e.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
+    activity = e.select("user_id", week(F.col("ts")).alias("activity_week")).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("activity_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "behavior_funnel_conversion",
+    oracle=events_cte(
+        """
+    , u1 AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events
+    ),
+    u2 AS (
+      SELECT *, min(CASE WHEN event_type = 'view' AND ts > t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2 FROM u1
+    ),
+    u3 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts > t2 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3 FROM u2
+    ),
+    u4 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t3 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t4 FROM u3
+    ),
+    per_user AS (
+      SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3, max(t4) AS t4
+      FROM u4 GROUP BY user_id
+    )
+    SELECT COUNT(user_id) AS n_users,
+           COUNT(t1) AS step_signup,
+           COUNT(t2) AS step_view,
+           COUNT(t3) AS step_click,
+           COUNT(t4) AS step_purchase
+    FROM per_user
+    """
+    ),
+    tags=("behavior", "window", "agg"),
+)
+def behavior_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel signup → view → click → purchase: a user
+    reaches step k only via an event AFTER their step-(k-1) timestamp.
+
+    The four step timestamps are MIN-CASE over the same unordered
+    user_id window — Catalyst plans ONE exchange and four window nodes
+    with no sort (no ORDER BY), then one user-keyed aggregate on the
+    already-partitioned rows. No per-user event list is ever
+    materialized, so arbitrarily chatty users don't skew memory.
+    """
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = W.partitionBy("user_id")
+    et, ts = F.col("event_type"), F.col("ts")
+    d = e.withColumn("t1", F.min(F.when(et == "signup", ts)).over(w))
+    d = d.withColumn(
+        "t2", F.min(F.when((et == "view") & (ts > F.col("t1")), ts)).over(w)
+    )
+    d = d.withColumn(
+        "t3", F.min(F.when((et == "click") & (ts > F.col("t2")), ts)).over(w)
+    )
+    d = d.withColumn(
+        "t4", F.min(F.when((et == "purchase") & (ts > F.col("t3")), ts)).over(w)
+    )
+    per_user = d.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+        F.max("t4").alias("t4"),
+    )
+    return per_user.agg(
+        F.count("user_id").alias("n_users"),
+        F.count("t1").alias("step_signup"),
+        F.count("t2").alias("step_view"),
+        F.count("t3").alias("step_click"),
+        F.count("t4").alias("step_purchase"),
+    )
+
+
+@register(
+    "behavior_anomaly_zscore",
+    oracle=events_cte(
+        """
+    , b AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+             round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS bucket_sum
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT *, avg(bucket_sum) OVER (PARTITION BY event_type) AS mu,
+             stddev_samp(bucket_sum) OVER (PARTITION BY event_type) AS sd
+      FROM b
+    )
+    SELECT event_type, bucket, bucket_sum,
+           round((bucket_sum - mu) / sd, 6) AS z
+    FROM s WHERE abs(bucket_sum - mu) > 2 * sd
+    """
+    ),
+    tags=("behavior", "timeseries", "window"),
+)
+def behavior_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series anomaly flags: hourly bucket sums more than 2 sample
+    standard deviations from their series mean, with the z-score.
+
+    Raw events reduce to (series, bucket) via one hash aggregate BEFORE
+    any window runs — the moment computation sees bucket-cardinality
+    input (time-range-bounded), and the unordered per-series window
+    needs no sort. Series count is the parallelism unit; the fixture's
+    5 event_types are the degenerate case, not the design (real
+    deployments partition over millions of series).
+    """
+    e = load(spark, sf_dir, "events")
+    b = e.groupBy(
+        "event_type", F.window("ts", "1 hour").start.alias("bucket")
+    ).agg(money(F.sum(dec("value"))).alias("bucket_sum"))
+    w = W.partitionBy("event_type")
+    s = b.withColumn("mu", F.avg("bucket_sum").over(w)).withColumn(
+        "sd", F.stddev_samp("bucket_sum").over(w)
+    )
+    x = F.col("bucket_sum")
+    return s.filter(F.abs(x - F.col("mu")) > 2 * F.col("sd")).select(
+        "event_type",
+        "bucket",
+        "bucket_sum",
+        r6((x - F.col("mu")) / F.col("sd")).alias("z"),
+    )

@@ -1,0 +1,212 @@
+"""Graph analytics over relationship edges derived from the relational
+tables: fixed-iteration PageRank and degree statistics on the
+supplier-nation → customer-nation trade graph.
+
+Companion to ``operators/components.py`` (connected components over the
+near-dup graph): together they cover the two iterative-graph shapes an
+analytics engine needs — fixpoint label propagation (components) and
+damped score propagation (PageRank).
+
+Scale notes:
+- the edge list is built once with dimension joins and aggregated to
+  (src, dst, w) — at 100 TB the edge aggregation is the only
+  fact-table-sized shuffle; everything after runs on edge/vertex
+  cardinality;
+- each PageRank iteration is join(edges, ranks on src) →
+  groupBy(dst).sum — the classic vertex-program-as-join formulation
+  (Pregel/GraphX's plan, expressed relationally so Catalyst handles
+  it). Edges stay partitioned on src across iterations, ranks are the
+  small side (vertex cardinality ≪ edge cardinality) and AQE
+  broadcast-picks them when they fit;
+- iterations are UNROLLED (fixed k=3), so there is no driver-side
+  convergence loop and no lineage explosion to checkpoint (contrast
+  components.py, which iterates to fixpoint and must truncate lineage).
+
+Determinism: edge weights are exact integer counts; rank arithmetic is
+double with identical literal formulas on both engines, rounded to 6
+at the end only (per-node partial sums are ≤ vertex-degree terms of
+magnitude ~1e-2 — float error ~1e-15, far below the rounding quantum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lagom_kinesis_spark.catalog import load
+from lagom_kinesis_spark.functions import r6
+from lagom_kinesis_spark.registry import register
+
+#: Shared oracle CTE: trade edges (supplier nation → customer nation,
+#: weight = lineitem count), out-weights, and normalized fractions.
+_EDGES_SQL = """
+    edges AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM edges GROUP BY src),
+    en AS (
+      SELECT e.src, e.dst,
+             CAST(e.w AS DOUBLE) / CAST(o.wout AS DOUBLE) AS frac
+      FROM edges e JOIN outw o ON e.src = o.src
+    )
+"""
+
+
+def _edges_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, w, frac): weighted trade edges with out-normalized
+    transition fractions. Mirrors :data:`_EDGES_SQL` exactly."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").alias("dst")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").alias("src")
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    return edges.join(outw, "src").withColumn(
+        "frac", F.col("w").cast("double") / F.col("wout").cast("double")
+    )
+
+
+@register(
+    "graph_pagerank",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nation),
+    r0 AS (
+      SELECT n_nationkey AS node, CAST(1 AS DOUBLE) / nn.n AS pr FROM nation, nn
+    ),
+    r1 AS (
+      SELECT v.n_nationkey AS node,
+             CAST(0.15 AS DOUBLE) / nn.n
+               + CAST(0.85 AS DOUBLE) * COALESCE(SUM(r.pr * e.frac), 0) AS pr
+      FROM nation v CROSS JOIN nn
+      LEFT JOIN en e ON e.dst = v.n_nationkey
+      LEFT JOIN r0 r ON r.node = e.src
+      GROUP BY v.n_nationkey, nn.n
+    ),
+    r2 AS (
+      SELECT v.n_nationkey AS node,
+             CAST(0.15 AS DOUBLE) / nn.n
+               + CAST(0.85 AS DOUBLE) * COALESCE(SUM(r.pr * e.frac), 0) AS pr
+      FROM nation v CROSS JOIN nn
+      LEFT JOIN en e ON e.dst = v.n_nationkey
+      LEFT JOIN r1 r ON r.node = e.src
+      GROUP BY v.n_nationkey, nn.n
+    ),
+    r3 AS (
+      SELECT v.n_nationkey AS node,
+             CAST(0.15 AS DOUBLE) / nn.n
+               + CAST(0.85 AS DOUBLE) * COALESCE(SUM(r.pr * e.frac), 0) AS pr
+      FROM nation v CROSS JOIN nn
+      LEFT JOIN en e ON e.dst = v.n_nationkey
+      LEFT JOIN r2 r ON r.node = e.src
+      GROUP BY v.n_nationkey, nn.n
+    )
+    SELECT r3.node AS n_nationkey, nat.n_name, round(r3.pr, 6) AS pr
+    FROM r3 JOIN nation nat ON nat.n_nationkey = r3.node
+    """,
+    tags=("graph", "iterative", "join"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (d=0.85, k=3 unrolled iterations) over the
+    weighted supplier-nation → customer-nation trade graph.
+
+    Each iteration: ranks ⋈ edges on src (rank side is
+    vertex-cardinality — AQE broadcasts it when small), partial-agg
+    SUM(pr·frac) by dst, then the damping update against the full
+    vertex set (dangling/unreferenced vertices keep the (1−d)/N floor).
+    No ``.collect()``, no driver loop state — the whole k-step
+    computation is one declarative plan.
+    """
+    en = _edges_normalized(spark, sf_dir)
+    nation = load(spark, sf_dir, "nation")
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    nn = nodes.agg(F.count("*").cast("double").alias("n"))
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(3):
+        contrib = (
+            r.join(en, r.node == en.src)
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("frac")).alias("cin"))
+        )
+        r = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85) * F.coalesce(F.col("cin"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return (
+        r.join(F.broadcast(nation), r.node == nation.n_nationkey)
+        .select(F.col("node").alias("n_nationkey"), "n_name", r6("pr").alias("pr"))
+    )
+
+
+@register(
+    "graph_degree_stats",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    deg AS (
+      SELECT src AS node,
+             COUNT(*) AS out_degree,
+             CAST(SUM(w) AS BIGINT) AS out_weight
+      FROM edges GROUP BY src
+    ),
+    ind AS (
+      SELECT dst AS node, COUNT(*) AS in_degree FROM edges GROUP BY dst
+    )
+    SELECT v.n_nationkey, v.n_name,
+           COALESCE(d.out_degree, 0) AS out_degree,
+           COALESCE(d.out_weight, 0) AS out_weight,
+           COALESCE(i.in_degree, 0) AS in_degree
+    FROM nation v
+    LEFT JOIN deg d ON d.node = v.n_nationkey
+    LEFT JOIN ind i ON i.node = v.n_nationkey
+    """,
+    tags=("graph", "agg"),
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex degree profile of the trade graph: distinct out/in
+    neighbors and total outbound edge weight per nation — the standard
+    pre-flight skew diagnostic before any iterative graph run (heavy
+    vertices predict shuffle hot spots; see operators/skew.py)."""
+    en = _edges_normalized(spark, sf_dir)
+    deg = en.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("out_degree"), F.sum("w").alias("out_weight")
+    )
+    ind = en.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").alias("in_degree")
+    )
+    nation = load(spark, sf_dir, "nation")
+    return (
+        nation.join(deg, nation.n_nationkey == deg.node, "left")
+        .drop("node")
+        .join(ind, nation.n_nationkey == ind.node, "left")
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("out_weight", F.lit(0)).alias("out_weight"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )

@@ -830,3 +830,88 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("fp").alias("min_fp"),
         F.array_max("fp").alias("max_fp"),
     )
+
+
+@register(
+    "dedup_prefix_filter_join",
+    oracle="""
+    WITH sub AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1)),
+               i -> concat_ws(' ',
+                    string_split(lower(text), ' ')[i],
+                    string_split(lower(text), ' ')[i+1],
+                    string_split(lower(text), ' ')[i+2])
+             )) AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))
+                 / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) AS jac
+    FROM sub a JOIN sub b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))
+          / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.4
+    """,
+    tags=("llm", "dedup", "join"),
+)
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join via PREFIX FILTERING (the
+    SSJoin/PPJoin family — Chaudhuri et al. 2006, Xiao et al. 2008):
+    all shingle-set pairs with Jaccard ≥ 0.4, WITHOUT the all-pairs
+    comparison the oracle performs.
+
+    Lossless pruning: order every doc's shingles rare-first (by global
+    frequency), keep only the first ``n − ceil(θ·n) + 1`` as its probe
+    prefix. If jac(A,B) ≥ θ then |A∩B| ≥ θ·|A|, which cannot fit in
+    A's non-prefix suffix (length ceil(θ·|A|) − 1 < θ·|A|) — so A's
+    prefix must hit B, and probing prefix(A) against ALL of B's
+    shingles (for A < B) misses nothing. Candidates are then verified
+    with the exact intersection/union sizes.
+
+    Scale: frequency ordering makes the exploded probe side carry
+    mostly rare shingles, so the candidate equi-join stays selective —
+    cost tracks true-near-dup density, not corpus², the same contract
+    as MinHash-LSH (dedup_minhash_lsh) but exact instead of
+    probabilistic. Plan: three hash shuffles (vocab agg, per-doc
+    re-sort, candidate join) + one verify join; no cartesian anywhere.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"))
+    theta = 0.4
+    sh = d.select("doc_id", shingles(tokens("text")).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    ex = sh.select("doc_id", F.explode("sh").alias("t"))
+    freq = ex.groupBy("t").agg(F.count("*").alias("ft"))
+    ordered = (
+        ex.join(freq, "t")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("ft", "t"))).alias("os"))
+    )
+    plen = (
+        F.size("os") - F.ceil(F.size("os") * F.lit(theta)) + F.lit(1)
+    ).cast("int")
+    probe = ordered.select(
+        F.col("doc_id").alias("a"), F.explode(F.slice("os", F.lit(1), plen)).alias("p")
+    ).select("a", F.col("p.t").alias("t"))
+    index = ex.select(F.col("doc_id").alias("b"), "t")
+    cand = (
+        probe.join(index, "t")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
+    vb = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
+    jac = jaccard(F.col("sha"), F.col("shb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .withColumn("jac_raw", jac)
+        .filter(F.col("jac_raw") >= theta)
+        .select(
+            F.col("a").alias("id_a"),
+            F.col("b").alias("id_b"),
+            r6(F.col("jac_raw")).alias("jac"),
+        )
+    )

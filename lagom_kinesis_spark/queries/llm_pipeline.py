@@ -491,3 +491,62 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ",",
     )
     return m.select("doc_id", "n_tokens", fvec.alias("fvec"))
+
+
+#: 4-hex-char → uint16, written so BOTH engines use pure integer/string
+#: ops (DuckDB has no hex→int conversion; a strpos digit table is exact).
+_HEXPOS = "strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1"
+
+
+def _u16_sql(h: str) -> str:
+    """DuckDB: first 4 hex chars of ``h`` as an integer in [0, 65535]."""
+    return " + ".join(
+        f"({_HEXPOS.format(h=h, i=i + 1)}) * {16 ** (3 - i)}" for i in range(4)
+    )
+
+
+@register(
+    "sample_weighted_threshold",
+    oracle=f"""
+    WITH u AS (
+      SELECT lang, n_chars,
+             ({_u16_sql("md5(CAST(doc_id AS VARCHAR))")}) AS u16
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE u16 < n_chars * 100) AS n_kept,
+           round(AVG(n_chars), 6) AS avg_len_all,
+           round(AVG(n_chars) FILTER (WHERE u16 < n_chars * 100), 6) AS avg_len_kept
+    FROM u GROUP BY lang
+    """,
+    tags=("llm", "pipeline", "sample"),
+)
+def sample_weighted_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling (inclusion probability ∝ n_chars,
+    the token-budget-aware variant of stratified sampling): keep a doc
+    iff its md5(doc_id)-derived uint16 falls under ``n_chars * 100``.
+
+    The decision is PURE INTEGER arithmetic on a cross-engine hash — no
+    rand(), no float pow/log (libm results differ across engines), so
+    the sample is bit-reproducible everywhere, map-only at any scale,
+    and longer documents are proportionally favored (the summary shows
+    kept-mean length > corpus-mean length per stratum)."""
+    d = load(spark, sf_dir, "documents")
+    u16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    kept = (u16 < F.col("n_chars") * 100).cast("int")
+    nc = F.col("n_chars")
+    return (
+        d.select("lang", "n_chars", kept.alias("k"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("k").cast("long").alias("n_kept"),
+            r6(F.avg(nc)).alias("avg_len_all"),
+            r6(F.avg(F.when(F.col("k") == 1, nc))).alias("avg_len_kept"),
+        )
+    )

@@ -578,3 +578,48 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             money(F.sum(dec("l_quantity"))).alias("total_qty"),
         )
     )
+
+
+@register(
+    "scan_binaryfile_roundtrip",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS doc_key,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id % 25 = 0
+    """,
+    tags=("scan", "binary", "multimodal"),
+)
+def scan_binaryfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source scan — the ingestion path for opaque
+    image/audio/document blobs (operators/multimodal.py consumes the
+    same (path, length, content) shape): every 25th document written as
+    a raw file, read back distributed, keyed by filename with byte
+    length and content digest.
+
+    The scan under test is fully distributed (one task per file group,
+    content never touches the driver). Fixture prep writes the files
+    driver-side from a BOUNDED slice (|docs|/25 rows — the same
+    documented bounded-collect contract as the IVF query set); a real
+    pipeline's blobs arrive as files already.
+    """
+    import os
+    import shutil
+
+    tmp = f"/tmp/lagom_kinesis_spark/io/docs_bin_{abs(hash(sf_dir)) % 10**8}"
+    sub = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id", "text")
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    for row in sub.toPandas().itertuples(index=False):  # bounded: ≤ |docs|/25
+        with open(os.path.join(tmp, f"{row.doc_id}.txt"), "wb") as f:
+            f.write(row.text.encode("utf-8"))
+    bf = spark.read.format("binaryFile").load(tmp)
+    return bf.select(
+        F.regexp_extract("path", r"(\d+)\.txt$", 1).alias("doc_key"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
