@@ -202,3 +202,52 @@ def behavior_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_sum",
         r6((x - F.col("mu")) / F.col("sd")).alias("z"),
     )
+
+
+@register(
+    "behavior_running_distinct_users",
+    oracle=events_cte(
+        """
+    , firsts AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT first_day AS day, COUNT(*) AS new_users FROM firsts GROUP BY first_day
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cumulative_users
+    FROM daily
+    """
+    ),
+    tags=("behavior", "window", "agg"),
+)
+def behavior_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the running COUNT(DISTINCT)
+    that has no incremental window form, REWRITTEN scalably: a user
+    contributes only on their FIRST day (user-keyed min aggregate), so
+    the cumulative distinct collapses to a running SUM over per-day
+    new-user counts.
+
+    The only ordered window runs over day-cardinality rows
+    (time-range-bounded — 365 rows/year no matter how many raw events),
+    never over users or events; both aggregates are partial-combine
+    hash aggs. The naive formulation (distinct over an expanding
+    window) is quadratic and unshardable — this is the standard
+    first-occurrence trick every warehouse uses.
+    """
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("first_day")
+    )
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )

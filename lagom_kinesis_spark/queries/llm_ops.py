@@ -915,3 +915,51 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.col("jac_raw")).alias("jac"),
         )
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH t2 AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    toks AS (SELECT * FROM t2 WHERE tok <> ''),
+    freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM freq)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           round(AVG(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS avg_logprob
+    FROM toks JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram log-probability per document — the model-free
+    stand-in for perplexity filtering (docs whose tokens are corpus-rare
+    score low; boilerplate scores high): avg over token INSTANCES of
+    ln(count(tok)/N) under the corpus's own unigram distribution.
+
+    Plan: one vocab aggregate (map-side combine), a token-keyed join of
+    instances to frequencies, a broadcast 1-row total, then a doc-keyed
+    average — two data shuffles regardless of corpus size. ln() is
+    applied to identical doubles on both engines and averaged over ≪1e6
+    terms, far inside the round-6 quantum.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    ).filter(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").alias("n"))
+    return (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            r6(
+                F.avg(F.log(F.col("c").cast("double") / F.col("n").cast("double")))
+            ).alias("avg_logprob"),
+        )
+    )
