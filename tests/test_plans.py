@@ -124,3 +124,38 @@ def test_ts_rollup_reaggregates_partials(spark):
 
     # One numbered operator-detail header per physical scan.
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_funnel_windows_share_one_exchange(spark):
+    """The 4 MIN-CASE step windows all partition on user_id with no
+    ORDER BY — the plan must contain exactly ONE hashpartitioning
+    exchange on user_id and no Sort below the windows."""
+    plan = _plan(QS["behavior_funnel_conversion"].fn(spark, SF_DIR))
+    # "formatted" mode emits the partitioning on the node's Arguments line.
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert plan.count("Window (") == 4  # tree lines only; details say "(N) Window"
+
+
+def test_pagerank_has_no_cartesian(spark):
+    """Each PageRank iteration is ranks ⋈ edges (equi-join) + dst agg —
+    the only nested-loop allowed is the 1-row vertex-count broadcast."""
+    plan = _plan(QS["graph_pagerank"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_prefix_filter_join_is_equi_join(spark):
+    """Prefix-filter set-similarity join must generate candidates via a
+    token equi-join — never the all-pairs theta-join its oracle uses."""
+    plan = _plan(QS["dedup_prefix_filter_join"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_running_distinct_window_input_is_day_cardinality(spark):
+    """The only ordered window runs AFTER both hash aggregates — the
+    plan must show the single-partition window fed by an aggregate,
+    never by the raw events scan."""
+    plan = _plan(QS["behavior_running_distinct_users"].fn(spark, SF_DIR))
+    # a window node exists, and at least two hash aggregates run below it
+    assert "Window" in plan
+    assert plan.count("HashAggregate") >= 4  # 2 aggs × partial+final
