@@ -963,3 +963,88 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "multimodal_resize_plan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'text' END AS modality,
+             CAST(n_chars % 640 AS INT) AS width,
+             CAST(n_chars % 480 AS INT) AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           CASE WHEN greatest(width, height) > 224
+                THEN CAST((width * 224) // greatest(width, height) AS INT)
+                ELSE width END AS out_width,
+           CASE WHEN greatest(width, height) > 224
+                THEN CAST((height * 224) // greatest(width, height) AS INT)
+                ELSE height END AS out_height
+    FROM m WHERE modality = 'image'
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning for image payloads: fit-within-224-box target
+    dimensions computed from METADATA ONLY — pure integer JVM
+    expressions, so the (often 100×-larger) payload bytes are never
+    read, decoded, or moved until a downstream decode actually needs
+    the plan. The modality predicate prunes rows before any byte work —
+    the metadata-first discipline operators/multimodal.py documents.
+    The real pixel resample belongs in the stubbed decoder
+    (decode_features); this op is the Spark-side scheduling half.
+    """
+    blobs = multimodal.attach_payload(load(spark, sf_dir, "documents"))
+    w = F.col("meta.width")
+    h = F.col("meta.height")
+    m = F.greatest(w, h)
+    fit = lambda side: F.when(  # noqa: E731
+        m > 224, F.expr("(" + side + " * 224) div greatest(meta.width, meta.height)").cast("int")
+    ).otherwise(F.col(side))
+    return blobs.filter(F.col("meta.modality") == "image").select(
+        "doc_id",
+        w.alias("width"),
+        h.alias("height"),
+        fit("meta.width").alias("out_width"),
+        fit("meta.height").alias("out_height"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_frames
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id, n_frames,
+           unnest(generate_series(0, n_frames - 1, 25)) AS frame_idx,
+           unnest(generate_series(0, n_frames - 1, 25)) * 1024 AS byte_offset
+    FROM v
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: every 25th frame
+    index (1/sec at 25 fps) with its byte offset into the blob,
+    generated JVM-side (``sequence`` + ``explode``) from metadata — the
+    seek plan a real ffmpeg-backed decoder would execute per partition.
+    Row inflation is frames/25 per doc, partition-local (no shuffle);
+    the payload itself is untouched until a decoder consumes the plan.
+    Frame count is synthesized as n_chars (40 ms/frame over the text
+    stand-in blob); offsets assume a fixed 1024-byte frame stride.
+    """
+    v = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", F.col("n_chars").cast("long").alias("n_frames"))
+    )
+    return v.select(
+        "doc_id",
+        "n_frames",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("n_frames") - 1, F.lit(25).cast("long"))
+        ).alias("frame_idx"),
+    ).withColumn("byte_offset", F.col("frame_idx") * 1024)
