@@ -550,3 +550,124 @@ def sample_weighted_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.avg(F.when(F.col("k") == 1, nc))).alias("avg_len_kept"),
         )
     )
+
+
+@register(
+    "pack_context_windows",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT *, CAST(SUM(tok) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM t
+    )
+    SELECT source, CAST((cum - tok) // 512 AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS bin_tokens
+    FROM c GROUP BY 1, 2
+    """,
+    tags=("llm", "pipeline", "pack"),
+)
+def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs to fixed-capacity (512-token)
+    training context windows by running token count, in a deterministic
+    hash order — the step that turns a filtered corpus into dense
+    pretraining batches (short docs share a context; fill factor is the
+    efficiency metric).
+
+    Bin id = (tokens-before-this-doc) div 512 within the source
+    partition: a pure window cumsum, no driver loop, no bin-packing
+    state. The per-source window distributes across sources; hash
+    ordering makes the packing reproducible under re-runs and insertion
+    order (and is the standard shuffle-before-pack). Boundary-straddling
+    docs overflow their bin — real packers split those at the token
+    level, which is the tokenizer's half of the job, not the planner's.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("tok"),
+        _md5_prefix(F.col("doc_id"), 8).alias("h"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("tok").over(w))
+    return c.groupBy(
+        "source", F.expr("(cum - tok) div 512").alias("bin_id")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tok").alias("bin_tokens"),
+    )
+
+
+@register(
+    "mix_temperature_sample",
+    oracle=f"""
+    WITH s AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(ns) AS BIGINT) AS n FROM s),
+    thr AS (
+      SELECT source,
+             CAST(floor(65536 * sqrt(CAST(ns AS DOUBLE) / CAST(n AS DOUBLE)))
+                  AS BIGINT) AS t16
+      FROM s, tot
+    ),
+    u AS (
+      SELECT doc_id, source,
+             ({_u16_sql("md5(CAST(doc_id AS VARCHAR))")}) AS u16
+      FROM documents
+    )
+    SELECT u.source, COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE u16 < t16) AS n_kept
+    FROM u JOIN thr ON u.source = thr.source
+    GROUP BY u.source
+    """,
+    tags=("llm", "pipeline", "sample"),
+)
+def mix_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (T=2): per-source keep rate
+    ∝ sqrt(source share) — the multilingual-LM rebalancing that
+    upweights rare sources relative to proportional sampling.
+
+    Cross-engine determinism without rand(): the only transcendental is
+    IEEE-754 ``sqrt`` (correctly rounded by spec, unlike pow/log), its
+    input is an identical double on both engines, and the result is
+    floored to an integer threshold compared against the doc's md5
+    uint16 — so the kept set is bit-identical everywhere. Plan: tiny
+    per-source stats agg, broadcast threshold join back, map-side
+    filter, final agg — one fact-table shuffle total.
+    """
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count("*").alias("ns"))
+    tot = s.agg(F.sum("ns").alias("n"))
+    thr = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.floor(
+            65536
+            * F.sqrt(F.col("ns").cast("double") / F.col("n").cast("double"))
+        )
+        .cast("long")
+        .alias("t16"),
+    )
+    u16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    u = d.select("doc_id", "source", u16.alias("u16"))
+    return (
+        u.join(F.broadcast(thr), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count(F.when(F.col("u16") < F.col("t16"), 1)).alias("n_kept"),
+        )
+    )
