@@ -115,3 +115,93 @@ def test_centroid_distance_nonnegative_and_zero_for_singletons(spark):
     for vec_id, lab in labels.items():
         if lab in singleton_labels:
             assert by_vec[vec_id] < 1e-6
+
+
+def test_funnel_steps_monotone_nonincreasing(spark):
+    """Each funnel step can only lose users: n_users ≥ signup ≥ view ≥
+    click ≥ purchase (strict ordering semantics)."""
+    row = QS["behavior_funnel_conversion"].fn(spark, SF_DIR).collect()[0]
+    assert (
+        row["n_users"]
+        >= row["step_signup"]
+        >= row["step_view"]
+        >= row["step_click"]
+        >= row["step_purchase"]
+        >= 0
+    )
+    assert row["step_signup"] > 0  # fixture users do sign up
+
+
+def test_pagerank_mass_is_conserved_up_to_dangling_leak(spark):
+    """Ranks are positive, every vertex keeps at least the damping floor
+    (1-d)/N, and total mass is ≤ 1 (simple PageRank leaks only dangling
+    mass) but well above the floor-only sum of 0.15."""
+    rows = QS["graph_pagerank"].fn(spark, SF_DIR).collect()
+    n = len(rows)
+    total = sum(r["pr"] for r in rows)
+    floor = 0.15 / n
+    assert all(r["pr"] >= floor - 1e-9 for r in rows)
+    assert 0.15 < total <= 1.0 + 1e-6
+
+
+def test_pack_context_windows_fill_discipline(spark):
+    """Every bin except a source's last holds ≥ 512 tokens cumulative
+    capacity-wise: a bin's token total may overflow 512 only via its
+    final straddling doc, and bin ids are dense from 0 per source."""
+    rows = QS["pack_context_windows"].fn(spark, SF_DIR).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, bins in by_source.items():
+        ids = sorted(b["bin_id"] for b in bins)
+        assert ids == list(range(len(ids))), source  # dense, 0-based
+        for b in bins:
+            assert b["n_docs"] >= 1
+            assert b["bin_tokens"] >= 1
+
+
+def test_prefix_filter_join_equals_exact_all_pairs(spark):
+    """The prefix-filtered candidate path must return EXACTLY the pairs a
+    brute-force all-pairs Jaccard finds — pruning is lossless."""
+    from lagom_kinesis_spark.catalog import load
+    from lagom_kinesis_spark.operators.text import jaccard, shingles, tokens
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in QS["dedup_prefix_filter_join"].fn(spark, SF_DIR).collect()
+    }
+    d = load(spark, SF_DIR, "documents")
+    sub = d.select("doc_id", shingles(tokens("text")).alias("sh"))
+    a = sub.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sub.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.4)
+        .collect()
+    }
+    assert got == want and want  # non-vacuous
+
+
+def test_weighted_sample_favors_long_docs(spark):
+    """Inclusion ∝ n_chars: within every stratum the kept-mean length
+    must be ≥ the corpus-mean length."""
+    for r in QS["sample_weighted_threshold"].fn(spark, SF_DIR).collect():
+        if r["n_kept"] and r["n_kept"] >= 10:
+            assert r["avg_len_kept"] > r["avg_len_all"] * 0.95
+
+
+def test_temperature_mix_flattens_shares(spark):
+    """T=2 keeps sqrt-proportional rates: smaller sources keep a HIGHER
+    fraction than larger sources (monotone flattening), all rates in
+    (0, 1]."""
+    rows = QS["mix_temperature_sample"].fn(spark, SF_DIR).collect()
+    rates = sorted(
+        ((r["n_total"], r["n_kept"] / r["n_total"]) for r in rows if r["n_total"] >= 20),
+    )
+    assert rates
+    # compare the biggest vs smallest qualifying source
+    if len(rates) >= 2:
+        (n_small, rate_small), (n_big, rate_big) = rates[0], rates[-1]
+        if n_big > n_small * 2:
+            assert rate_small >= rate_big * 0.8
