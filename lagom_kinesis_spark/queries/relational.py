@@ -623,3 +623,78 @@ def scan_binaryfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5("content").alias("content_md5"),
     )
+
+
+@register(
+    "sink_clustered_sorted",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+             AS total_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_returnflag
+    """,
+    tags=("sink", "layout", "parquet"),
+)
+def sink_clustered_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered, sorted parquet layout + pushdown re-read — the
+    z-order-lite data-layout discipline for time-filtered scans at
+    scale: ``repartitionByRange(l_shipdate)`` puts each date range in
+    few files, ``sortWithinPartitions`` makes row-group min/max stats
+    tight, so a date-band re-read skips most row groups via the pushed
+    filter instead of scanning the table. The correctness oracle is the
+    same aggregate over the unclustered source — layout must never
+    change results.
+    """
+    from lagom_kinesis_spark.functions import dec, money
+
+    tmp = f"/tmp/lagom_kinesis_spark/io/lineitem_clustered_{abs(hash(sf_dir)) % 10**8}"
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate", "l_orderkey")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    back = spark.read.parquet(tmp).filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        money(F.sum(dec("l_extendedprice"))).alias("total_price"),
+    )
+
+
+@register(
+    "scan_partition_pruned",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+             AS total
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+    tags=("scan", "layout", "parquet"),
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition pruning: orders written ``partitionBy`` the
+    filter column, re-read with an equality predicate that must resolve
+    at PLANNING time (PartitionFilters, zero data files from other
+    partitions touched) — the directory-level analogue of row-group
+    skipping, and the layout every at-rest topic store uses
+    (SURVEY.md §1.1)."""
+    from lagom_kinesis_spark.functions import dec, money
+
+    tmp = f"/tmp/lagom_kinesis_spark/io/orders_pruned_{abs(hash(sf_dir)) % 10**8}"
+    load(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(tmp)
+    back = spark.read.parquet(tmp).filter(F.col("o_orderpriority") == "1-URGENT")
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        money(F.sum(dec("o_totalprice"))).alias("total"),
+    )

@@ -159,3 +159,20 @@ def test_running_distinct_window_input_is_day_cardinality(spark):
     # a window node exists, and at least two hash aggregates run below it
     assert "Window" in plan
     assert plan.count("HashAggregate") >= 4  # 2 aggs × partial+final
+
+
+def test_clustered_sorted_reread_pushes_date_band(spark):
+    """The re-read over the range-clustered layout must push both date
+    bounds to the parquet scan (row-group skipping feeds off these)."""
+    plan = _plan(QS["sink_clustered_sorted"].fn(spark, SF_DIR))
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+
+
+def test_partition_pruned_scan_has_partition_filters(spark):
+    """The partition-column predicate must become a PartitionFilter
+    (planning-time pruning), not a data filter."""
+    plan = _plan(QS["scan_partition_pruned"].fn(spark, SF_DIR))
+    assert "PartitionFilters: [" in plan
+    assert "o_orderpriority" in plan.split("PartitionFilters")[1].split("]")[0]
