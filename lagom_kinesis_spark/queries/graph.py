@@ -119,7 +119,7 @@ def _edges_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r3.node AS n_nationkey, nat.n_name, round(r3.pr, 6) AS pr
     FROM r3 JOIN nation nat ON nat.n_nationkey = r3.node
     """,
-    tags=("graph", "iterative", "join"),
+    tags=("graph", "iterative", "join", "scalar"),
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Damped PageRank (d=0.85, k=3 unrolled iterations) over the

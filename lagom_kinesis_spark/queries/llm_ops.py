@@ -932,7 +932,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM toks JOIN freq USING (tok) CROSS JOIN tot
     GROUP BY doc_id
     """,
-    tags=("llm", "text", "quality"),
+    tags=("llm", "text", "quality", "scalar"),
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-unigram log-probability per document — the model-free

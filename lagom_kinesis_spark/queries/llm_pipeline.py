@@ -630,7 +630,7 @@ def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM u JOIN thr ON u.source = thr.source
     GROUP BY u.source
     """,
-    tags=("llm", "pipeline", "sample"),
+    tags=("llm", "pipeline", "sample", "scalar"),
 )
 def mix_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source mixing (T=2): per-source keep rate
