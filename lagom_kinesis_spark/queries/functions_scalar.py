@@ -566,3 +566,47 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("query_id"),
         F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
     )
+
+
+@register(
+    "fn_try_safe",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(CASE WHEN o_orderkey % 3 = 0
+                         THEN CAST(o_totalprice AS VARCHAR)
+                         ELSE o_orderpriority END AS DOUBLE) AS maybe_price,
+           round(o_totalprice / nullif(o_orderkey % 5, 0), 6) AS per_bucket,
+           TRY_CAST(CASE WHEN o_orderkey % 7 = 0 THEN 'not-a-date'
+                         ELSE '2024-03-01 12:00:00' END AS TIMESTAMP) AS maybe_ts
+    FROM orders
+    """,
+    tags=("functions", "safety"),
+)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_-family error-safe evaluation — the dirty-data discipline every
+    large-scale ingest needs (a single malformed cell must NULL out, not
+    kill a 1000-executor stage): try_cast over mixed numeric/garbage
+    strings, try_divide with embedded zeros, try_to_timestamp over
+    malformed literals. All JVM-side expressions; ANSI-safe on both
+    engines (DuckDB TRY_CAST / nullif mirror)."""
+    o = load(spark, sf_dir, "orders")
+    mixed = F.when(
+        F.col("o_orderkey") % 3 == 0, F.col("o_totalprice").cast("string")
+    ).otherwise(F.col("o_orderpriority"))
+    ts_str = F.when(F.col("o_orderkey") % 7 == 0, F.lit("not-a-date")).otherwise(
+        F.lit("2024-03-01 12:00:00")
+    )
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "try_cast(CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_totalprice AS string) "
+            "ELSE o_orderpriority END AS double)"
+        ).alias("maybe_price"),
+        r6(F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 5)).alias(
+            "per_bucket"
+        ),
+        F.expr(
+            "try_to_timestamp(CASE WHEN o_orderkey % 7 = 0 THEN 'not-a-date' "
+            "ELSE '2024-03-01 12:00:00' END)"
+        ).alias("maybe_ts"),
+    )

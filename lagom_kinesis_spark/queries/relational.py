@@ -698,3 +698,35 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         money(F.sum(dec("o_totalprice"))).alias("total"),
     )
+
+
+@register(
+    "scan_merge_schema",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+    FROM documents
+    """,
+    tags=("scan", "schema-evolution", "parquet"),
+)
+def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet generations in one
+    directory — an old batch (doc_id, lang) and a new batch that added
+    n_chars — read back with ``mergeSchema`` so old rows surface NULL
+    for the added column. The append-only topic-at-rest layout
+    (SURVEY.md §1.1) evolves exactly this way; readers must never
+    require a rewrite of historical files."""
+    tmp = f"/tmp/lagom_kinesis_spark/io/docs_evolve_{abs(hash(sf_dir)) % 10**8}"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    d = load(spark, sf_dir, "documents")
+    d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+        "append"
+    ).parquet(tmp)
+    d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "n_chars").write.mode(
+        "append"
+    ).parquet(tmp)
+    return spark.read.option("mergeSchema", True).parquet(tmp).select(
+        "doc_id", "lang", "n_chars"
+    )

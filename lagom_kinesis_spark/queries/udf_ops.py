@@ -145,3 +145,37 @@ def udtf_split_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT t.* FROM udtf_docs, LATERAL split_tokens(doc_id, text) t"
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents",
+    tags=("udf", "arrow"),
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the zero-copy sibling of mapInPandas — the Python
+    function sees raw ``pyarrow.RecordBatch``es (no pandas conversion at
+    all), the right interchange for columnar-native Python libraries
+    (tokenizers, vectorized scorers) at scale. Computes UTF-8 byte
+    lengths with Arrow compute kernels, never materializing Python
+    objects per row."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def lengths(batches):
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(
+                        pc.binary_length(
+                            pc.cast(batch.column("text"), pa.binary())
+                        ),
+                        pa.int64(),
+                    ),
+                ],
+                names=["doc_id", "n_bytes"],
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(lengths, "doc_id long, n_bytes long")
