@@ -678,3 +678,61 @@ def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         return memory_sink_table(l2, "complete")
     finally:
         spark.conf.set(check_key, "true")
+
+
+@register(
+    "kinesis_sim_produce_roundtrip",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_records, COUNT(DISTINCT shard) AS n_shards
+    FROM (
+      SELECT lang,
+             CAST(('0x' || substr(md5(lang), 1, 8)) AS BIGINT) % 4 AS shard
+      FROM documents
+    )
+    GROUP BY lang
+    """,
+    tags=("streaming", "sink", "kinesis"),
+)
+def kinesis_sim_produce_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED producer → consumer round-trip through the kinesis_sim
+    DataSource: ``df.write.format("kinesis_sim")`` stages per-shard part
+    files on the executors and commits them in one deterministic driver
+    append (the two-phase exactly-once sink protocol — the KPL publish
+    path `Producer.scala:217-250` with its commit-after-publish
+    discipline), then the shard scan reads everything back. Unlike
+    `kinesis_sim_roundtrip` (driver-side ``put_records``), every record
+    here flows through Spark's DataSourceWriter task/commit machinery.
+    The oracle recomputes the md5-ring routing in SQL, so same-key →
+    same-shard must survive the distributed write."""
+    import shutil as _shutil
+
+    from lagom_kinesis_spark.catalog import load
+    from lagom_kinesis_spark.sources import KinesisSimDataSource
+
+    tune(spark)
+    try:
+        spark.dataSource.register(KinesisSimDataSource)
+    except Exception:
+        pass  # already registered in this session
+    d = f"/tmp/lagom_kinesis_spark/ksim/{abs(hash(sf_dir)) % 10**8}_produce"
+    _shutil.rmtree(d, ignore_errors=True)
+    records = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("data"),
+        F.col("lang").alias("partition_key"),
+    )
+    (
+        records.write.format("kinesis_sim")
+        .option("path", d)
+        .option("n_shards", "4")
+        .mode("append")
+        .save()
+    )
+    rec = spark.read.format("kinesis_sim").option("path", d).load()
+    return (
+        rec.select(F.col("partition_key").alias("lang"), "shard_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.countDistinct("shard_id").alias("n_shards"),
+        )
+    )

@@ -40,7 +40,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -183,6 +185,81 @@ class _StreamReader(DataSourceStreamReader):
         pass
 
 
+class _StagedParts(WriterCommitMessage):
+    """Commit message: the shard parts one task staged (shard index,
+    staged file path, record count)."""
+
+    def __init__(self, parts: list[tuple[int, str, int]]):
+        self.parts = parts
+
+
+class _Writer(DataSourceWriter):
+    """Distributed producer — the KPL-analogue publish path
+    (`Producer.scala:217-250`) as a transactional Spark sink.
+
+    Two-phase protocol (the standard exactly-once sink shape): each TASK
+    buckets its rows by ``shard_for(partition_key)`` and writes one
+    staged part file per shard (executor-side, parallel, no contention);
+    the driver's ``commit()`` then appends all staged parts to the
+    per-shard logs in one deterministic sorted order. A failed/retried
+    task stages to a fresh uuid path and only the committed attempt's
+    parts are appended — speculative or dead attempts are swept with the
+    staging dir, so records never publish twice (the engine-side half of
+    the reference's publish-then-save-offset contract,
+    `Producer.scala:202-215`).
+    """
+
+    def __init__(self, options, overwrite: bool):
+        self.stream_dir = options["path"]
+        self.n_shards = int(options.get("n_shards", "4"))
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _StagedParts:
+        import uuid as _uuid
+
+        stage_dir = os.path.join(self.stream_dir, "_staging", _uuid.uuid4().hex)
+        buckets: dict[int, list[str]] = {}
+        for row in iterator:
+            pk = row.partition_key
+            buckets.setdefault(shard_for(pk, self.n_shards), []).append(
+                json.dumps({"data": row.data, "partition_key": pk})
+            )
+        os.makedirs(stage_dir, exist_ok=True)
+        parts: list[tuple[int, str, int]] = []
+        for i, lines in sorted(buckets.items()):
+            p = os.path.join(stage_dir, f"{_shard_name(i)}.part")
+            with open(p, "w") as f:
+                f.write("\n".join(lines) + "\n")
+            parts.append((i, p, len(lines)))
+        return _StagedParts(parts)
+
+    def commit(self, messages) -> None:
+        import shutil
+
+        if self.overwrite:
+            for s in _shards_of(self.stream_dir):
+                shutil.rmtree(os.path.join(self.stream_dir, s), ignore_errors=True)
+        staged = sorted(
+            (part for m in messages if m is not None for part in m.parts),
+            key=lambda x: x[1],
+        )
+        for i, path, _n in staged:
+            dst = _shard_file(self.stream_dir, i)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            with open(path) as src, open(dst, "a") as out:
+                out.write(src.read())
+        # Materialize every shard dir so readers see the full shard ring
+        # even when a shard received no records.
+        for i in range(self.n_shards):
+            os.makedirs(os.path.dirname(_shard_file(self.stream_dir, i)), exist_ok=True)
+        shutil.rmtree(os.path.join(self.stream_dir, "_staging"), ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.stream_dir, "_staging"), ignore_errors=True)
+
+
 class KinesisSimDataSource(DataSource):
     """``spark.read.format("kinesis_sim").option("path", dir)`` — register
     with ``spark.dataSource.register(KinesisSimDataSource)``."""
@@ -199,3 +276,6 @@ class KinesisSimDataSource(DataSource):
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return _StreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return _Writer(self.options, overwrite)

@@ -132,3 +132,54 @@ def test_topic_layer_consumes_kinesis_sim(spark, stream_dir):
     topic.subscribe("g1").at_least_once(lambda df, eid: seen.append(df.count()))
     assert sum(seen) == 8
     shutil.rmtree(topic.checkpoint_base + "/" + topic.name, ignore_errors=True)
+
+
+def _write_df(spark, rows, stream_dir, mode="append", n_shards=4, partitions=None):
+    df = spark.createDataFrame(rows, "data string, partition_key string")
+    if partitions:
+        df = df.repartition(partitions)
+    (
+        df.write.format("kinesis_sim")
+        .option("path", stream_dir)
+        .option("n_shards", str(n_shards))
+        .mode(mode)
+        .save()
+    )
+
+
+def test_distributed_writer_append_and_overwrite(spark, stream_dir):
+    """df.write.format('kinesis_sim'): append accumulates, overwrite
+    resets the shard ring; routing matches shard_for on read-back."""
+    _registered(spark)
+    rows = [(f"m{i}", f"u{i % 5}") for i in range(40)]
+    _write_df(spark, rows, stream_dir)
+    back = spark.read.format("kinesis_sim").option("path", stream_dir).load()
+    assert back.count() == 40
+    _write_df(spark, rows, stream_dir)  # second append doubles
+    assert (
+        spark.read.format("kinesis_sim").option("path", stream_dir).load().count()
+        == 80
+    )
+    _write_df(spark, rows[:10], stream_dir, mode="overwrite")
+    left = spark.read.format("kinesis_sim").option("path", stream_dir).load()
+    assert left.count() == 10
+    for r in left.collect():
+        assert r["shard_id"] == f"shard-{shard_for(r['partition_key'], 4):05d}"
+
+
+def test_distributed_writer_single_producer_preserves_key_order(spark, stream_dir):
+    """One writer task (the reference's mapAsync(1) serialized publish,
+    Producer.scala:249): a key's records keep their publish order as
+    per-shard sequence numbers."""
+    _registered(spark)
+    rows = [(f"m{i}", "samekey") for i in range(20)]
+    _write_df(spark, rows, stream_dir, partitions=1)
+    got = (
+        spark.read.format("kinesis_sim")
+        .option("path", stream_dir)
+        .load()
+        .orderBy("sequence_number")
+        .collect()
+    )
+    assert [r["data"] for r in got] == [f"m{i}" for i in range(20)]
+    assert len({r["shard_id"] for r in got}) == 1  # same key → one shard
