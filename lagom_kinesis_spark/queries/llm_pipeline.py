@@ -671,3 +671,90 @@ def mix_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("u16") < F.col("t16"), 1)).alias("n_kept"),
         )
     )
+
+
+def _pi_oracle_iters(k: int) -> str:
+    """Unrolled power-iteration CTE chain v0 → v{k} (DuckDB)."""
+    out = []
+    for i in range(1, k + 1):
+        out.append(
+            f"""
+    d{i} AS (
+      SELECT vec_id, SUM(val * vv) AS dot
+      FROM vecs JOIN v{i-1} USING (dim) GROUP BY vec_id
+    ),
+    u{i} AS (
+      SELECT dim, SUM(val * dot) AS u
+      FROM vecs JOIN d{i} USING (vec_id) GROUP BY dim
+    ),
+    n{i} AS (SELECT sqrt(SUM(u * u)) AS nrm FROM u{i}),
+    v{i} AS (SELECT dim, u / nrm AS vv FROM u{i}, n{i})"""
+        )
+    return ",".join(out)
+
+
+@register(
+    "emb_power_iteration_pc1",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ),
+    v0 AS (
+      SELECT CAST(unnest(generate_series(0, 63)) AS INT) AS dim,
+             CAST(0.125 AS DOUBLE) AS vv
+    ),
+    {_pi_oracle_iters(3)},
+    s AS (
+      SELECT CASE WHEN vv >= 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END
+               AS sgn
+      FROM v3 WHERE dim = 0
+    )
+    SELECT dim, round(vv * sgn, 6) AS pc1 FROM v3, s
+    """,
+    tags=("llm", "embedding", "iterative", "scalar"),
+)
+def emb_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding matrix by THREE unrolled
+    matrix-free power iterations — the scalable spectral primitive
+    (v ← normalize(Xᵀ(Xv))): no covariance matrix is ever materialized,
+    only (vec,dim,val) triples joined against a d-row vector.
+
+    Each iteration is two partial-agg shuffles (dot per vec, projection
+    per dim) + one 1-row norm broadcast — at 100 TB the triples shuffle
+    partitions by vec_id/dim exactly like every other agg here, and d
+    stays executor-resident. Sign is pinned to dim 0 so the eigenvector
+    sign ambiguity can't flip the comparison. Determinism: double sums
+    rounded to 6 only at the end; sqrt is correctly rounded by IEEE on
+    both engines (the pow/log trap does not apply).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select("vec_id", "dim", F.col("v").cast("double").alias("val"))
+    v = spark.range(64).select(
+        F.col("id").cast("int").alias("dim"), F.lit(0.125).alias("vv")
+    )
+    for _ in range(3):
+        dots = (
+            vecs.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("val") * F.col("vv")).alias("dot"))
+        )
+        u = (
+            vecs.join(dots, "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("val") * F.col("dot")).alias("u"))
+        )
+        nrm = u.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nrm"))
+        v = u.crossJoin(F.broadcast(nrm)).select(
+            "dim", (F.col("u") / F.col("nrm")).alias("vv")
+        )
+    sgn = v.filter(F.col("dim") == 0).select(
+        F.when(F.col("vv") >= 0, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("sgn")
+    )
+    return v.crossJoin(F.broadcast(sgn)).select(
+        "dim", r6(F.col("vv") * F.col("sgn")).alias("pc1")
+    )
