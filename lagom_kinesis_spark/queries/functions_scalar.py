@@ -610,3 +610,32 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE '2024-03-01 12:00:00' END)"
         ).alias("maybe_ts"),
     )
+
+
+@register(
+    "fn_regexp_extended",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[aeiou]{2,}')) AS n_vowel_runs,
+           nullif(regexp_extract(lower(text), '[aeiou]{3,}'), '') AS first_triple,
+           len(regexp_extract_all(text, '[A-Z][a-z]+')) AS n_capitalized
+    FROM documents
+    """,
+    tags=("functions", "regexp"),
+)
+def fn_regexp_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended regexp family beyond LIKE/RLIKE: regexp_extract_all +
+    regexp_count (JVM regex, codegen'd) and regexp_substr with its
+    no-match→NULL contract (DuckDB's '' sentinel is nullif-normalized to
+    the same semantics). Patterns are engine-portable (no lookarounds,
+    no anchors) so Java regex and RE2 agree."""
+    d = load(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(low, F.lit("[aeiou]{2,}"), 0)).alias(
+            "n_vowel_runs"
+        ),
+        F.regexp_substr(low, F.lit("[aeiou]{3,}")).alias("first_triple"),
+        F.regexp_count(F.col("text"), F.lit("[A-Z][a-z]+")).alias("n_capitalized"),
+    )
