@@ -758,3 +758,92 @@ def emb_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.crossJoin(F.broadcast(sgn)).select(
         "dim", r6(F.col("vv") * F.col("sgn")).alias("pc1")
     )
+
+
+@register(
+    "pipeline_pretrain_corpus",
+    oracle=f"""
+    WITH deduped AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents GROUP BY md5(text)
+    ),
+    kept AS (
+      SELECT d.doc_id, d.source,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS tok,
+             substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS h
+      FROM documents d JOIN deduped k ON d.doc_id = k.doc_id
+      WHERE d.n_chars >= 100
+        AND len(string_split(d.text, ' ')) >= 20
+        AND ({_u16_sql("md5(CAST(d.doc_id AS VARCHAR))")}) < d.n_chars * 100
+    ),
+    packed AS (
+      SELECT source, tok,
+             CAST((CAST(SUM(tok) OVER (
+                PARTITION BY source ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               - tok) // 512 AS BIGINT) AS bin_id
+      FROM kept
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT bin_id) AS n_bins,
+           CAST(SUM(tok) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(tok) AS DOUBLE)
+                 / (COUNT(DISTINCT bin_id) * 512), 6) AS fill_ratio
+    FROM packed GROUP BY source
+    """,
+    tags=("llm", "pipeline", "scalar"),
+)
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled pretraining-corpus build as ONE declarative plan:
+    exact dedup (md5 hash-groupBy, canonical = min doc_id) → quality
+    gate (length + token floor) → weight-proportional sampling
+    (integer-hash threshold) → sequence packing into 512-token contexts
+    → per-source fill report.
+
+    Every stage reuses a proven standalone operator's shape
+    (dedup_exact, text_quality, sample_weighted_threshold,
+    pack_context_windows); composing them in one DataFrame expression
+    lets Catalyst pipeline the dedup join, filters and sampling into the
+    SAME pass over the corpus — no intermediate materialization between
+    stages, which is the point of a declarative 100 TB pipeline.
+    """
+    d = load(spark, sf_dir, "documents")
+    deduped = d.groupBy(F.md5(F.col("text").cast("binary"))).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    tokc = F.size(F.split("text", " ")).cast("long")
+    u16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    kept = (
+        d.join(deduped, "doc_id")
+        .filter(
+            (F.col("n_chars") >= 100) & (tokc >= 20) & (u16 < F.col("n_chars") * 100)
+        )
+        .select(
+            "doc_id",
+            "source",
+            tokc.alias("tok"),
+            _md5_prefix(F.col("doc_id"), 8).alias("h"),
+        )
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = kept.withColumn("cum", F.sum("tok").over(w)).withColumn(
+        "bin_id", F.expr("(cum - tok) div 512")
+    )
+    return packed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("bin_id").alias("n_bins"),
+        F.sum("tok").alias("n_tokens"),
+        r6(
+            F.sum("tok").cast("double")
+            / (F.countDistinct("bin_id") * 512)
+        ).alias("fill_ratio"),
+    )
