@@ -75,3 +75,42 @@ def test_agg_sum_equals_python(spark, rows):
     got = df.agg(F.sum("v")).collect()[0][0]
     expected = sum(v for _, v in rows) if rows else None
     assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=12), min_size=1, max_size=15
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    theta=st.sampled_from([0.3, 0.4, 0.5, 0.7]),
+)
+@settings(max_examples=200, deadline=None)
+def test_prefix_filter_bound_is_lossless(docs, theta):
+    """The prefix-length bound dedup_prefix_filter_join relies on: with
+    prefix length n − ceil(θ·n) + 1 under ANY total token order, every
+    pair with Jaccard ≥ θ shares a probe-prefix token with the other
+    doc's FULL set. Pure-python replica of the exact formula (float
+    ceil math identical to the Spark expression)."""
+    import math
+    from collections import Counter
+
+    sets = [frozenset(d) for d in docs]
+    freq = Counter(t for s in sets for t in s)
+    order = lambda t: (freq[t], t)  # noqa: E731  rare-first, same as operator
+
+    def prefix(s):
+        n = len(s)
+        plen = n - math.ceil(theta * n) + 1
+        return set(sorted(s, key=order)[:plen])
+
+    for i in range(len(sets)):
+        for j in range(len(sets)):
+            if i == j:
+                continue
+            a, b = sets[i], sets[j]
+            jac = len(a & b) / len(a | b)
+            if jac >= theta:
+                assert prefix(a) & b, (sorted(a), sorted(b), theta)
