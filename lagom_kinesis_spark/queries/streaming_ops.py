@@ -736,3 +736,41 @@ def kinesis_sim_produce_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
             F.countDistinct("shard_id").alias("n_shards"),
         )
     )
+
+
+@register(
+    "stream_append_finalized_windows",
+    oracle=events_cte(
+        """
+    , wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT (epoch_us(time_bucket(INTERVAL '5 minutes', ts)) // 1000000)
+             AS bucket_start,
+           event_type, COUNT(*) AS n
+    FROM events, wm
+    WHERE time_bucket(INTERVAL '5 minutes', ts) + INTERVAL 5 MINUTE <= w
+    GROUP BY 1, 2
+    """
+    ),
+    tags=("streaming", "window", "watermark"),
+)
+def stream_append_finalized_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode tumbling windows: a window row is emitted exactly once,
+    when the 10-minute watermark passes its end — the emit-on-close
+    contract downstream consumers rely on for exactly-once window
+    delivery (contrast `stream_tumbling_window`'s complete-mode refresh).
+    Windows still open at end of replay stay in state, unemitted: the
+    oracle is the closed-window subset (end ≤ max ts − delay), NOT the
+    full aggregate — that asymmetry IS the semantics under test.
+    """
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("bucket_start"),
+            "event_type",
+            "n",
+        )
+    )
+    return memory_sink_table(agg, "append")
