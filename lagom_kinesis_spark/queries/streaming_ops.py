@@ -774,3 +774,68 @@ def stream_append_finalized_windows(spark: SparkSession, sf_dir: str) -> DataFra
         )
     )
     return memory_sink_table(agg, "append")
+
+
+@register(
+    "stream_relay_to_kinesis",
+    oracle=events_cte(
+        """
+    SELECT event_type AS partition_key, COUNT(*) AS n_records,
+           COUNT(DISTINCT CAST(('0x' || substr(md5(event_type), 1, 8)) AS BIGINT) % 4)
+             AS n_shards
+    FROM events GROUP BY event_type
+    """
+    ),
+    tags=("streaming", "sink", "kinesis"),
+)
+def stream_relay_to_kinesis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core dataflow end-to-end on simulated transport:
+    consume the events topic as a stream, and per micro-batch PRODUCE
+    every record to a kinesis_sim stream through the distributed
+    DataSourceWriter (`foreachBatch` + format("kinesis_sim") — the
+    subscriber→flow→producer relay `Producer.scala:186-215` runs for
+    every topic pair), then scan the produced stream back per shard.
+    Epoch-staged writer commits make a replayed batch append-idempotent
+    at the staging level; the oracle recomputes the md5-ring routing, so
+    payload counts AND key→shard placement must survive the relay.
+    """
+    import shutil as _shutil
+
+    from lagom_kinesis_spark.sources import KinesisSimDataSource
+
+    tune(spark)
+    try:
+        spark.dataSource.register(KinesisSimDataSource)
+    except Exception:
+        pass  # already registered in this session
+    d = f"/tmp/lagom_kinesis_spark/ksim/{abs(hash(sf_dir)) % 10**8}_relay"
+    _shutil.rmtree(d, ignore_errors=True)
+
+    def flow(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.select(
+                F.col("event_id").cast("string").alias("data"),
+                F.col("event_type").alias("partition_key"),
+            )
+            .write.format("kinesis_sim")
+            .option("path", d)
+            .option("n_shards", "4")
+            .mode("append")
+            .save()
+        )
+
+    q = (
+        events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(flow)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    rec = spark.read.format("kinesis_sim").option("path", d).load()
+    return rec.groupBy("partition_key").agg(
+        F.count("*").alias("n_records"),
+        F.countDistinct("shard_id").alias("n_shards"),
+    )
