@@ -608,3 +608,40 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("mode_count"),
         )
     )
+
+
+@register(
+    "sql_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 6) AS o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    WHERE c.c_custkey % 10 = 0
+    """,
+    tags=("sql", "join", "lateral"),
+)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 orders per customer): the
+    per-row-subquery surface every SQL user reaches for before learning
+    window functions. Catalyst DECORRELATES it into a join + per-group
+    limit — same result as `win_topk_per_group`'s formulation, via the
+    rewrite path; the plan must never execute the subquery per row."""
+    from lagom_kinesis_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 6) AS o_totalprice
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_custkey % 10 = 0
+        """
+    )
