@@ -730,3 +730,44 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("mergeSchema", True).parquet(tmp).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+@register(
+    "dq_constraint_report",
+    oracle="""
+    SELECT
+      COUNT(*) AS n_rows,
+      CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_keys,
+      CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS null_custkey,
+      CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT) AS nonpositive_price,
+      CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P'))
+           AS BIGINT) AS bad_status,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM customer c
+                         WHERE c.c_custkey = o.o_custkey)) AS orphan_custkeys
+    FROM orders
+    """,
+    tags=("quality", "agg", "join"),
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint report (the Deequ-style ingest gate a
+    100 TB pipeline runs before promoting a batch): row count, primary-key
+    uniqueness, null rate, value-range and domain violations in ONE
+    aggregate pass, plus referential orphans as a broadcast anti-join —
+    no per-constraint rescans."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    orphans = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("orphan_custkeys"))
+    )
+    report = o.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("dup_keys"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_custkey"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("nonpositive_price"),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+        ).alias("bad_status"),
+    )
+    return report.crossJoin(F.broadcast(orphans))
