@@ -251,3 +251,107 @@ def behavior_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFra
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
     )
+
+
+@register(
+    "behavior_markov_transitions",
+    oracle=events_cte(
+        """
+    , seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    tot AS (
+      SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_from
+      FROM pairs GROUP BY prev_type
+    )
+    SELECT p.prev_type, p.event_type, p.n,
+           round(CAST(p.n AS DOUBLE) / CAST(t.n_from AS DOUBLE), 6) AS prob
+    FROM pairs p JOIN tot t ON p.prev_type = t.prev_type
+    """
+    ),
+    tags=("behavior", "window", "agg"),
+)
+def behavior_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event journeys:
+    P(next event type | current), from lag pairs within each user's
+    time-ordered stream.
+
+    The only window is per-user lag (partitioned, one exchange on
+    user_id); pair counting and row-normalization are hash aggregates
+    over type² ≤ tiny cardinality. Tie order pinned by (ts, event_id)
+    so the pair sequence is deterministic.
+    """
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", "event_type").agg(F.count("*").alias("n"))
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    return pairs.join(tot, "prev_type").select(
+        "prev_type",
+        "event_type",
+        "n",
+        r6(F.col("n").cast("double") / F.col("n_from").cast("double")).alias(
+            "prob"
+        ),
+    )
+
+
+@register(
+    "behavior_rfm_scores",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, last_order, frequency, monetary,
+           ntile(4) OVER (ORDER BY last_order, o_custkey) AS r_quartile,
+           ntile(4) OVER (ORDER BY frequency, o_custkey) AS f_quartile,
+           ntile(4) OVER (ORDER BY monetary, o_custkey) AS m_quartile
+    FROM base
+    """,
+    tags=("behavior", "window", "agg"),
+)
+def behavior_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring: recency/frequency/monetary per customer,
+    each bucketed into quartiles — the classic segmentation every
+    commerce analytics stack ships.
+
+    The per-customer aggregate reduces the fact table first; the ntile
+    windows run over customer-cardinality rows. They are global-ordered
+    windows BY DESIGN (quartiles are global statements) — at true scale
+    the same scores come from approx_percentile boundaries + a map-side
+    bucket join; ties pinned by custkey keep both engines identical.
+    """
+    from lagom_kinesis_spark.functions import dec, money
+
+    o = load(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        money(F.sum(dec("o_totalprice"))).alias("monetary"),
+    )
+    return base.select(
+        "o_custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(W.orderBy("last_order", "o_custkey")).alias("r_quartile"),
+        F.ntile(4).over(W.orderBy("frequency", "o_custkey")).alias("f_quartile"),
+        F.ntile(4).over(W.orderBy("monetary", "o_custkey")).alias("m_quartile"),
+    )
