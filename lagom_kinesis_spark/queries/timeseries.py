@@ -271,3 +271,43 @@ def ts_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("hi").alias("max_value"),
         F.count("*").alias("n_populated_5m"),
     )
+
+
+@register(
+    "ts_rolling_hour_sum",
+    oracle=events_cte(
+        """
+    SELECT event_id, event_type,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY event_type
+             ORDER BY epoch_us(ts) // 1000000
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 6) AS rolling_1h
+    FROM events
+    """
+    ),
+    tags=("timeseries", "window"),
+)
+def ts_rolling_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based rolling aggregate: per-series sum of the trailing hour
+    at EVERY event (not bucketed) — the true sliding-window statistic,
+    via a RANGE frame over epoch seconds (Spark's RANGE frames are
+    numeric, so both engines order by the identical integer).
+
+    RANGE (not ROWS) makes same-second ties frame-stable, so the result
+    is deterministic under any shuffle order. Partitioned per series;
+    the frame is time-bounded, so executor memory tracks event rate ×
+    1 hour, never total history. Decimal accumulation end to end.
+    """
+    e = load(spark, sf_dir, "events")
+    sec = F.expr("unix_micros(ts) div 1000000")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(sec.alias("sec"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        money(F.sum(dec("value")).over(w)).alias("rolling_1h"),
+    )
