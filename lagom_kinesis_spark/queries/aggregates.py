@@ -645,3 +645,23 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey % 10 = 0
         """
     )
+
+
+@register("agg_hll_sketch_union", oracle=None, tags=("agg", "approx", "sketch"))
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches, Spark 3.5+): per-group
+    `hll_sketch_agg` partials unioned with `hll_union_agg` into a global
+    distinct estimate — THE 100 TB distinct-count architecture (each
+    partition/day/segment builds its sketch once; any rollup is a cheap
+    union of fixed-size binaries, never a re-scan). Rows-only by design
+    (sketch binaries are engine-specific); the exact-vs-estimate
+    tolerance is asserted in tests/test_operators.py."""
+    o = load(spark, sf_dir, "orders")
+    per_prio = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_in_group"),
+    )
+    return per_prio.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_total_custkeys"),
+        F.sum("exact_in_group").alias("sum_groupwise_exact"),
+    )

@@ -9,6 +9,8 @@ the DuckDB oracle can mirror it.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -179,3 +181,27 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInArrow(lengths, "doc_id long, n_bytes long")
+
+
+@register(
+    "udf_pandas_iter",
+    oracle="""
+    SELECT doc_id, n_chars * 2 AS double_chars FROM documents
+    """,
+    tags=("udf", "pandas"),
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF (SCALAR_ITER): the variant for
+    expensive per-worker initialization (model load, tokenizer build) —
+    setup runs once per PARTITION, then streams Arrow batches through
+    the same process, instead of paying init per batch like plain
+    SCALAR. The fixture 'model' is a trivial doubler; the contract under
+    test is the iterator batching shape."""
+    @F.pandas_udf("long")
+    def double_it(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        factor = 2  # expensive init would happen here, once per partition
+        for s in batches:
+            yield s * factor
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", double_it(F.col("n_chars")).alias("double_chars"))

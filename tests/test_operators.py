@@ -150,3 +150,16 @@ def test_observation_metrics(spark):
     m = obs.get
     assert m["rows_seen"] > out > 0
     assert m["total_qty"] > 0
+
+
+def test_hll_sketch_union_within_tolerance(spark):
+    """The unioned-sketch estimate must be within 5% of the exact global
+    distinct count (HLL lgK default ≈ 12 → ~1.6% typical error)."""
+    from lagom_kinesis_spark.catalog import load
+    from tests.conftest import SF_DIR
+
+    row = QS["agg_hll_sketch_union"].fn(spark, SF_DIR).collect()[0]
+    exact = (
+        load(spark, SF_DIR, "orders").select("o_custkey").distinct().count()
+    )
+    assert abs(row["est_total_custkeys"] - exact) <= max(2, 0.05 * exact)
