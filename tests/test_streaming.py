@@ -93,3 +93,89 @@ def test_rocksdb_state_store_provider(spark):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_event_time_timeout_evicts_idle_keys(spark, tmp_path):
+    """GroupStateTimeout.EventTimeTimeout: a key idle past its timeout
+    timestamp is evicted when the watermark passes it — the session-expiry
+    contract for arbitrary stateful operators (the half of
+    stream_arbitrary_state's API surface a single-batch replay can't show).
+    Two bounded availableNow runs share one checkpoint: run 2's later
+    events advance the watermark and fire run 1's timeouts."""
+    import glob
+    import os
+    import shutil
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def add_file(idx, rows):
+        stage = str(tmp_path / f"stage{idx}")
+        spark.createDataFrame(rows, "user string, ts timestamp, v long").coalesce(
+            1
+        ).write.parquet(stage)
+        shutil.copy(
+            glob.glob(f"{stage}/part-*.parquet")[0], f"{src}/{idx:05d}.parquet"
+        )
+
+    def track(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            (n,) = state.get
+            yield pd.DataFrame(
+                {"user": [key[0]], "status": ["evicted"], "n": [n]}
+            )
+            state.remove()
+            return
+        n = state.get[0] if state.exists else 0
+        last_ms = 0
+        for pdf in pdfs:
+            n += len(pdf)
+            last_ms = max(last_ms, int(pdf["ts"].max().timestamp() * 1000))
+        state.update((n,))
+        # expire 5 minutes of event time after the key's last event
+        state.setTimeoutTimestamp(last_ms + 5 * 60 * 1000)
+        yield pd.DataFrame({"user": [key[0]], "status": ["active"], "n": [n]})
+
+    def run(name):
+        # foreachBatch sink: the memory sink cannot recover from a
+        # checkpoint, and recovery across runs is the point of this test.
+        emitted: list = []
+        q = (
+            spark.readStream.schema("user string, ts timestamp, v long")
+            .parquet(src)
+            .withWatermark("ts", "1 minute")
+            .groupBy("user")
+            .applyInPandasWithState(
+                track,
+                outputStructType="user string, status string, n long",
+                stateStructType="n long",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+            .writeStream.foreachBatch(
+                lambda bdf, eid: emitted.extend(bdf.collect())
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        return {(r["user"], r["status"]): r["n"] for r in emitted}
+
+    add_file(0, [("a", t0, 1), ("a", t0 + timedelta(minutes=1), 2), ("b", t0, 3)])
+    first = run("ett_run1")
+    assert first[("a", "active")] == 2 and first[("b", "active")] == 1
+
+    # 30 minutes later: watermark sweeps past a's and b's timeout stamps.
+    add_file(1, [("c", t0 + timedelta(minutes=30), 4)])
+    second = run("ett_run2")
+    assert second[("c", "active")] == 1
+    assert second[("a", "evicted")] == 2, second
+    assert second[("b", "evicted")] == 1, second
