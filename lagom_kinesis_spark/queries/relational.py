@@ -771,3 +771,23 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bad_status"),
     )
     return report.crossJoin(F.broadcast(orphans))
+
+
+@register(
+    "scan_parquet_codec_zstd",
+    oracle="SELECT p_partkey, p_name, round(p_retailprice, 6) AS p_retailprice FROM part",
+    tags=("scan", "parquet", "codec"),
+)
+def scan_parquet_codec_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-controlled parquet roundtrip (zstd): at 100 TB the
+    storage/CPU codec tradeoff is a first-class knob — zstd typically
+    halves footprint vs snappy for ~equal scan speed; correctness must
+    be codec-invariant, which the identity oracle checks."""
+    tmp = f"/tmp/lagom_kinesis_spark/io/part_zstd_{abs(hash(sf_dir)) % 10**8}"
+    load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice"
+    ).write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+    back = spark.read.parquet(tmp)
+    return back.select(
+        "p_partkey", "p_name", F.round("p_retailprice", 6).alias("p_retailprice")
+    )
