@@ -839,3 +839,57 @@ def stream_relay_to_kinesis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_records"),
         F.countDistinct("shard_id").alias("n_shards"),
     )
+
+
+@register(
+    "kinesis_sim_reshard_roundtrip",
+    oracle="""
+    SELECT CASE
+             WHEN doc_id % 2 = 0 THEN 'shard-00000'
+             WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) < 2147483648 THEN 'shard-00001'
+             ELSE 'shard-00002'
+           END AS shard_id,
+           COUNT(*) AS n_records
+    FROM documents GROUP BY 1
+    """,
+    tags=("streaming", "source", "kinesis", "reshard"),
+)
+def kinesis_sim_reshard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kinesis SplitShard semantics end-to-end: records published before
+    the split land in the (now CLOSED, still fully readable — SHARD_END)
+    parent; after the split the producer routes each key's md5 hash32
+    into whichever child owns that half of the parent's range. The scan
+    reads parent AND children (one lease/partition each); the oracle
+    recomputes the pre/post routing arithmetic — range containment must
+    survive the reshard exactly."""
+    import shutil as _shutil
+
+    from lagom_kinesis_spark.catalog import load
+    from lagom_kinesis_spark.sources import KinesisSimDataSource
+    from lagom_kinesis_spark.sources.kinesis_sim import (
+        create_stream,
+        put_records_ranged,
+        split_shard,
+    )
+
+    tune(spark)
+    try:
+        spark.dataSource.register(KinesisSimDataSource)
+    except Exception:
+        pass  # already registered in this session
+    d = f"/tmp/lagom_kinesis_spark/ksim/{abs(hash(sf_dir)) % 10**8}_reshard"
+    _shutil.rmtree(d, ignore_errors=True)
+    create_stream(d, n_shards=1)
+    import pyarrow.parquet as _pq
+
+    from lagom_kinesis_spark.catalog import path_of
+
+    ids = _pq.read_table(path_of(sf_dir, "documents"), columns=["doc_id"])[
+        "doc_id"
+    ].to_pylist()
+    put_records_ranged(d, [(str(i), str(i)) for i in ids if i % 2 == 0])
+    split_shard(d, "shard-00000")
+    put_records_ranged(d, [(str(i), str(i)) for i in ids if i % 2 == 1])
+    rec = spark.read.format("kinesis_sim").option("path", d).load()
+    return rec.groupBy("shard_id").agg(F.count("*").alias("n_records"))

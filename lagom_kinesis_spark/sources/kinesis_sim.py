@@ -279,3 +279,117 @@ class KinesisSimDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
         return _Writer(self.options, overwrite)
+
+
+# ---------------------------------------------------------------------------
+# Resharding (hash-range shard model)
+#
+# Kinesis proper routes by MD5 hash RANGE, and resharding splits a parent
+# shard's range between two children: the parent is CLOSED (its records
+# remain readable to the end — SHARD_END), and new records route to
+# whichever child's range contains the key hash. Consumers must drain the
+# parent before its children to keep per-key order (the KCL lease rule the
+# reference inherits). The simulator keeps the same record/file layout and
+# adds a `shards.json` descriptor carrying ranges, status and parentage.
+# Ranges live in the 32-bit prefix space of md5 (granular enough for a
+# simulator, and representable in every engine's BIGINT for oracles).
+# ---------------------------------------------------------------------------
+
+_META = "shards.json"
+_RANGE_SPACE = 1 << 32
+
+
+def hash32(partition_key: str) -> int:
+    """First 8 md5 hex chars as uint32 — the range-routing hash (oracle
+    mirror: CAST(('0x' || substr(md5(pk), 1, 8)) AS BIGINT))."""
+    return int(hashlib.md5(partition_key.encode()).hexdigest()[:8], 16)
+
+
+def _load_meta(stream_dir: str) -> list[dict]:
+    with open(os.path.join(stream_dir, _META)) as f:
+        return json.load(f)
+
+
+def _save_meta(stream_dir: str, shards: list[dict]) -> None:
+    os.makedirs(stream_dir, exist_ok=True)
+    with open(os.path.join(stream_dir, _META), "w") as f:
+        json.dump(shards, f, indent=1)
+
+
+def create_stream(stream_dir: str, n_shards: int = 1) -> list[dict]:
+    """Initialize a ranged stream: n open shards splitting [0, 2^32)."""
+    step = _RANGE_SPACE // n_shards
+    shards = [
+        {
+            "id": _shard_name(i),
+            "lo": i * step,
+            "hi": (i + 1) * step if i < n_shards - 1 else _RANGE_SPACE,
+            "status": "OPEN",
+            "parents": [],
+        }
+        for i in range(n_shards)
+    ]
+    _save_meta(stream_dir, shards)
+    for s in shards:
+        os.makedirs(os.path.join(stream_dir, s["id"]), exist_ok=True)
+    return shards
+
+
+def split_shard(stream_dir: str, shard_id: str) -> tuple[str, str]:
+    """Kinesis SplitShard: close the parent, create two children covering
+    the halves of its hash range. Returns the child ids."""
+    shards = _load_meta(stream_dir)
+    by_id = {s["id"]: s for s in shards}
+    parent = by_id[shard_id]
+    if parent["status"] != "OPEN":
+        raise ValueError(f"{shard_id} is not OPEN")
+    parent["status"] = "CLOSED"
+    mid = (parent["lo"] + parent["hi"]) // 2
+    next_idx = len(shards)
+    children = []
+    for lo, hi in ((parent["lo"], mid), (mid, parent["hi"])):
+        child = {
+            "id": _shard_name(next_idx),
+            "lo": lo,
+            "hi": hi,
+            "status": "OPEN",
+            "parents": [shard_id],
+        }
+        os.makedirs(os.path.join(stream_dir, child["id"]), exist_ok=True)
+        shards.append(child)
+        children.append(child["id"])
+        next_idx += 1
+    _save_meta(stream_dir, shards)
+    return children[0], children[1]
+
+
+def put_records_ranged(
+    stream_dir: str, records: list[tuple[str, str]]
+) -> dict[str, int]:
+    """Route (data, partition_key) records to the OPEN shard whose hash
+    range contains hash32(pk) — the post-reshard producer path."""
+    shards = [s for s in _load_meta(stream_dir) if s["status"] == "OPEN"]
+    buckets: dict[str, list[str]] = {}
+    for data, pk in records:
+        h = hash32(pk)
+        target = next(s["id"] for s in shards if s["lo"] <= h < s["hi"])
+        buckets.setdefault(target, []).append(
+            json.dumps({"data": data, "partition_key": pk})
+        )
+    tips: dict[str, int] = {}
+    for sid, lines in buckets.items():
+        path = os.path.join(stream_dir, sid, "records.jsonl")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "a") as f:
+            f.write("\n".join(lines) + "\n")
+    for s in _load_meta(stream_dir):
+        tips[s["id"]] = _count_records(
+            os.path.join(stream_dir, s["id"], "records.jsonl")
+        )
+    return tips
+
+
+def shard_lineage(stream_dir: str) -> dict[str, list[str]]:
+    """shard id → parent ids; consumers drain parents before children
+    (per-key order across a reshard — the KCL lease ordering rule)."""
+    return {s["id"]: s["parents"] for s in _load_meta(stream_dir)}

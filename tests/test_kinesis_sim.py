@@ -183,3 +183,55 @@ def test_distributed_writer_single_producer_preserves_key_order(spark, stream_di
     )
     assert [r["data"] for r in got] == [f"m{i}" for i in range(20)]
     assert len({r["shard_id"] for r in got}) == 1  # same key → one shard
+
+
+def test_split_shard_routing_and_order(spark, stream_dir):
+    """SplitShard contract: parent closes but stays readable, children own
+    the range halves, post-split records route by containment, and a hot
+    key's records stay ordered parent-before-child."""
+    from lagom_kinesis_spark.sources.kinesis_sim import (
+        _load_meta,
+        create_stream,
+        hash32,
+        put_records_ranged,
+        shard_lineage,
+        split_shard,
+    )
+
+    _registered(spark)
+    create_stream(stream_dir, n_shards=1)
+    put_records_ranged(stream_dir, [(f"pre{i}", f"k{i % 7}") for i in range(21)])
+    left, right = split_shard(stream_dir, "shard-00000")
+    put_records_ranged(stream_dir, [(f"post{i}", f"k{i % 7}") for i in range(21)])
+
+    meta = {s["id"]: s for s in _load_meta(stream_dir)}
+    assert meta["shard-00000"]["status"] == "CLOSED"
+    assert meta[left]["lo"] == 0 and meta[right]["hi"] == 1 << 32
+    assert meta[left]["hi"] == meta[right]["lo"] == 1 << 31
+    assert shard_lineage(stream_dir)[left] == ["shard-00000"]
+
+    rows = (
+        spark.read.format("kinesis_sim").option("path", stream_dir).load().collect()
+    )
+    assert len(rows) == 42  # parent remains readable after close
+    for r in rows:
+        if r["data"].startswith("pre"):
+            assert r["shard_id"] == "shard-00000"
+        else:
+            h = hash32(r["partition_key"])
+            s = meta[r["shard_id"]]
+            assert s["lo"] <= h < s["hi"]  # range containment post-split
+    # per-key order: drain parent before children (KCL lease rule) —
+    # within that discipline every key's records appear in publish order.
+    for key in {f"k{i}" for i in range(7)}:
+        ordered = [
+            r["data"]
+            for shard in ("shard-00000", left, right)
+            for r in sorted(
+                (x for x in rows if x["partition_key"] == key and x["shard_id"] == shard),
+                key=lambda x: x["sequence_number"],
+            )
+        ]
+        pres = [d for d in ordered if d.startswith("pre")]
+        posts = [d for d in ordered if d.startswith("post")]
+        assert ordered == pres + posts  # no child record before a parent one
