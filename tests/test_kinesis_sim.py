@@ -235,3 +235,45 @@ def test_split_shard_routing_and_order(spark, stream_dir):
         pres = [d for d in ordered if d.startswith("pre")]
         posts = [d for d in ordered if d.startswith("post")]
         assert ordered == pres + posts  # no child record before a parent one
+
+
+def test_stream_reader_discovers_children_after_split(spark, stream_dir, tmp_path):
+    """A checkpointed streaming consumer picks up NEW child shards created
+    by a mid-stream reshard: run 1 drains the parent, run 2 reads only
+    the post-split records from the children (offsets for unseen shards
+    start at TRIM_HORIZON)."""
+    from lagom_kinesis_spark.sources.kinesis_sim import (
+        create_stream,
+        put_records_ranged,
+        split_shard,
+    )
+
+    _registered(spark)
+    ck = str(tmp_path / "ck_reshard")
+    create_stream(stream_dir, n_shards=1)
+    put_records_ranged(stream_dir, [(f"pre{i}", f"k{i}") for i in range(10)])
+
+    def run():
+        got: list = []
+        q = (
+            spark.readStream.format("kinesis_sim")
+            .option("path", stream_dir)
+            .load()
+            .writeStream.foreachBatch(lambda b, e: got.extend(b.collect()))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        return got
+
+    first = run()
+    assert len(first) == 10 and all(r["shard_id"] == "shard-00000" for r in first)
+
+    split_shard(stream_dir, "shard-00000")
+    put_records_ranged(stream_dir, [(f"post{i}", f"k{i}") for i in range(10)])
+    second = run()
+    assert len(second) == 10  # only the new records — no parent replay
+    assert all(r["data"].startswith("post") for r in second)
+    assert {r["shard_id"] for r in second} <= {"shard-00001", "shard-00002"}
