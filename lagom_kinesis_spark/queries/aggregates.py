@@ -665,3 +665,34 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_total_custkeys"),
         F.sum("exact_in_group").alias("sum_groupwise_exact"),
     )
+
+
+@register(
+    "agg_listagg_ordered",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(o_orderpriority, '|' ORDER BY o_orderdate, o_orderkey)
+             AS priorities
+    FROM orders WHERE o_custkey % 50 = 0
+    GROUP BY o_custkey
+    """,
+    tags=("agg", "string"),
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG ... WITHIN GROUP, SQL:2016 /
+    Spark 4): per-customer priority history concatenated in
+    (o_orderdate, o_orderkey) order — the unique tiebreak makes the
+    concatenation deterministic on any engine (an unordered LISTAGG is
+    shuffle-order-dependent and can never hash-match)."""
+    from lagom_kinesis_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_custkey,
+               listagg(o_orderpriority, '|')
+                 WITHIN GROUP (ORDER BY o_orderdate, o_orderkey) AS priorities
+        FROM orders WHERE o_custkey % 50 = 0
+        GROUP BY o_custkey
+        """
+    )

@@ -393,3 +393,27 @@ def shard_lineage(stream_dir: str) -> dict[str, list[str]]:
     """shard id → parent ids; consumers drain parents before children
     (per-key order across a reshard — the KCL lease ordering rule)."""
     return {s["id"]: s["parents"] for s in _load_meta(stream_dir)}
+
+
+def merge_shards(stream_dir: str, left_id: str, right_id: str) -> str:
+    """Kinesis MergeShards: close two ADJACENT open shards, create one
+    child owning their combined hash range. Returns the child id."""
+    shards = _load_meta(stream_dir)
+    by_id = {s["id"]: s for s in shards}
+    a, b = by_id[left_id], by_id[right_id]
+    if a["status"] != "OPEN" or b["status"] != "OPEN":
+        raise ValueError("both shards must be OPEN")
+    if a["hi"] != b["lo"]:
+        raise ValueError(f"{left_id} and {right_id} are not adjacent")
+    a["status"] = b["status"] = "CLOSED"
+    child = {
+        "id": _shard_name(len(shards)),
+        "lo": a["lo"],
+        "hi": b["hi"],
+        "status": "OPEN",
+        "parents": [left_id, right_id],
+    }
+    os.makedirs(os.path.join(stream_dir, child["id"]), exist_ok=True)
+    shards.append(child)
+    _save_meta(stream_dir, shards)
+    return child["id"]

@@ -277,3 +277,51 @@ def test_stream_reader_discovers_children_after_split(spark, stream_dir, tmp_pat
     assert len(second) == 10  # only the new records — no parent replay
     assert all(r["data"].startswith("post") for r in second)
     assert {r["shard_id"] for r in second} <= {"shard-00001", "shard-00002"}
+
+
+def test_merge_shards_combines_ranges(spark, stream_dir):
+    """MergeShards: both parents close, the child owns the union range and
+    receives all subsequent traffic; parents stay readable."""
+    from lagom_kinesis_spark.sources.kinesis_sim import (
+        _load_meta,
+        create_stream,
+        merge_shards,
+        put_records_ranged,
+    )
+
+    _registered(spark)
+    create_stream(stream_dir, n_shards=2)
+    put_records_ranged(stream_dir, [(f"pre{i}", f"k{i}") for i in range(12)])
+    child = merge_shards(stream_dir, "shard-00000", "shard-00001")
+    put_records_ranged(stream_dir, [(f"post{i}", f"k{i}") for i in range(12)])
+    meta = {s["id"]: s for s in _load_meta(stream_dir)}
+    assert meta[child]["lo"] == 0 and meta[child]["hi"] == 1 << 32
+    assert meta[child]["parents"] == ["shard-00000", "shard-00001"]
+    rows = (
+        spark.read.format("kinesis_sim").option("path", stream_dir).load().collect()
+    )
+    assert len(rows) == 24
+    assert all(
+        r["shard_id"] == child for r in rows if r["data"].startswith("post")
+    )
+
+
+def test_writer_abort_sweeps_staging(spark, stream_dir):
+    """An aborted distributed write publishes nothing: staged parts are
+    swept, the stream is unchanged."""
+    import os
+
+    from pyspark.sql import Row
+
+    from lagom_kinesis_spark.sources.kinesis_sim import _Writer
+
+    w = _Writer({"path": stream_dir, "n_shards": "2"}, overwrite=False)
+    msg = w.write(iter([Row(data="x", partition_key="a")]))
+    assert os.path.isdir(os.path.join(stream_dir, "_staging"))
+    w.abort([msg])
+    assert not os.path.isdir(os.path.join(stream_dir, "_staging"))
+    _registered(spark)
+    assert (
+        spark.read.format("kinesis_sim").option("path", stream_dir).load().count()
+        == 0
+    )
