@@ -639,3 +639,28 @@ def fn_regexp_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_substr(low, F.lit("[aeiou]{3,}")).alias("first_triple"),
         F.regexp_count(F.col("text"), F.lit("[A-Z][a-z]+")).alias("n_capitalized"),
     )
+
+
+@register(
+    "fn_printf_format",
+    oracle="""
+    SELECT s_suppkey,
+           printf('SUP-%05d', s_suppkey) AS sup_code,
+           printf('%s/%d', s_name, s_nationkey) AS name_nation,
+           lpad(CAST(s_suppkey AS VARCHAR), 8, '0') AS padded
+    FROM supplier
+    """,
+    tags=("functions", "string"),
+)
+def fn_printf_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style formatting (format_string) + lpad — the key/code
+    synthesis idiom for surrogate identifiers. Integer/string conversions
+    only (no locale-dependent float formatting, which diverges across
+    engines)."""
+    s = load(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.format_string("SUP-%05d", "s_suppkey").alias("sup_code"),
+        F.format_string("%s/%d", "s_name", "s_nationkey").alias("name_nation"),
+        F.lpad(F.col("s_suppkey").cast("string"), 8, "0").alias("padded"),
+    )

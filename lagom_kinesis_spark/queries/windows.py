@@ -353,3 +353,53 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderkey", 2).over(w).alias("second_cheapest"),
         F.nth_value("o_orderkey", 3).over(w).alias("third_cheapest"),
     )
+
+
+@register(
+    "win_ratio_to_report",
+    oracle="""
+    WITH nat AS (
+      SELECT n.n_regionkey AS regionkey, c.c_nationkey AS nationkey,
+             round(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+               AS nation_rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT regionkey, nationkey, nation_rev,
+           round(nation_rev / SUM(nation_rev) OVER (PARTITION BY regionkey), 6)
+             AS region_share
+    FROM nat
+    """,
+    tags=("window", "agg"),
+)
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's revenue — the
+    percent-of-total idiom (unordered partition window over PRE-AGGREGATED
+    rows, so the window input is nation-cardinality, never fact rows).
+    Share divides two already-rounded doubles, then rounds — identical
+    arithmetic on both engines."""
+    from lagom_kinesis_spark.functions import dec, money
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    nat = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_regionkey").alias("regionkey"),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+        .agg(money(F.sum(dec("o_totalprice"))).alias("nation_rev"))
+    )
+    w = W.partitionBy("regionkey")
+    return nat.select(
+        "regionkey",
+        "nationkey",
+        "nation_rev",
+        r6(F.col("nation_rev") / F.sum("nation_rev").over(w)).alias(
+            "region_share"
+        ),
+    )
