@@ -696,3 +696,65 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_custkey
         """
     )
+
+
+@register(
+    "agg_higher_moments",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(l_quantity) AS s1,
+             SUM(l_quantity * l_quantity) AS s2,
+             SUM(l_quantity * l_quantity * l_quantity) AS s3,
+             SUM(l_quantity * l_quantity * l_quantity * l_quantity) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           round(s1 / n, 6) AS mean,
+           round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skew_g1,
+           round((s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / pow(s2 / n - (s1 / n) * (s1 / n), 2) - 3, 6) AS kurt_excess
+    FROM s
+    """,
+    tags=("agg", "stats"),
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis from raw POWER SUMS — the
+    partial-aggregatable formulation (n, Σx, Σx², Σx³, Σx⁴ combine
+    map-side; the central-moment algebra runs on one row per group).
+    Built-in skewness/kurtosis differ across engines in bias-correction
+    convention; spelling the population-moment formula identically on
+    both sides removes the convention from the comparison. Values are
+    bounded (quantity ≤ 50), so the power sums stay exactly
+    representable and the cancellation error is ≪ the round-6 quantum.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+    )
+    m = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - m * m
+    m3 = F.col("s3") / F.col("n") - 3 * m * (F.col("s2") / F.col("n")) + 2 * m * m * m
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * m * (F.col("s3") / F.col("n"))
+        + 6 * m * m * (F.col("s2") / F.col("n"))
+        - 3 * m * m * m * m
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        r6(m).alias("mean"),
+        r6(m3 / F.pow(m2, F.lit(1.5))).alias("skew_g1"),
+        r6(m4 / F.pow(m2, F.lit(2.0)) - 3).alias("kurt_excess"),
+    )
