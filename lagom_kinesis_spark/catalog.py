@@ -9,19 +9,21 @@ names to schema-bearing parquet scans, the engine's at-rest topic form
 Scans stay fully declarative (``spark.read.parquet``) so Catalyst gets
 predicate pushdown, column pruning and partition pruning for free.
 
-The single physical quirk lives here: ``events.parquet`` is written with
-nanosecond timestamps, which Spark's parquet reader rejects. With
-``spark.sql.legacy.parquet.nanosAsLong=true`` (session.RUNTIME_CONFS) the
-column arrives as int64 nanos; :func:`load` floor-divides to µs and rebuilds a
-TimestampType column so downstream operators see a normal timestamp. The
-DuckDB oracle mirrors the exact truncation via
-``make_timestamp(epoch_ns(ts)//1000)`` (helpers.EVENTS_ORACLE_CTE).
+The single physical quirk lives here: ``events.parquet`` encodings have
+varied across fixture generations (nanosecond int64 under
+``spark.sql.legacy.parquet.nanosAsLong=true``, later ``timestamp[us]`` which
+Spark reads as TIMESTAMP_NTZ). :func:`normalize_event_ts` branches on the
+*loaded* dtype so every consumer — batch and streaming — sees one canonical
+``TimestampType`` µs column regardless of the file encoding. The DuckDB
+oracle's ``make_timestamp(epoch_ns(ts)//1000)`` (helpers.EVENTS_US_SQL) is
+exact for both encodings, so the two engines can never diverge on ts.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from lagom_kinesis_spark.session import tune
 
@@ -44,14 +46,30 @@ def path_of(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Canonicalize ``events.ts`` to TimestampType µs, whatever the file held.
+
+    - int64 (legacy ns fixture under nanosAsLong): floor-divide to µs —
+      matches DuckDB's ``epoch_ns(ts)//1000``.
+    - TIMESTAMP_NTZ (timestamp[us] fixture): cast to TimestampType; the
+      session timezone is pinned to UTC (session.RUNTIME_CONFS) so the cast
+      is instant-preserving and matches DuckDB's naive-UTC timestamps.
+    - TimestampType: already canonical.
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(dt, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table; normalizes events.ts ns→µs (floor)."""
+    """Load one fixture table; canonicalizes events.ts (normalize_event_ts)."""
     tune(spark)
     df = spark.read.parquet(path_of(sf_dir, name))
     if name == "events":
-        # int64 nanos (legacy conf) → µs floor → TimestampType.
-        # Floor semantics match DuckDB's epoch_ns(ts)//1000.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_event_ts(df)
     return df
 
 

@@ -11,9 +11,11 @@ decimals would flip. Discipline:
 - **Small-magnitude floats** (cosines, ratios, averages of O(100) values)
   round to 6 decimals; the float error (≲1e-12 relative) is orders of
   magnitude below the rounding quantum, so both engines agree.
-- Timestamps are compared at µs precision; ``events.ts`` is ns in parquet, so
-  the Spark side floors ns→µs at load (catalog.load) and every oracle reads
-  events through :data:`EVENTS_US_SQL` which applies the identical floor.
+- Timestamps are compared at µs precision; ``events.ts`` encodings vary by
+  fixture generation (int64 ns or timestamp[us]), so the Spark side
+  canonicalizes at load (catalog.normalize_event_ts) and every oracle reads
+  events through :data:`EVENTS_US_SQL`, whose ``epoch_ns(ts)//1000`` floor is
+  exact under both encodings.
 """
 
 from __future__ import annotations

@@ -64,9 +64,11 @@ def decode_features(blobs: DataFrame) -> DataFrame:
             raise NotImplementedError(
                 f"decoder for modality {modality!r} not available in this container"
             )
-        # Deterministic fake feature: byte statistics.
+        # Deterministic fake feature: byte statistics. Unrounded — callers
+        # needing cross-engine determinism apply SQL-side round (helpers.r6),
+        # whose half-up rule differs from Python's banker's rounding.
         mean = (sum(payload) / len(payload)) if payload else 0.0
-        return len(payload), round(mean, 6), width, height
+        return len(payload), mean, width, height
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

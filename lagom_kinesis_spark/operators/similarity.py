@@ -235,18 +235,34 @@ def lsh_candidate_pairs(
 # ---------------------------------------------------------------------------
 
 
+#: SimHash signature width. 60 bits = 15 hex chars of md5 — chosen so the
+#: token hash is PORTABLE: both Spark (``conv(substr(md5(t),1,15),16,10)``)
+#: and DuckDB (hex-digit fold of ``substr(md5(t),1,15)``) compute the
+#: identical positive int64, making the whole signature — and therefore the
+#: near-dup pair set — exactly reproducible by a SQL oracle.
+SIMHASH_BITS = 60
+
+
+def portable_token_hash(col: Column) -> Column:
+    """60-bit deterministic token hash both engines can compute: the first
+    15 hex chars of md5 as a positive int64. (xxhash64 would be cheaper but
+    exists only in Spark; md5 is the cross-engine common ground and this is
+    a per-token cost, amortized by explode-once.)"""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str, tokens_col: Column
 ) -> DataFrame:
-    """64-bit SimHash (Charikar 2002): bit j of the signature = sign of the
-    sum over tokens of ±1, where the sign is bit j of xxhash64(token).
+    """SimHash (Charikar 2002): bit j of the signature = sign of the
+    sum over tokens of ±1, where the sign is bit j of the token hash.
     Near-duplicate docs land within small Hamming distance.
 
-    explode → hash once per token → 64 partial sums → assemble the bitmask:
-    the token stream is hashed exactly once and the shuffle carries 64
+    explode → hash once per token → 60 partial sums → assemble the bitmask:
+    the token stream is hashed exactly once and the shuffle carries 60
     small ints per doc (same scale argument as minhash_signatures)."""
     ex = df.select(F.col(id_col), F.explode(tokens_col).alias("__t")).select(
-        F.col(id_col), F.xxhash64("__t").alias("__h")
+        F.col(id_col), portable_token_hash(F.col("__t")).alias("__h")
     )
     sums = ex.groupBy(id_col).agg(
         *[
@@ -255,11 +271,11 @@ def simhash_signatures(
                     -1
                 )
             ).alias(f"b{j}")
-            for j in range(64)
+            for j in range(SIMHASH_BITS)
         ]
     )
     sig = F.lit(0).cast("long")
-    for j in range(64):
+    for j in range(SIMHASH_BITS):
         sig = sig.bitwiseOR(
             F.when(
                 F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)

@@ -119,13 +119,39 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh", oracle=None, tags=("llm", "dedup", "scale"))
+@register(
+    "dedup_minhash_lsh",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), sub AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(w) - 1, 1)),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2])
+             )) AS sh
+      FROM toks
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))
+                 / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) AS jac
+    FROM sub a JOIN sub b ON a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.sh, b.sh))
+                / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) >= 0.8
+    """,
+    tags=("llm", "dedup", "scale"),
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup detection — the 100 TB path: 16 minhashes,
-    4 bands; candidates from band-bucket equi-joins (no cartesian product),
-    then exact Jaccard verification within candidates only.
-    tests/test_operators.py asserts every high-Jaccard pair from the exact
-    sample is recalled by LSH."""
+    """MinHash-LSH near-dup detection — the 100 TB path: 64 minhashes in
+    16 bands of 4; candidates from band-bucket equi-joins (no cartesian
+    product), then exact Jaccard verification (≥0.8) within candidates only.
+
+    Oracle-checkable because the verify step is exact and the S-curve makes
+    misses negligible at the 0.8 threshold (P(miss) = (1-j⁴)¹⁶ ≈ 2e-4 at
+    j=0.8, ~1e-12 at j=0.95): on the frozen fixtures the LSH pair set
+    deterministically equals the exact all-pairs set, which the oracle
+    computes directly (O(n²) is oracle-side only; the Spark path stays
+    banded). tests/test_operators.py additionally asserts recall."""
     d = fan_out(load(spark, sf_dir, "documents"))
     sh = d.select("doc_id", shingles(tokens("text")).alias("sh")).filter(
         F.size("sh") > 0
@@ -134,23 +160,65 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verification join: persist it so the (expensive) shingling runs once.
     # At cluster scale this would be a checkpoint to fast storage.
     sh = sh.persist()
-    cands = lsh_candidate_pairs(sh, "doc_id", "sh", num_hashes=16, bands=4)
+    cands = lsh_candidate_pairs(sh, "doc_id", "sh", num_hashes=64, bands=16)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("jac", r6(jaccard(F.col("sh_a"), F.col("sh_b"))))
-        .filter(F.col("jac") >= 0.5)
+        .filter(F.col("jac") >= 0.8)
         .select("id_a", "id_b", "jac")
     )
 
 
-@register("dedup_simhash", oracle=None, tags=("llm", "dedup", "scale"))
+def _simhash_oracle() -> str:
+    """DuckDB SQL reproducing the full SimHash pipeline bit-for-bit: the
+    portable 60-bit md5 token hash (operators/similarity.portable_token_hash),
+    per-bit ±1 sums, sign → signature, exact all-pairs Hamming ≤ 3. The
+    oracle is O(n²) over signatures — oracle-side only; the Spark path is
+    banded. Exactness (not approximation) holds because 4 bands over ≤3
+    differing bits leave ≥1 band identical (pigeonhole) → recall is 1 by
+    construction, so banded output == all-pairs output."""
+    bsums = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(60)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
+        for j in range(60)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(1, 16),
+               i -> (strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1)::BIGINT
+                    << (4 * (15 - i))))::BIGINT AS h
+      FROM toks
+    ), sums AS (
+      SELECT doc_id,
+             {bsums}
+      FROM hashed GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id, ({sig})::BIGINT AS sig FROM sums
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle(), tags=("llm", "dedup", "scale"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit signatures, banded into 4×16-bit keys for
-    candidate generation (a pair within Hamming distance 3 shares ≥1 band),
-    verified by popcount(xor) ≤ 3. Signature computation is map-only."""
+    """SimHash near-dup: 60-bit portable signatures, banded into 4×15/16-bit
+    keys for candidate generation (a pair within Hamming distance 3 shares
+    ≥1 band — pigeonhole, so banding is lossless), verified by
+    popcount(xor) ≤ 3. Signature computation is map-only; the oracle
+    (_simhash_oracle) replays the identical hash/sign pipeline in SQL."""
     d = fan_out(load(spark, sf_dir, "documents"))
     sigs = simhash_signatures(d, "doc_id", tokens("text"))
     # One pass for all 4 band keys (explode, not union — a union would
@@ -536,12 +604,44 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode_features", oracle=None, tags=("llm", "multimodal"))
+@register(
+    "multimodal_decode_features",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'text' END AS modality,
+             encode(text) AS payload,
+             CAST(n_chars % 640 AS INT) AS width,
+             CAST(n_chars % 480 AS INT) AS height
+      FROM documents
+    ), byte_stats AS (
+      SELECT doc_id,
+             octet_length(payload) AS n_bytes,
+             list_sum(list_transform(range(1, octet_length(payload) + 1),
+               i -> (strpos('0123456789ABCDEF', substr(hex(payload), 2*i-1, 1)) - 1) * 16
+                    + strpos('0123456789ABCDEF', substr(hex(payload), 2*i, 1)) - 1
+             )) AS byte_sum
+      FROM b
+    )
+    SELECT b.doc_id, b.modality, s.n_bytes,
+           round(CASE WHEN s.n_bytes = 0 THEN 0.0
+                      ELSE s.byte_sum / CAST(s.n_bytes AS DOUBLE) END, 6)
+             AS byte_mean,
+           b.width, b.height
+    FROM b JOIN byte_stats s ON b.doc_id = s.doc_id
+    """,
+    tags=("llm", "multimodal"),
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode/feature-extract (stubbed decoder,
-    real plumbing — schema, batching, partition parallelism)."""
+    real plumbing — schema, batching, partition parallelism). The stub's
+    byte-statistics fake is deterministic, so the oracle replays it in SQL:
+    UTF-8 payload byte values recovered via hex-digit folding, mean rounded
+    half-up on both engines (helpers.r6 ≡ DuckDB round)."""
     blobs = multimodal.attach_payload(load(spark, sf_dir, "documents"))
-    return multimodal.decode_features(blobs)
+    return multimodal.decode_features(blobs).withColumn(
+        "byte_mean", r6(F.col("byte_mean"))
+    )
 
 
 @register(

@@ -17,16 +17,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lagom_kinesis_spark.catalog import stream_dir
+from lagom_kinesis_spark.catalog import normalize_event_ts, path_of, stream_dir
 from lagom_kinesis_spark.functions import events_cte, r6
 from lagom_kinesis_spark.registry import register
 from lagom_kinesis_spark.session import tune
 from lagom_kinesis_spark.streaming.topics import memory_sink_table
 
-_EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
+
+def _events_raw_schema(spark: SparkSession, sf_dir: str):
+    """The events file's ACTUAL on-disk read schema (metadata-only probe).
+
+    readStream requires an explicit schema; deriving it from the same batch
+    read that catalog.load performs guarantees batch and streaming apply the
+    identical ts canonicalization (normalize_event_ts) and can never diverge
+    when the driver regenerates fixtures with a different ts encoding."""
+    return spark.read.parquet(path_of(sf_dir, "events")).schema
 
 
 def _events_dir_with_sentinel(sf_dir: str) -> str:
@@ -52,25 +57,47 @@ def _events_dir_with_sentinel(sf_dir: str) -> str:
     d = f"/tmp/lagom_kinesis_spark/stream_src/{abs(hash(sf_dir)) % 10**8}_events_eos"
     link = f"{d}/events.parquet"
     sentinel = f"{d}/zz_sentinel.parquet"
-    if not (os.path.islink(link) and os.path.exists(sentinel)):
+    # A cached sentinel written under a PREVIOUS fixture encoding would
+    # mismatch the source schema; rewrite whenever the ts types differ.
+    stale = False
+    if os.path.exists(sentinel):
+        stale = pq.read_schema(sentinel).field("ts").type != pq.read_schema(
+            path_of(sf_dir, "events")
+        ).field("ts").type
+        if stale:
+            os.remove(sentinel)
+    if stale or not (os.path.islink(link) and os.path.exists(sentinel)):
         os.makedirs(d, exist_ok=True)
         if not os.path.islink(link):
             os.symlink(path_of(sf_dir, "events"), link)
-        max_ns = pq.read_table(path_of(sf_dir, "events"), columns=["ts"])[
-            "ts"
-        ].cast(pa.int64()).to_pylist()
-        eos_ts = max(max_ns) + 2 * 3600 * 10**9
+        # Sentinel ts must be written in the file's NATIVE encoding (int64
+        # ns for legacy fixtures, timestamp[us] for current ones) so both
+        # parts read under one schema and one canonicalization.
+        ts_type = pq.read_schema(path_of(sf_dir, "events")).field("ts").type
+        raw_max = max(
+            pq.read_table(path_of(sf_dir, "events"), columns=["ts"])["ts"]
+            .cast(pa.int64())
+            .to_pylist()
+        )
+        if pa.types.is_int64(ts_type):
+            eos_vals = pa.array([raw_max + 2 * 3600 * 10**9] * 2, pa.int64())
+        else:  # timestamp[unit]: int64 cast above is in that unit
+            per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[
+                ts_type.unit
+            ]
+            eos_vals = pa.array(
+                [raw_max + 2 * 3600 * per_sec] * 2, pa.int64()
+            ).cast(ts_type)
         table = pa.table(
             {
                 "event_id": pa.array([-1, -2], pa.int64()),
-                "ts": pa.array([eos_ts, eos_ts], pa.int64()),
+                "ts": eos_vals,
                 "user_id": pa.array([-999, -998], pa.int64()),
                 "event_type": pa.array(["click", "purchase"], pa.string()),
                 "value": pa.array([0.0, 0.0], pa.float64()),
                 "props": pa.array(["{}", "{}"], pa.string()),
             }
         )
-        # Write int64 ns to match the raw file's nanosAsLong read schema.
         pq.write_table(table, sentinel)
     return d
 
@@ -78,13 +105,13 @@ def _events_dir_with_sentinel(sf_dir: str) -> str:
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming view of the events topic (Kinesis-semantics source; file
     transport in tests, same TRIM_HORIZON = process-all-available replay —
-    SURVEY.md §2B scans table). ns→µs normalization identical to batch."""
+    SURVEY.md §2B scans table). ts canonicalization identical to batch."""
     tune(spark)
     raw = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(spark, sf_dir))
         .parquet(stream_dir(sf_dir, "events"))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 @register(
@@ -419,13 +446,13 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     eos_dir = _events_dir_with_sentinel(sf_dir)
 
     def eos_stream():
-        raw = spark.readStream.schema(_EVENTS_SCHEMA).parquet(eos_dir)
+        raw = spark.readStream.schema(
+            _events_raw_schema(spark, sf_dir)
+        ).parquet(eos_dir)
         # Watermark BEFORE the event-type filter: the watermark must track
         # the whole stream (incl. the sentinel), not just the filtered
         # subset — else each side's watermark stalls at its own last event.
-        return raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        ).withWatermark("ts", "30 minutes")
+        return normalize_event_ts(raw).withWatermark("ts", "30 minutes")
 
     clicks = eos_stream().filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),

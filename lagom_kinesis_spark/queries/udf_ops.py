@@ -129,10 +129,22 @@ def udf_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("udtf_split_tokens", oracle=None, tags=("udf", "udtf"))
+@register(
+    "udtf_split_tokens",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_slice(string_split(lower(text), ' '), 1, 20) AS w
+      FROM documents WHERE doc_id % 100 = 0
+    )
+    SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, w[u.i] AS token
+    FROM t, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) u
+    """,
+    tags=("udf", "udtf"),
+)
 def udtf_split_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (Spark ≥3.5): table function exploding a document into
-    (token, position) rows — rows-only check (UDTF registration surface)."""
+    (token, position) rows. Oracle: LATERAL unnest over the same first-20
+    lowercased space-split tokens (DuckDB list_slice ≡ the [:20] cap)."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="doc_id bigint, pos int, token string")

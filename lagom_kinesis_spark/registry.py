@@ -32,6 +32,7 @@ class Query:
     oracle: str | None  # DuckDB SQL; None → rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
+    module: str = ""  # defining queries/* module (family), for sweep ordering
 
 
 _REGISTRY: dict[str, Query] = {}
@@ -87,7 +88,14 @@ def register(
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
-        _REGISTRY[name] = Query(name, wrapped, oracle, tuple(tags), doc or (fn.__doc__ or ""))
+        _REGISTRY[name] = Query(
+            name,
+            wrapped,
+            oracle,
+            tuple(tags),
+            doc or (fn.__doc__ or ""),
+            fn.__module__.rsplit(".", 1)[-1],
+        )
         return fn
 
     return deco
@@ -100,9 +108,103 @@ def all_queries() -> dict[str, Query]:
     return dict(_REGISTRY)
 
 
+# --- Driver-sweep ordering -------------------------------------------------
+#
+# The driver gate verifies the FIRST ~50 queries of queries() per round, so
+# iteration order is the verification scoreboard. Priority:
+#   1. _NEEDS_REROW: queries whose latest driver row is a failure that has
+#      since been fixed locally (r1 array-canon fixes; r2 events-ts fixes) —
+#      a green re-row is the proof the fix landed.
+#   2. Never-driver-sampled queries, round-robin across defining modules so
+#      every remaining family (windows/relational/analytics/timeseries/
+#      behavior/graph/streaming/...) gets rows even in a truncated sweep.
+#   3. Queries already driver-green (r1 ∪ r2), lowest value to re-check.
+
+#: Latest driver row is a failure; fixed locally, needs a green re-row.
+_NEEDS_REROW: tuple[str, ...] = (
+    "pii_mask_digits",
+    "udf_pandas_scalar",
+    "udf_grouped_map",
+    "udf_pandas_udaf",
+    "stream_tumbling_window",
+    "agg_collect_sorted",
+    "fn_array",
+    "fn_array_gen",
+    "fn_map",
+)
+
+#: Every query with a driver row in CORRECTNESS_r01 ∪ r02 (99 names).
+_DRIVER_SAMPLED: frozenset[str] = frozenset(
+    _NEEDS_REROW
+    + (
+        "agg_approx_count_distinct", "agg_bool", "agg_conditional",
+        "agg_count_distinct_multi", "agg_cube", "agg_global",
+        "agg_grouping_sets", "agg_having", "agg_min_by_max_by",
+        "agg_percentile", "agg_percentile_approx", "agg_pivot",
+        "agg_pricing_summary", "agg_rollup", "agg_salted_skew",
+        "agg_stats_moments", "agg_unpivot", "decontaminate_ngram_overlap",
+        "dedup_clusters", "dedup_embedding_cosine", "dedup_exact",
+        "dedup_fingerprint", "dedup_jaccard_pairs", "dedup_minhash_lsh",
+        "dedup_passage_chunks", "dedup_prefix_filter_join", "dedup_simhash",
+        "emb_centroid_distance", "emb_power_iteration_pc1",
+        "emb_quantize_int8", "fn_bitwise", "fn_cast", "fn_conditional",
+        "fn_datetime", "fn_datetime_extended", "fn_hash", "fn_json",
+        "fn_json_variant", "fn_math", "fn_string", "fn_string_distance",
+        "fn_struct", "join_broadcast_dims", "join_cross", "join_full_outer",
+        "join_inner", "join_left_anti", "join_left_outer", "join_left_semi",
+        "join_multiway", "join_right_outer", "join_self_pairs",
+        "join_theta_band", "join_theta_pure", "mix_source_quota",
+        "mix_temperature_sample", "multimodal_decode_features",
+        "multimodal_frame_sample", "multimodal_meta",
+        "multimodal_resize_plan", "pack_context_windows",
+        "pipeline_corpus_filter", "pipeline_pretrain_corpus",
+        "q_returned_items", "q_shipping_priority", "sample_stratified_hash",
+        "sample_weighted_threshold", "sim_ann_ivf", "sim_ann_lsh",
+        "sim_range_search", "sim_topk_cosine", "sql_correlated_subquery",
+        "sql_cte_chain", "text_bigrams", "text_feature_hashing",
+        "text_lang_share", "text_langid", "text_length_outliers",
+        "text_quality", "text_repetition_ratio", "text_tfidf",
+        "text_token_count_regex", "text_top_tokens", "text_unigram_logprob",
+        "text_winnow_fingerprint", "text_word_entropy", "udf_map_in_arrow",
+        "udf_pandas_iter", "udf_python_scalar", "udtf_split_tokens",
+    )
+)
+
+
+def driver_order(registry: dict[str, Query]) -> list[str]:
+    """Sweep order per the priority above (stable within each tier)."""
+    rerow = [n for n in _NEEDS_REROW if n in registry]
+    fresh = [
+        n for n in registry
+        if n not in _DRIVER_SAMPLED and n not in _NEEDS_REROW
+    ]
+    # Round-robin the fresh tier across modules for family coverage.
+    by_module: dict[str, list[str]] = {}
+    for n in fresh:
+        by_module.setdefault(registry[n].module, []).append(n)
+    interleaved: list[str] = []
+    lanes = list(by_module.values())
+    i = 0
+    while lanes:
+        lane = lanes[i % len(lanes)]
+        interleaved.append(lane.pop(0))
+        if not lane:
+            lanes.remove(lane)
+        else:
+            i += 1
+    green = [n for n in registry if n in _DRIVER_SAMPLED and n not in _NEEDS_REROW]
+    return rerow + interleaved + green
+
+
 def queries_dict() -> dict[str, QueryFn]:
-    return {name: q.fn for name, q in all_queries().items()}
+    qs = all_queries()
+    return {name: qs[name].fn for name in driver_order(qs)}
 
 
 def oracle_dict() -> dict[str, str]:
-    return {name: q.oracle for name, q in all_queries().items() if q.oracle is not None}
+    qs = all_queries()
+    return {
+        name: qs[name].oracle
+        for name in driver_order(qs)
+        if qs[name].oracle is not None
+    }

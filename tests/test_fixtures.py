@@ -1,0 +1,140 @@
+"""Fixture-contract self-check (VERDICT r2 ask #3).
+
+The driver regenerates /root/testdata between rounds and has already changed
+the physical encoding of ``events.ts`` once (int64 ns → timestamp[us]),
+silently breaking every events consumer. This suite pins the contract the
+engine depends on — column names, type families the canonicalizer accepts,
+embedding element type, presence at every scale factor — so an encoding swap
+fails HERE at commit time instead of inside 29 queries at the driver gate.
+
+Pure-pyarrow (no Spark session): runs in milliseconds, safe as the first
+file pytest collects.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIRS = [
+    d
+    for d in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    )
+    if os.path.isdir(d)
+]
+
+#: column -> acceptable pyarrow type-family predicate, per table.
+_INT = pa.types.is_integer
+_FLOAT = pa.types.is_floating
+_STR = lambda t: pa.types.is_string(t) or pa.types.is_large_string(t)  # noqa: E731
+#: ts encodings normalize_event_ts canonicalizes: int64 (legacy ns) or timestamp.
+_TS_OK = lambda t: pa.types.is_int64(t) or pa.types.is_timestamp(t)  # noqa: E731
+
+EXPECTED: dict[str, dict[str, object]] = {
+    "region": {"r_regionkey": _INT, "r_name": _STR},
+    "nation": {"n_nationkey": _INT, "n_name": _STR, "n_regionkey": _INT},
+    "customer": {
+        "c_custkey": _INT,
+        "c_name": _STR,
+        "c_nationkey": _INT,
+        "c_acctbal": _FLOAT,
+        "c_mktsegment": _STR,
+    },
+    "supplier": {
+        "s_suppkey": _INT,
+        "s_name": _STR,
+        "s_nationkey": _INT,
+        "s_acctbal": _FLOAT,
+    },
+    "part": {
+        "p_partkey": _INT,
+        "p_name": _STR,
+        "p_brand": _STR,
+        "p_type": _STR,
+        "p_size": _INT,
+        "p_retailprice": _FLOAT,
+    },
+    "orders": {
+        "o_orderkey": _INT,
+        "o_custkey": _INT,
+        "o_orderstatus": _STR,
+        "o_totalprice": _FLOAT,
+        "o_orderdate": _TS_OK,
+        "o_orderpriority": _STR,
+    },
+    "lineitem": {
+        "l_orderkey": _INT,
+        "l_partkey": _INT,
+        "l_suppkey": _INT,
+        "l_linenumber": _INT,
+        "l_quantity": _FLOAT,
+        "l_extendedprice": _FLOAT,
+        "l_discount": _FLOAT,
+        "l_tax": _FLOAT,
+        "l_returnflag": _STR,
+        "l_linestatus": _STR,
+        "l_shipdate": _TS_OK,
+    },
+    "events": {
+        "event_id": _INT,
+        "ts": _TS_OK,
+        "user_id": _INT,
+        "event_type": _STR,
+        "value": _FLOAT,
+        "props": _STR,
+    },
+    "documents": {
+        "doc_id": _INT,
+        "text": _STR,
+        "lang": _STR,
+        "source": _STR,
+        "n_chars": _INT,
+    },
+    "embeddings": {
+        "vec_id": _INT,
+        "embedding": lambda t: (
+            pa.types.is_list(t) or pa.types.is_large_list(t)
+        )
+        and pa.types.is_floating(t.value_type),
+        "label": _INT,
+    },
+}
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+@pytest.mark.parametrize("table", sorted(EXPECTED))
+def test_fixture_schema(sf_dir: str, table: str) -> None:
+    path = f"{sf_dir}/{table}.parquet"
+    assert os.path.exists(path), f"fixture missing: {path}"
+    schema = pq.read_schema(path)
+    names = set(schema.names)
+    for col, ok in EXPECTED[table].items():
+        assert col in names, f"{path}: missing column {col}"
+        t = schema.field(col).type
+        assert ok(t), f"{path}: {col} has unexpected encoding {t}"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_events_ts_unit_is_canonicalizable(sf_dir: str) -> None:
+    """If events.ts is a timestamp it must be an epoch-anchored unit we map
+    exactly to µs; if int64 it is the legacy ns encoding. Anything else is a
+    new fixture generation the canonicalizer must be taught about."""
+    t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    if pa.types.is_timestamp(t):
+        assert t.unit in ("s", "ms", "us", "ns"), t
+    else:
+        assert pa.types.is_int64(t), t
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_embedding_dim_constant(sf_dir: str) -> None:
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    lengths = pa.compute.list_value_length(tbl["embedding"])
+    uniq = pa.compute.unique(lengths).to_pylist()
+    assert len(uniq) == 1 and uniq[0] > 0, f"ragged embedding dims: {uniq[:5]}"

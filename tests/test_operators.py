@@ -112,11 +112,11 @@ def test_golden_lsh_pair_sets(spark):
     golden_by_sf = {
         "sf0.001": {
             "dedup_minhash_lsh": (28, "7d6e643b2347380cccd696dbdfe6f8e8"),
-            "dedup_simhash": (27, "793d1711ed5ce34c64e511cd3f1b09a9"),
+            "dedup_simhash": (25, "94163c74bd411151bf6086c66b5da3f2"),
         },
         "sf0.01": {
             "dedup_minhash_lsh": (25, "68dfba100641afd2cc5a6a485fa22b66"),
-            "dedup_simhash": (17, "3430cb09951133cd81566574a27b8205"),
+            "dedup_simhash": (13, "24d7b7b4b0cb1d6e649084bb11c86cb8"),
         },
     }
     sf_key = SF_DIR.rstrip("/").rsplit("/", 1)[-1]
