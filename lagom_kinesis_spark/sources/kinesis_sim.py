@@ -51,10 +51,20 @@ SCHEMA = (
 )
 
 
-def shard_for(partition_key: str, n_shards: int) -> int:
+def shard_for(
+    partition_key: str, n_shards: int, explicit_hash_key: str | None = None
+) -> int:
     """md5-based shard routing: deterministic, engine-reproducible (the
-    simulator's MD5-of-key stand-in for Kinesis's MD5 hash-key ring)."""
-    return int(hashlib.md5(partition_key.encode()).hexdigest()[:8], 16) % n_shards
+    simulator's MD5-of-key stand-in for Kinesis's MD5 hash-key ring).
+
+    ``explicit_hash_key`` overrides the partition key on the hash ring —
+    the reference's ``KinesisOutboundRecord.explicitHashKey``
+    (KinesisOutboundRecord.scala:5-9) / Kinesis PutRecord ExplicitHashKey:
+    the record still CARRIES partition_key, only its placement changes
+    (the producer's tool for spreading a hot key or pinning related keys
+    to one shard)."""
+    key = explicit_hash_key if explicit_hash_key is not None else partition_key
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % n_shards
 
 
 def _shard_name(i: int) -> str:
@@ -66,14 +76,20 @@ def _shard_file(stream_dir: str, i: int) -> str:
 
 
 def put_records(
-    stream_dir: str, records: list[tuple[str, str]], n_shards: int = 4
+    stream_dir: str, records: list[tuple], n_shards: int = 4
 ) -> dict[str, int]:
-    """Append (data, partition_key) records — the KPL-analogue producer.
-    Returns the per-shard tip (record count) after the put."""
+    """Append (data, partition_key[, explicit_hash_key]) records — the
+    KPL-analogue producer. An explicit hash key overrides ring placement
+    (shard_for). Returns the per-shard tip (record count) after the put."""
     buckets: dict[int, list[str]] = {}
-    for data, pk in records:
-        buckets.setdefault(shard_for(pk, n_shards), []).append(
-            json.dumps({"data": data, "partition_key": pk})
+    for rec in records:
+        data, pk = rec[0], rec[1]
+        ehk = rec[2] if len(rec) > 2 else None
+        payload = {"data": data, "partition_key": pk}
+        if ehk is not None:
+            payload["explicit_hash_key"] = ehk
+        buckets.setdefault(shard_for(pk, n_shards, ehk), []).append(
+            json.dumps(payload)
         )
     tips: dict[str, int] = {}
     for i in range(n_shards):
@@ -145,11 +161,32 @@ class _BatchReader(DataSourceReader):
 
 
 class _StreamReader(DataSourceStreamReader):
-    """Per-shard sequence offsets, checkpoint-persisted by Spark (R17)."""
+    """Per-shard sequence offsets, checkpoint-persisted by Spark (R17).
+
+    ``drain_parents_first=true`` enforces the KCL lease-ordering rule
+    across a reshard: a child shard's records are withheld from a
+    micro-batch until every parent shard (shards.json lineage) has been
+    fully SCHEDULED into an earlier micro-batch. Micro-batches execute
+    strictly serially, so scheduled-earlier implies processed-earlier —
+    no child record is consumed before any parent record, preserving
+    per-key order across a SplitShard/MergeShards boundary (one key's
+    records live in exactly one parent and one child). Gating on the
+    offsets this reader previously RETURNED (rather than Spark's commit
+    callback) keeps the rule self-contained in the planning path; intended
+    for TRIM_HORIZON replay consumes of a resharded stream — default off,
+    since it staggers child data into later micro-batches.
+    """
 
     def __init__(self, options):
         self.stream_dir = options["path"]
         self.starting = options.get("startingposition", "TRIM_HORIZON").upper()
+        self.drain_parents_first = (
+            options.get("drain_parents_first", "false").lower() == "true"
+        )
+        #: Shard → end offset this reader returned from a previous
+        #: latestOffset call (parents count as drained only once their
+        #: scheduled offset has reached their tip).
+        self._scheduled: dict[str, int] = {}
 
     def _tips(self) -> dict[str, int]:
         return {
@@ -157,13 +194,34 @@ class _StreamReader(DataSourceStreamReader):
             for s in _shards_of(self.stream_dir)
         }
 
+    def _lineage(self) -> dict[str, list[str]]:
+        try:
+            return {s["id"]: s["parents"] for s in _load_meta(self.stream_dir)}
+        except (FileNotFoundError, KeyError, json.JSONDecodeError):
+            return {}  # never resharded → no lineage to honor
+
     def initialOffset(self) -> dict:
         if self.starting == "LATEST":
             return self._tips()
         return {s: 0 for s in _shards_of(self.stream_dir)}
 
     def latestOffset(self) -> dict:
-        return self._tips()
+        tips = self._tips()
+        if not self.drain_parents_first:
+            return tips
+        lineage = self._lineage()
+        out: dict[str, int] = {}
+        for shard, tip in tips.items():
+            undrained = [
+                p
+                for p in lineage.get(shard, [])
+                if p in tips and self._scheduled.get(p, 0) < tips[p]
+            ]
+            # Hold a child at its already-scheduled position until every
+            # parent has been scheduled to its tip (in an earlier batch).
+            out[shard] = self._scheduled.get(shard, 0) if undrained else tip
+        self._scheduled = dict(out)
+        return out
 
     def partitions(self, start: dict, end: dict):
         parts = []
@@ -221,8 +279,14 @@ class _Writer(DataSourceWriter):
         buckets: dict[int, list[str]] = {}
         for row in iterator:
             pk = row.partition_key
-            buckets.setdefault(shard_for(pk, self.n_shards), []).append(
-                json.dumps({"data": row.data, "partition_key": pk})
+            # Optional explicit_hash_key column overrides ring placement
+            # (KinesisOutboundRecord.scala:5-9); absent/null → pk routing.
+            ehk = getattr(row, "explicit_hash_key", None)
+            payload = {"data": row.data, "partition_key": pk}
+            if ehk is not None:
+                payload["explicit_hash_key"] = ehk
+            buckets.setdefault(shard_for(pk, self.n_shards, ehk), []).append(
+                json.dumps(payload)
             )
         os.makedirs(stage_dir, exist_ok=True)
         parts: list[tuple[int, str, int]] = []
@@ -364,18 +428,22 @@ def split_shard(stream_dir: str, shard_id: str) -> tuple[str, str]:
 
 
 def put_records_ranged(
-    stream_dir: str, records: list[tuple[str, str]]
+    stream_dir: str, records: list[tuple]
 ) -> dict[str, int]:
-    """Route (data, partition_key) records to the OPEN shard whose hash
-    range contains hash32(pk) — the post-reshard producer path."""
+    """Route (data, partition_key[, explicit_hash_key]) records to the OPEN
+    shard whose hash range contains hash32(explicit_hash_key or pk) — the
+    post-reshard producer path with the Kinesis ExplicitHashKey override."""
     shards = [s for s in _load_meta(stream_dir) if s["status"] == "OPEN"]
     buckets: dict[str, list[str]] = {}
-    for data, pk in records:
-        h = hash32(pk)
+    for rec in records:
+        data, pk = rec[0], rec[1]
+        ehk = rec[2] if len(rec) > 2 else None
+        h = hash32(ehk if ehk is not None else pk)
         target = next(s["id"] for s in shards if s["lo"] <= h < s["hi"])
-        buckets.setdefault(target, []).append(
-            json.dumps({"data": data, "partition_key": pk})
-        )
+        payload = {"data": data, "partition_key": pk}
+        if ehk is not None:
+            payload["explicit_hash_key"] = ehk
+        buckets.setdefault(target, []).append(json.dumps(payload))
     tips: dict[str, int] = {}
     for sid, lines in buckets.items():
         path = os.path.join(stream_dir, sid, "records.jsonl")

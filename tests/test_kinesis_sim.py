@@ -325,3 +325,112 @@ def test_writer_abort_sweeps_staging(spark, stream_dir):
         spark.read.format("kinesis_sim").option("path", stream_dir).load().count()
         == 0
     )
+
+
+def test_explicit_hash_key_overrides_routing(spark, stream_dir):
+    """Kinesis ExplicitHashKey semantics (KinesisOutboundRecord.scala:5-9):
+    a record routes by hash(explicit_hash_key or partition_key) while still
+    CARRYING its partition key — the producer's tool for spreading a hot
+    key across shards. Covers put_records, the distributed writer, and
+    put_records_ranged."""
+    from pyspark.sql import Row
+
+    from lagom_kinesis_spark.sources.kinesis_sim import (
+        create_stream,
+        hash32,
+        put_records,
+        put_records_ranged,
+        shard_for,
+    )
+
+    _registered(spark)
+    n = 4
+    # One hot partition key, spread over 8 distinct explicit hash keys.
+    recs = [(f"m{i}", "hotkey", f"spread{i % 8}") for i in range(40)]
+    put_records(stream_dir, recs, n_shards=n)
+    rows = (
+        spark.read.format("kinesis_sim").option("path", stream_dir).load().collect()
+    )
+    assert len(rows) == 40 and all(r["partition_key"] == "hotkey" for r in rows)
+    # Placement follows the explicit key's ring position, not the pk's.
+    shards_hit = {r["shard_id"] for r in rows}
+    expected = {f"shard-{shard_for('hotkey', n, f'spread{i}'):05d}" for i in range(8)}
+    assert shards_hit == expected and len(shards_hit) > 1
+
+    # Distributed writer honors an explicit_hash_key column the same way.
+    wdir = stream_dir + "_w"
+    df = spark.createDataFrame(
+        [Row(data=f"m{i}", partition_key="hotkey", explicit_hash_key=f"spread{i % 8}") for i in range(40)]
+    )
+    df.write.format("kinesis_sim").option("path", wdir).option(
+        "n_shards", str(n)
+    ).mode("append").save()
+    wrows = spark.read.format("kinesis_sim").option("path", wdir).load().collect()
+    assert {r["shard_id"] for r in wrows} == expected
+
+    # Ranged (post-reshard) routing: containment of hash32(ehk), not pk.
+    rdir = stream_dir + "_r"
+    create_stream(rdir, n_shards=2)
+    put_records_ranged(rdir, [("a", "hotkey", "spread0"), ("b", "hotkey", "spread3")])
+    from lagom_kinesis_spark.sources.kinesis_sim import _load_meta
+
+    meta = {s["id"]: s for s in _load_meta(rdir)}
+    rrows = spark.read.format("kinesis_sim").option("path", rdir).load().collect()
+    for r in rrows:
+        ehk = "spread0" if r["data"] == "a" else "spread3"
+        s = meta[r["shard_id"]]
+        assert s["lo"] <= hash32(ehk) < s["hi"]
+
+
+def test_stream_reader_drains_parent_before_child(spark, stream_dir, tmp_path):
+    """drain_parents_first=true enforces the KCL lease rule reader-side: no
+    child-shard record enters a micro-batch before every parent-shard record
+    has been committed — so per-key order survives a reshard consume."""
+    from lagom_kinesis_spark.sources.kinesis_sim import (
+        create_stream,
+        put_records_ranged,
+        split_shard,
+    )
+
+    _registered(spark)
+    create_stream(stream_dir, n_shards=1)
+    put_records_ranged(stream_dir, [(f"pre{i}", f"k{i % 5}") for i in range(15)])
+    left, right = split_shard(stream_dir, "shard-00000")
+    put_records_ranged(stream_dir, [(f"post{i}", f"k{i % 5}") for i in range(15)])
+
+    batches: list[tuple[int, list]] = []
+    q = (
+        spark.readStream.format("kinesis_sim")
+        .option("path", stream_dir)
+        .option("drain_parents_first", "true")
+        .load()
+        .writeStream.foreachBatch(
+            lambda b, e: batches.append((e, b.collect()))
+        )
+        .option("checkpointLocation", str(tmp_path / "ck_drain"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = [(bid, r) for bid, rs in batches for r in rs]
+    assert len(rows) == 30  # nothing lost
+    parent_batches = [b for b, r in rows if r["shard_id"] == "shard-00000"]
+    child_batches = [b for b, r in rows if r["shard_id"] in (left, right)]
+    assert parent_batches and child_batches
+    # Every parent record was scheduled strictly before any child record.
+    assert max(parent_batches) < min(child_batches)
+    # Per-key publish order is therefore preserved across the split.
+    for key in {f"k{i}" for i in range(5)}:
+        ordered = [
+            r["data"]
+            for _, r in sorted(
+                ((b, r) for b, r in rows if r["partition_key"] == key),
+                key=lambda t: (t[0], t[1]["sequence_number"]),
+            )
+        ]
+        pres = [d for d in ordered if d.startswith("pre")]
+        posts = [d for d in ordered if d.startswith("post")]
+        assert ordered == pres + posts
