@@ -104,6 +104,12 @@ def main() -> None:
             oracle = qs[name].oracle
             if oracle is None:
                 continue
+            if "oracle_quadratic" in qs[name].tags:
+                # The oracle is a deliberate O(n²) all-pairs correctness
+                # check (gate-scale only) — timing it as a baseline would
+                # measure the oracle's own blowup, not engine performance.
+                print(f"# duckdb {name}: skipped (quadratic oracle)", file=sys.stderr)
+                continue
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()

@@ -139,7 +139,10 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE round(len(list_intersect(a.sh, b.sh))
                 / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) >= 0.8
     """,
-    tags=("llm", "dedup", "scale"),
+    # oracle_quadratic: the oracle is a deliberate O(n²) all-pairs check —
+    # correct at the sf0.01 gate, NOT a perf baseline (bench.py skips its
+    # DuckDB timing; the Spark side is the banded sub-quadratic path).
+    tags=("llm", "dedup", "scale", "oracle_quadratic"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection — the 100 TB path: 64 minhashes in
@@ -212,7 +215,11 @@ def _simhash_oracle() -> str:
     """
 
 
-@register("dedup_simhash", oracle=_simhash_oracle(), tags=("llm", "dedup", "scale"))
+@register(
+    "dedup_simhash",
+    oracle=_simhash_oracle(),
+    tags=("llm", "dedup", "scale", "oracle_quadratic"),
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 60-bit portable signatures, banded into 4×15/16-bit
     keys for candidate generation (a pair within Hamming distance 3 shares
