@@ -73,13 +73,16 @@ def main() -> None:
 
     memory_sink_table(warm_stream, "complete").count()
 
-    # Steady-state protocol: best of 2 runs per query, both engines — the
-    # OS page cache warms within a run anyway, so first-run numbers just
-    # measure whoever ran first. Same treatment both sides.
+    # Steady-state protocol: 1 untimed warm-up + best of 2 timed runs per
+    # query, both engines. The warm-up absorbs one-time per-query costs that
+    # are suite artifacts, not engine throughput (the registry's periodic
+    # JVM-GC nudge, cache unpersist churn from the preceding query, first
+    # file listing); the same discipline is applied to DuckDB below.
     times: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs[name].fn
+        fn(spark, sf_dir).count()  # warm-up (untimed)
         best, n = float("inf"), 0
         for _ in range(2):
             t0 = time.time()
@@ -110,6 +113,7 @@ def main() -> None:
                 # measure the oracle's own blowup, not engine performance.
                 print(f"# duckdb {name}: skipped (quadratic oracle)", file=sys.stderr)
                 continue
+            con.sql(oracle).fetchall()  # warm-up (untimed)
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()

@@ -13,6 +13,8 @@ dot products via higher-order array functions — no Python in the hot path.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 
@@ -289,29 +291,45 @@ def simhash_signatures(
 # ---------------------------------------------------------------------------
 
 
+def srp_signs(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane components: sign(j,i) from the md5 of
+    ``"j:i"``. md5 (not xxhash64) so an external engine — the DuckDB oracle,
+    or any re-implementation — can regenerate the identical hyperplanes;
+    the matrix is model-sized (planes×dim) and embedded as literals, so the
+    per-row cost is a plain dot product with constants."""
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        for j in range(num_planes)
+    ]
+
+
 def hyperplane_bucket(vec: Column, dim: int, num_planes: int = 16) -> Column:
     """Sign-random-projection bucket id (Charikar SRP-LSH): bit j = sign of
-    <v, h_j> where h_j has deterministic ±1 components derived from
-    xxhash64(j, i). Collision probability = 1 - θ/π per bit.
+    <v, h_j> where h_j has deterministic ±1 components (srp_signs).
+    Collision probability = 1 - θ/π per bit.
 
-    Expressed as nested higher-order functions — no shuffle, no UDF; at
-    100 TB this is a map-only projection each executor computes locally."""
+    Expressed as zip_with/aggregate against LITERAL sign arrays — no
+    shuffle, no UDF, no per-row hashing; at 100 TB this is a map-only
+    projection each executor computes locally. The projection is rounded
+    to 6 decimals before the sign test so a last-ulp difference in another
+    engine's summation order cannot flip a bucket bit."""
+    signs = srp_signs(num_planes, dim)
     bits = []
     for j in range(num_planes):
+        sv = F.array(*[F.lit(s) for s in signs[j]])
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, i: x.cast("double")
-                * F.when(F.xxhash64(F.lit(j), i) % 2 == 0, 1.0).otherwise(-1.0),
-            ),
+            F.zip_with(vec, sv, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
         bits.append(
-            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(F.round(proj, 6) > 0, F.shiftleft(F.lit(1).cast("long"), j))
+            .otherwise(F.lit(0).cast("long"))
         )
     out = bits[0]
     for c in bits[1:]:

@@ -312,11 +312,53 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ann_lsh", oracle=None, tags=("llm", "similarity", "scale"))
+def _ann_lsh_oracle(num_planes: int = 12, dim: int = 64) -> str:
+    """DuckDB SQL replaying SRP-LSH exactly: the ±1 hyperplane matrix is
+    regenerated from the same md5 derivation (operators/similarity.srp_signs)
+    and embedded as literals, the bucket id is the same sign-bit word
+    (projection rounded to 6 decimals before the sign test on both engines,
+    so summation-order ulps cannot flip a bit), candidates are the same
+    bucket equi-join, and the re-rank is the same rounded cosine."""
+    from lagom_kinesis_spark.operators.similarity import srp_signs
+
+    signs = srp_signs(num_planes, dim)
+    bucket = " + ".join(
+        "(CASE WHEN round(list_inner_product(v, ["
+        + ", ".join(str(s) for s in signs[j])
+        + f"]::DOUBLE[]), 6) > 0 THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
+        for j in range(num_planes)
+    )
+    return f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, ({bucket}) AS bucket
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, v AS qv, bucket FROM bucketed WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.q_id, b.vec_id,
+             round(list_cosine_similarity(q.qv, b.v), 6) AS cos_sim
+      FROM q JOIN bucketed b USING (bucket)
+    )
+    SELECT * FROM (
+      SELECT q_id, vec_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, vec_id) AS INT) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """
+
+
+@register(
+    "sim_ann_lsh",
+    oracle=_ann_lsh_oracle(),
+    tags=("llm", "similarity", "scale"),
+)
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via sign-random-projection LSH: 12-bit buckets computed map-only,
-    candidates = bucket equi-join, exact cosine re-rank within candidates.
-    Recall vs the exact top-k is measured in tests/test_operators.py."""
+    """ANN via sign-random-projection LSH: 12-bit buckets computed map-only
+    from literal md5-derived hyperplanes, candidates = bucket equi-join,
+    exact cosine re-rank within candidates. Recall vs the exact top-k is
+    measured in tests/test_operators.py; the oracle (_ann_lsh_oracle)
+    replays the identical bucket/join/re-rank pipeline in SQL."""
     e = load(spark, sf_dir, "embeddings")
     bucketed = e.select(
         "vec_id", "embedding", hyperplane_bucket(F.col("embedding"), 64, 12).alias("bucket")
