@@ -176,3 +176,31 @@ def test_partition_pruned_scan_has_partition_filters(spark):
     plan = _plan(QS["scan_partition_pruned"].fn(spark, SF_DIR))
     assert "PartitionFilters: [" in plan
     assert "o_orderpriority" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_minhash_lsh_is_banded_equi_join_not_cartesian(spark):
+    """The 100 TB near-dup path must generate candidates via band-bucket
+    EQUI-joins (SortMerge/Hash on the bucket key), never an all-pairs
+    product — the whole point of banded LSH."""
+    plan = _plan(QS["dedup_minhash_lsh"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_ann_lsh_bucket_join_not_cartesian(spark):
+    """SRP-LSH ANN: candidates come from the bucket equi-join (query side
+    broadcast); the hyperplane projection is a literal-array map expression
+    — no per-row hash calls, no product join."""
+    plan = _plan(QS["sim_ann_lsh"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "xxhash64" not in plan  # literal hyperplanes, not per-row hashing
+
+
+def test_simhash_bands_explode_once(spark):
+    """SimHash candidate generation explodes 4 band keys from ONE signature
+    relation (no per-band union re-aggregating signatures) and joins on the
+    band key."""
+    plan = _plan(QS["dedup_simhash"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
