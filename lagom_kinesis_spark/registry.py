@@ -120,7 +120,9 @@ def all_queries() -> dict[str, Query]:
 #      behavior/graph/streaming/...) gets rows even in a truncated sweep.
 #   3. Queries already driver-green (r1 ∪ r2), lowest value to re-check.
 
-#: Latest driver row is a failure; fixed locally, needs a green re-row.
+#: Latest driver row is a failure fixed locally (first 9), or a rows-only
+#: row whose check has since been upgraded to an exact SQL oracle (last 5)
+#: — either way a fresh driver row is the proof, so they sweep first.
 _NEEDS_REROW: tuple[str, ...] = (
     "pii_mask_digits",
     "udf_pandas_scalar",
@@ -131,6 +133,11 @@ _NEEDS_REROW: tuple[str, ...] = (
     "fn_array",
     "fn_array_gen",
     "fn_map",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_ann_lsh",
+    "udtf_split_tokens",
+    "multimodal_decode_features",
 )
 
 #: Every query with a driver row in CORRECTNESS_r01 ∪ r02 (99 names).
