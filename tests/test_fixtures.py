@@ -138,3 +138,45 @@ def test_embedding_dim_constant(sf_dir: str) -> None:
     lengths = pa.compute.list_value_length(tbl["embedding"])
     uniq = pa.compute.unique(lengths).to_pylist()
     assert len(uniq) == 1 and uniq[0] > 0, f"ragged embedding dims: {uniq[:5]}"
+
+
+def test_normalize_event_ts_equivalent_across_encodings(tmp_path):
+    """The canonicalizer must yield IDENTICAL timestamps whether the file
+    carries legacy int64 nanos (read via nanosAsLong) or timestamp[us] —
+    the two encodings the driver has shipped so far. Written as a
+    round-trip over one generated dataset in both encodings."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lagom_kinesis_spark.catalog import normalize_event_ts
+    from lagom_kinesis_spark.session import get_spark
+
+    spark = get_spark("ts-equiv")
+    # µs values incl. sub-ms tails and an exact-second boundary.
+    base = 1_700_000_000_000_000
+    us = [base, base + 1, base + 999, base + 123_456, base + 86_400_000_000]
+    ns_tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(us)), pa.int64()),
+            "ts": pa.array([u * 1000 + 777 for u in us], pa.int64()),
+        }
+    )
+    us_tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(us)), pa.int64()),
+            "ts": pa.array(us, pa.timestamp("us")),
+        }
+    )
+    ns_path, us_path = str(tmp_path / "ns.parquet"), str(tmp_path / "us.parquet")
+    pq.write_table(ns_tbl, ns_path)
+    pq.write_table(us_tbl, us_path)
+
+    def canon(path):
+        df = normalize_event_ts(spark.read.parquet(path))
+        assert str(df.schema["ts"].dataType) == "TimestampType()"
+        return {r["event_id"]: r["ts"] for r in df.collect()}
+
+    a, b = canon(ns_path), canon(us_path)
+    # ns values carry a +777ns tail the µs file cannot: the floor must drop
+    # it, making both encodings agree exactly.
+    assert a == b
