@@ -568,18 +568,22 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest dedup for the training-corpus pipeline: documents
     arrive as a stream (at-least-once transport ⇒ content re-deliveries),
-    dedup on md5(text) state, count unique vs raw per language. The LLM
-    exact-dedup operator in its streaming form — state is keyed by the
-    content hash, so at scale the dedup state shuffles evenly and a
+    dedup on (lang, md5(text)) state, count unique vs raw per language. The
+    LLM exact-dedup operator in its streaming form — state keys on the
+    content hash so at scale the dedup state shuffles evenly, and a
     watermark on ingest time would bound it (the bounded fixture replay
-    needs none)."""
+    needs none). Dedup state includes lang because the same text CAN arrive
+    under two languages (observed at sf0.1): a global content-hash key
+    would credit the duplicate to whichever language arrived first —
+    nondeterministic under stream reordering — while the per-lang key is
+    arrival-order independent and equals batch COUNT(DISTINCT) per lang."""
     tune(spark)
     raw = spark.readStream.schema(
         "doc_id long, text string, lang string, source string, n_chars long"
     ).parquet(stream_dir(sf_dir, "documents"))
     deduped = (
         raw.withColumn("h", F.md5(F.col("text").cast("binary")))
-        .dropDuplicates(["h"])
+        .dropDuplicates(["lang", "h"])
         .groupBy("lang")
         .agg(F.count("*").alias("n_unique_docs"))
     )

@@ -27,13 +27,23 @@ def main() -> int:
         i = args.index("--sf")
         sf_dir = args[i + 1]
         del args[i : i + 2]
+    skips: list[str] = []
+    while "--skip" in args:
+        i = args.index("--skip")
+        skips.append(args[i + 1])
+        del args[i : i + 2]
     spark = get_spark("check-queries")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs = all_queries()
-    names = [n for n in sorted(qs) if not args or any(a in n for a in args)]
+    names = [
+        n
+        for n in sorted(qs)
+        if (not args or any(a in n for a in args))
+        and not any(s in n for s in skips)
+    ]
     failed = []
     for name in names:
         q = qs[name]
