@@ -175,14 +175,21 @@ def minhash_signatures(
 
     Formulated as explode → groupBy(min…): ONE evaluation of the shingle
     array and map-side partial mins before the shuffle — at 100 TB the
-    shuffle carries one 16-long row per (partition, doc), never the
+    shuffle carries one num_hashes-long row per (partition, doc), never the
     shingles. (A per-row array expression would also inline the shingle
-    computation into all 16 min-hash expressions — measured 50×+ slower.)
+    computation into all min-hash expressions — measured 50×+ slower.)
+
+    Each shingle STRING is hashed exactly once (``__h0``); the per-seed
+    family re-hashes the fixed-width 8-byte value, not the string — the
+    standard one-hash-then-derive minhash construction, ~linear in corpus
+    bytes instead of num_hashes× corpus bytes.
     """
-    ex = shingled.select(F.col(id_col), F.explode(shingle_col).alias("__sh"))
+    ex = shingled.select(F.col(id_col), F.explode(shingle_col).alias("__sh")).select(
+        F.col(id_col), F.xxhash64("__sh").alias("__h0")
+    )
     return ex.groupBy(id_col).agg(
         *[
-            F.min(F.xxhash64("__sh", F.lit(i))).alias(f"mh{i}")
+            F.min(F.xxhash64("__h0", F.lit(i))).alias(f"mh{i}")
             for i in range(num_hashes)
         ]
     )
