@@ -114,3 +114,59 @@ def test_prefix_filter_bound_is_lossless(docs, theta):
             jac = len(a & b) / len(a | b)
             if jac >= theta:
                 assert prefix(a) & b, (sorted(a), sorted(b), theta)
+
+
+TOKENS = st.lists(
+    st.text(
+        min_size=0,
+        max_size=24,
+        alphabet=st.characters(
+            blacklist_categories=("Cs",), blacklist_characters="\x00"
+        ),
+    ),
+    min_size=1,
+    max_size=16,
+    unique=True,
+)
+
+
+@given(toks=TOKENS)
+@SETTINGS
+def test_portable_token_hash_cross_engine(spark, toks):
+    """Pins the cross-engine contract every md5-derived oracle stands on
+    (SimHash signatures, SRP-LSH hyperplanes, deterministic sampling):
+    Spark's conv(substr(md5,1,15),16,10), DuckDB's hex-digit fold, and
+    Python's int(md5[:15],16) are the SAME function of arbitrary unicode
+    tokens — including empty strings and non-ASCII (UTF-8 bytes hashed
+    on all three engines)."""
+    import hashlib
+
+    import duckdb
+
+    from lagom_kinesis_spark.operators.similarity import portable_token_hash
+
+    expect = {
+        t: int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+        for t in toks
+    }
+    got_spark = {
+        r["t"]: r["h"]
+        for r in spark.createDataFrame([(t,) for t in toks], "t string")
+        .select("t", portable_token_hash(F.col("t")).alias("h"))
+        .collect()
+    }
+    assert got_spark == expect
+    con = duckdb.connect()
+    got_duck = dict(
+        con.execute(
+            """
+            SELECT t,
+                   list_sum(list_transform(range(1, 16),
+                     i -> (strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1)::BIGINT
+                          << (4 * (15 - i))))::BIGINT AS h
+            FROM (SELECT unnest($toks::VARCHAR[]) AS t)
+            """,
+            {"toks": toks},
+        ).fetchall()
+    )
+    assert got_duck == expect
