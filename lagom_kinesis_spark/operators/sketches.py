@@ -1,0 +1,162 @@
+"""Portable HyperLogLog over the md5 portable hash — mergeable distinct-count
+sketches whose ESTIMATE is bit-for-bit reproducible by a SQL oracle.
+
+Engine-private sketch binaries (Spark's HLL++ `approx_count_distinct`,
+DataSketches `hll_sketch_agg`) can only ever be tolerance-checked across
+engines. This module rebuilds the classic HLL (Flajolet et al. 2007) on the
+same cross-engine hash discipline as operators/similarity.portable_token_hash:
+
+- hash  = first 15 hex chars of md5(key-as-string) as a positive int64
+          (60 bits; identical in Spark, DuckDB, and Python — pinned by
+          tests/test_properties.py::test_portable_token_hash_cross_engine)
+- idx   = top 12 bits  -> 4096 registers
+- rho   = leading-zero rank of the remaining 48-bit suffix (1..49),
+          computed with INTEGER STRING ops (length of bin() sans leading
+          zeros) — never log2(), whose libm rounding differs across engines
+- union = per-register max (commutative + associative -> merge-order-free,
+          which is what makes the value deterministic under ANY partitioning)
+- sum   = harmonic term accumulated as exact int64: each register
+          contributes 2^(49-rho), so the total is <= 4096 * 2^49 < 2^63 —
+          NO floating-point summation anywhere, hence no ordering sensitivity
+- est   = alpha * m^2 * 2^49 / sum (one double divide of identical ints),
+          with the standard small-range linear-counting correction
+
+At 100 TB the shape is the same as native HLL: map-side partial max per
+(group, register), a shuffle of at most |groups| x 4096 tiny rows, and a
+register-wise max to union any rollup without re-scanning. The md5 cost is
+per-row-scan only; native approx_count_distinct remains the raw-throughput
+choice and stays tolerance-tested in tests/test_operators.py.
+
+Reference parity: the reference has no sketches (transport only); this
+backs SURVEY.md §2B's approx-distinct rows with a driver-checkable oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: 2^P registers.
+HLL_P = 12
+HLL_M = 1 << HLL_P
+#: Bits of hash suffix feeding rho (60-bit portable hash minus P index bits).
+HLL_W_BITS = 48
+#: Bias constant alpha_m for m >= 128. Computed with the EXACT float-op
+#: sequence the oracle SQL repeats (0.7213 / (1 + 1.079 / m)) so both
+#: engines hold the identical double.
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def portable_key_hash(col: Column) -> Column:
+    """60-bit md5 portable hash of any key, via its canonical string form.
+    Integer-to-string rendering is identical across engines for integral
+    types; pass strings through unchanged."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def hll_registers(
+    df: DataFrame, key: Column, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Per-group HLL registers: one row per (group, idx) with the max rho.
+    This IS the sketch — 4096 tiny rows per group, mergeable by
+    register-wise max. Partial aggregation applies (max is commutative),
+    so the shuffle carries at most |groups| x 4096 rows regardless of
+    input size."""
+    h = portable_key_hash(key)
+    rho = F.when(F.col("__hll_w") == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.expr("ltrim('0', bin(__hll_w))"))
+    )
+    hashed = df.select(
+        *group_cols,
+        F.shiftright(h, HLL_W_BITS).alias("__hll_idx"),
+        h.bitwiseAND(F.lit((1 << HLL_W_BITS) - 1)).alias("__hll_w"),
+    ).select(*group_cols, "__hll_idx", rho.alias("__hll_rho"))
+    return hashed.groupBy(*group_cols, "__hll_idx").agg(
+        F.max("__hll_rho").alias("__hll_rho")
+    )
+
+
+def hll_union(registers: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+    """Union sketches by register-wise max — the cheap rollup that never
+    re-scans data. Drop group columns from `group_cols` to merge across
+    them (e.g. per-day sketches -> one global sketch)."""
+    return registers.groupBy(*group_cols, "__hll_idx").agg(
+        F.max("__hll_rho").alias("__hll_rho")
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: Sequence[str] = (), alias: str = "est"
+) -> DataFrame:
+    """Distinct-count estimate from registers, rounded to 6 places.
+
+    The harmonic sum is EXACT int64 (sum of 2^(49-rho) over present
+    registers plus 2^49 per absent register); the only float ops are one
+    multiply-chain/divide on identical operands — deterministic IEEE — and
+    ln() in the small-range branch (libm; its >=1e-12 relative agreement is
+    far inside the 1e-6 rounding)."""
+    two49 = 1 << (HLL_W_BITS + 1)
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.expr(f"shiftleft(1L, {HLL_W_BITS + 1} - __hll_rho)")).alias("__sp"),
+        F.count("*").alias("__present"),
+    )
+    s_int = F.col("__sp") + (F.lit(HLL_M) - F.col("__present")) * F.lit(two49)
+    raw = (
+        F.lit(HLL_ALPHA)
+        * F.lit(HLL_M)
+        * F.lit(HLL_M)
+        * F.lit(float(two49))
+        / s_int.cast("double")
+    )
+    zeros = F.lit(HLL_M) - F.col("__present")
+    est = F.when(
+        (zeros > 0) & (raw <= 2.5 * HLL_M),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(*group_cols, F.round(est, 6).alias(alias))
+
+
+def hll_oracle_sql(
+    source_sql: str, key_sql: str, group_cols: Sequence[str] = (), alias: str = "est"
+) -> str:
+    """DuckDB SQL reproducing hll_registers -> hll_estimate bit-for-bit.
+    `source_sql` is a relation expression (table name or subquery),
+    `key_sql` the key expression rendered AS VARCHAR by the caller when
+    non-integral."""
+    g = ", ".join(group_cols)
+    g_pre = f"{g}, " if g else ""
+    g_by = f"GROUP BY {g}" if g else ""
+    two49 = 1 << (HLL_W_BITS + 1)
+    mask = (1 << HLL_W_BITS) - 1
+    return f"""
+    WITH __h AS (
+      SELECT {g_pre}list_sum(list_transform(range(1, 16),
+        i -> (strpos('0123456789abcdef', substr(md5(CAST(({key_sql}) AS VARCHAR)), i, 1)) - 1)::BIGINT
+             << (4 * (15 - i))))::BIGINT AS h
+      FROM {source_sql}
+    ), __r AS (
+      SELECT {g_pre}h >> {HLL_W_BITS} AS idx,
+             MAX(CASE WHEN h & {mask} = 0 THEN {HLL_W_BITS + 1}
+                      ELSE {HLL_W_BITS + 1} - length(ltrim(bin(h & {mask}), '0'))
+                 END) AS rho
+      FROM __h GROUP BY {g_pre}idx
+    ), __s AS (
+      SELECT {g_pre}SUM(1::BIGINT << ({HLL_W_BITS + 1} - rho))::BIGINT
+             + ({HLL_M} - COUNT(*)) * {two49}::BIGINT AS s_int,
+             {HLL_M} - COUNT(*) AS zeros
+      FROM __r {g_by}
+    )
+    SELECT {g_pre}round(
+      CASE WHEN zeros > 0
+            AND (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / {HLL_M})
+                 * {HLL_M} * {HLL_M} * {two49}::DOUBLE / s_int::DOUBLE) <= 2.5 * {HLL_M}
+           THEN {HLL_M}::DOUBLE * ln({HLL_M}::DOUBLE / zeros::DOUBLE)
+           ELSE 0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / {HLL_M})
+                * {HLL_M} * {HLL_M} * {two49}::DOUBLE / s_int::DOUBLE
+      END, 6) AS {alias}
+    FROM __s
+    """

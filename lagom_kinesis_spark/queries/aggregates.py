@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from lagom_kinesis_spark.catalog import load, register_views
 from lagom_kinesis_spark.functions import dec, money, r6, revenue_expr, revenue_sql
+from lagom_kinesis_spark.operators import sketches
 from lagom_kinesis_spark.registry import register
 
 
@@ -101,18 +102,21 @@ def agg_count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_count_distinct",
-    oracle=None,  # HLL sketch — not hash-matchable; bounded-error check in tests
-    tags=("agg", "approx"),
+    oracle=sketches.hll_oracle_sql(
+        "lineitem", "l_partkey", ("l_returnflag",), alias="approx_parts"
+    ),
+    tags=("agg", "approx", "sketch"),
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++): the 100 TB path for distinct
-    counts — mergeable sketch, no expand. Exactness checked within 5% in
-    tests/test_approx.py."""
+    """Approximate distinct counts per group via the PORTABLE HLL sketch
+    (operators/sketches.py): mergeable registers, exact-int64 harmonic sum,
+    and therefore a bit-for-bit SQL oracle — the sketch 100 TB distinct
+    counting needs, with the gate-checkability engine-private HLL++ lacks.
+    Spark's native approx_count_distinct (the raw-throughput variant — no
+    md5 per key) stays tolerance-tested in tests/test_operators.py."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-    )
+    regs = sketches.hll_registers(li, F.col("l_partkey"), ("l_returnflag",))
+    return sketches.hll_estimate(regs, ("l_returnflag",), alias="approx_parts")
 
 
 @register(
@@ -647,24 +651,39 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_hll_sketch_union", oracle=None, tags=("agg", "approx", "sketch"))
+@register(
+    "agg_hll_sketch_union",
+    oracle=f"""
+    WITH ex AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS sum_groupwise_exact FROM (
+        SELECT COUNT(DISTINCT o_custkey) AS cnt
+        FROM orders GROUP BY o_orderpriority
+      )
+    )
+    SELECT est.est_total_custkeys, ex.sum_groupwise_exact
+    FROM ({sketches.hll_oracle_sql("orders", "o_custkey", (), alias="est_total_custkeys")}) est, ex
+    """,
+    tags=("agg", "approx", "sketch"),
+)
 def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable HLL sketches (Apache DataSketches, Spark 3.5+): per-group
-    `hll_sketch_agg` partials unioned with `hll_union_agg` into a global
-    distinct estimate — THE 100 TB distinct-count architecture (each
-    partition/day/segment builds its sketch once; any rollup is a cheap
-    union of fixed-size binaries, never a re-scan). Rows-only by design
-    (sketch binaries are engine-specific); the exact-vs-estimate
-    tolerance is asserted in tests/test_operators.py."""
+    """Sketch UNION — THE 100 TB distinct-count architecture: each
+    partition/day/segment builds its registers once; any rollup is a cheap
+    register-wise max, never a re-scan. Built on the portable HLL
+    (operators/sketches.py) so the unioned estimate is exactly
+    SQL-oracle-checkable: per-priority register sketches are max-merged
+    into one global sketch, which (max being associative+commutative)
+    provably equals hashing the whole table — the property the oracle
+    exploits. The native DataSketches pair (hll_sketch_agg/hll_union_agg,
+    engine-private binaries) is tolerance-tested in
+    tests/test_operators.py."""
     o = load(spark, sf_dir, "orders")
-    per_prio = o.groupBy("o_orderpriority").agg(
-        F.hll_sketch_agg("o_custkey").alias("sk"),
-        F.countDistinct("o_custkey").alias("exact_in_group"),
-    )
-    return per_prio.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_total_custkeys"),
-        F.sum("exact_in_group").alias("sum_groupwise_exact"),
-    )
+    per_prio = sketches.hll_registers(o, F.col("o_custkey"), ("o_orderpriority",))
+    union = sketches.hll_union(per_prio, ())
+    est = sketches.hll_estimate(union, (), alias="est_total_custkeys")
+    exact = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("cnt")
+    ).agg(F.sum("cnt").alias("sum_groupwise_exact"))
+    return est.crossJoin(exact)
 
 
 @register(

@@ -68,9 +68,26 @@ def test_ann_lsh_results_subset_of_valid_cosines(spark):
 
 
 def test_approx_count_distinct_within_tolerance(spark):
-    """HLL estimate within the configured 2% rsd (5% hard bound here)."""
+    """Native HLL++ (approx_count_distinct, the raw-throughput path) AND
+    the portable-HLL query estimate both land within 5% of exact."""
+    from lagom_kinesis_spark.catalog import load
+
+    li = load(spark, SF_DIR, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["exact_parts"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("exact_parts"))
+        .collect()
+    }
+    native = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("n")
+    )
+    for r in native.collect():
+        ex = exact[r["l_returnflag"]]
+        assert abs(r["n"] - ex) <= 0.05 * ex + 1
     for r in QS["agg_approx_count_distinct"].fn(spark, SF_DIR).collect():
-        assert abs(r["approx_parts"] - r["exact_parts"]) <= 0.05 * r["exact_parts"] + 1
+        ex = exact[r["l_returnflag"]]
+        assert abs(r["approx_parts"] - ex) <= 0.05 * ex + 1
 
 
 def test_multimodal_decode_features(spark):
@@ -153,13 +170,22 @@ def test_observation_metrics(spark):
 
 
 def test_hll_sketch_union_within_tolerance(spark):
-    """The unioned-sketch estimate must be within 5% of the exact global
-    distinct count (HLL lgK default ≈ 12 → ~1.6% typical error)."""
+    """Union estimates within 5% of the exact global distinct count, for
+    BOTH sketch families: native DataSketches (hll_sketch_agg partials
+    merged by hll_union_agg — engine-private binaries, rows-only) and the
+    portable-HLL query (register max-merge, oracle-checked)."""
     from lagom_kinesis_spark.catalog import load
     from tests.conftest import SF_DIR
 
-    row = QS["agg_hll_sketch_union"].fn(spark, SF_DIR).collect()[0]
-    exact = (
-        load(spark, SF_DIR, "orders").select("o_custkey").distinct().count()
+    o = load(spark, SF_DIR, "orders")
+    exact = o.select("o_custkey").distinct().count()
+    native = (
+        o.groupBy("o_orderpriority")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]["est"]
     )
+    assert abs(native - exact) <= max(2, 0.05 * exact)
+    row = QS["agg_hll_sketch_union"].fn(spark, SF_DIR).collect()[0]
     assert abs(row["est_total_custkeys"] - exact) <= max(2, 0.05 * exact)
+    assert row["sum_groupwise_exact"] >= exact
