@@ -483,14 +483,47 @@ def sql_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_percentile_approx", oracle=None, tags=("agg", "approx"))
+@register(
+    "agg_percentile_approx",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ), approx AS (
+      SELECT l_returnflag,
+             round(CAST(MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN l_extendedprice END) AS DOUBLE), 6) AS approx_p25,
+             round(CAST(MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN l_extendedprice END) AS DOUBLE), 6) AS approx_median,
+             round(CAST(MAX(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN l_extendedprice END) AS DOUBLE), 6) AS approx_p90
+      FROM ranked GROUP BY l_returnflag
+    ), ex AS (
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5)::DOUBLE, 6) AS exact_median
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT a.l_returnflag, a.approx_p25, a.approx_median, a.approx_p90, ex.exact_median
+    FROM approx a JOIN ex USING (l_returnflag)
+    """,
+    tags=("agg", "approx", "sketch"),
+)
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (mergeable KLL-style sketch): the 100 TB path for
-    quantiles — agg_percentile's exact variant is the oracle; closeness is
-    asserted in tests/test_operators.py."""
+    """approx_percentile (mergeable GK summary): the 100 TB path for
+    quantiles. Oracle-exact by the GK error bound: with accuracy A the
+    rank error is at most N/A, so at A >= N it is < 1 rank — the sketch
+    provably degenerates to the exact order statistic at rank ceil(p*N),
+    which the oracle selects directly (verified partition-count-invariant:
+    identical results at 1/7/32 partitions). Production would run lower A
+    (true approximation); the tolerance check for that regime is
+    tests/test_operators.py::test_percentile_approx_close_to_exact.
+    exact_median (Spark `percentile`, linear interpolation) doubles as the
+    closeness reference and matches DuckDB's quantile_cont bit-for-bit."""
     li = load(spark, sf_dir, "lineitem")
+    acc = 10_000_000  # >= any group's row count through sf1 → exact ranks
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        r6(F.percentile_approx("l_extendedprice", 0.25, acc)).alias("approx_p25"),
+        r6(F.percentile_approx("l_extendedprice", 0.5, acc)).alias("approx_median"),
+        r6(F.percentile_approx("l_extendedprice", 0.9, acc)).alias("approx_p90"),
         r6(F.percentile("l_extendedprice", F.lit(0.5))).alias("exact_median"),
     )
 

@@ -501,13 +501,26 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sample_bernoulli", oracle=None, tags=("scan", "sample"))
+@register(
+    "sample_bernoulli",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    WHERE substr(md5(l_orderkey || '|' || l_linenumber), 1, 4) < '1999'
+    """,
+    tags=("scan", "sample"),
+)
 def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sampling — the cheap first stage of any
-    data-pipeline experiment loop (rows-only: sampling is seed+partition
-    dependent, not cross-engine comparable)."""
+    """Content-keyed Bernoulli sampling at rate 0x1999/0x10000 ~ 10%: keep
+    a row iff the md5 of its natural key falls under the threshold. A pure
+    function of the row — identical across engines, retries, partitionings,
+    and cluster sizes (Spark's seeded ``sample()`` is partition-dependent
+    and can never hash-match an oracle; it stays covered in
+    tests/test_pipeline_ops.py). Map-only at any scale, and the sample
+    is STABLE under appends — rows never flip in or out as data grows,
+    which is what makes it usable for longitudinal experiment holdouts."""
     li = load(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select(
+    key = F.md5(F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber")))
+    return li.filter(F.substring(key, 1, 4) < "1999").select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
 

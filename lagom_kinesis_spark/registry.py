@@ -121,8 +121,8 @@ def all_queries() -> dict[str, Query]:
 #   3. Queries already driver-green (r1 ∪ r2), lowest value to re-check.
 
 #: Latest driver row is a failure fixed locally (first 9), or a rows-only
-#: row whose check has since been upgraded to an exact SQL oracle (last 5)
-#: — either way a fresh driver row is the proof, so they sweep first.
+#: row whose check has since been upgraded to an exact SQL oracle (the
+#: rest) — either way a fresh driver row is the proof, so they sweep first.
 _NEEDS_REROW: tuple[str, ...] = (
     "pii_mask_digits",
     "udf_pandas_scalar",
@@ -138,6 +138,10 @@ _NEEDS_REROW: tuple[str, ...] = (
     "sim_ann_lsh",
     "udtf_split_tokens",
     "multimodal_decode_features",
+    "agg_approx_count_distinct",
+    "agg_percentile_approx",
+    "agg_hll_sketch_union",
+    "sample_bernoulli",
 )
 
 #: Every query with a driver row in CORRECTNESS_r01 ∪ r02 (99 names).

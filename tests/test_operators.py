@@ -112,6 +112,20 @@ def test_multimodal_unknown_modality_raises(spark):
 
 
 def test_percentile_approx_close_to_exact(spark):
+    """The production regime (accuracy << N, a real approximation) stays
+    within 1% of exact; the registered query (accuracy >= N, provably
+    exact ranks) must agree with exact to rounding."""
+    lo = (
+        load(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("a"),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("e"),
+        )
+    )
+    for r in lo.collect():
+        rel = abs(float(r["a"]) - r["e"]) / max(r["e"], 1)
+        assert rel < 0.01, f"approx median off by {rel:.3%}"
     for r in QS["agg_percentile_approx"].fn(spark, SF_DIR).collect():
         rel = abs(r["approx_median"] - r["exact_median"]) / max(r["exact_median"], 1)
         assert rel < 0.01, f"approx median off by {rel:.3%}"

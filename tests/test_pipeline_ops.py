@@ -16,6 +16,21 @@ from tests.conftest import SF_DIR
 QS = all_queries()
 
 
+def test_native_seeded_sample_reproducible(spark):
+    """Spark's native seeded Bernoulli sampler (§2B sampling row): same
+    seed + same partitioning → identical sample, rate within loose bounds.
+    (Partition-DEPENDENT by design, hence no SQL oracle — the registered
+    sample_bernoulli query uses the content-keyed md5 sampler instead.)"""
+    from lagom_kinesis_spark.catalog import load
+
+    li = load(spark, SF_DIR, "lineitem")
+    n = li.count()
+    a = {tuple(r) for r in li.sample(fraction=0.1, seed=42).collect()}
+    b = {tuple(r) for r in li.sample(fraction=0.1, seed=42).collect()}
+    assert a == b
+    assert 0.05 * n < len(a) < 0.15 * n
+
+
 def test_stratified_sample_deterministic_and_stratified(spark):
     """The kept-set is a pure function of the rows: two runs agree exactly,
     and the 'en' stratum keeps at roughly half the rate of the others."""
