@@ -120,6 +120,73 @@ def hll_estimate(
     return agg.select(*group_cols, F.round(est, 6).alias(alias))
 
 
+def portable_hash_sql(expr: str) -> str:
+    """DuckDB rendering of portable_key_hash(expr): hex-digit fold of the
+    first 15 md5 chars into a positive int64."""
+    return (
+        "list_sum(list_transform(range(1, 16), i -> "
+        f"(strpos('0123456789abcdef', substr(md5(CAST(({expr}) AS VARCHAR)), i, 1)) - 1)::BIGINT"
+        " << (4 * (15 - i))))::BIGINT"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Portable Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+#: d rows x 2^CMS_W_BITS counters. Row positions are the d disjoint 10-bit
+#: slices of the 60-bit portable hash (bit-slicing in lieu of d independent
+#: hash functions — sound while d * CMS_W_BITS <= hash width).
+CMS_D = 4
+CMS_W_BITS = 10
+CMS_W = 1 << CMS_W_BITS
+
+
+def cms_position(h: Column, j: int) -> Column:
+    """Row-j counter index: the j-th CMS_W_BITS-bit slice of the hash."""
+    return F.shiftright(h, CMS_W_BITS * j).bitwiseAND(F.lit(CMS_W - 1))
+
+
+def _cms_cells(key: Column) -> Column:
+    h = portable_key_hash(key)
+    return F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), cms_position(h, j).alias("pos"))
+            for j in range(CMS_D)
+        ]
+    )
+
+
+def cms_counters(occurrences: DataFrame, key: Column) -> DataFrame:
+    """d x w counter table from an occurrence relation (one row per
+    occurrence): explode each occurrence into its d (j, pos) cells and
+    count per cell. Counts are EXACT integers, so the whole sketch — and
+    any min-over-rows estimate read from it — is bit-reproducible by a SQL
+    oracle. Partial aggregation collapses cells map-side; the shuffle
+    carries at most d*w (=4096) rows per map partition regardless of input
+    size, and the finished table is broadcast-sized for estimate joins.
+    Merging sketches of two corpora = cell-wise SUM (counts are additive),
+    the same rollup-without-rescan shape as hll_union."""
+    cells = occurrences.select(F.explode(_cms_cells(key)).alias("c"))
+    return cells.groupBy(
+        F.col("c.j").alias("j"), F.col("c.pos").alias("pos")
+    ).agg(F.count("*").alias("c"))
+
+
+def cms_estimate(queries: DataFrame, key: Column, counters: DataFrame) -> DataFrame:
+    """Point-frequency estimates for `queries` rows: min over the d
+    counters the key hashes to (always >= the true count). Broadcast
+    hash-join against the 4096-row counter table — map-only at any scale."""
+    qcells = queries.select(
+        "*", F.explode(_cms_cells(key)).alias("__c")
+    ).select("*", F.col("__c.j").alias("j"), F.col("__c.pos").alias("pos"))
+    return (
+        qcells.join(F.broadcast(counters), ["j", "pos"])
+        .groupBy(*queries.columns)
+        .agg(F.min("c").alias("cms_est"))
+    )
+
+
 def hll_oracle_sql(
     source_sql: str, key_sql: str, group_cols: Sequence[str] = (), alias: str = "est"
 ) -> str:

@@ -22,6 +22,7 @@ from lagom_kinesis_spark.operators.similarity import (
     lsh_candidate_pairs,
     simhash_signatures,
 )
+from lagom_kinesis_spark.operators import sketches
 from lagom_kinesis_spark.operators.text import (
     LANG_MARKERS,
     RK_BASE,
@@ -413,6 +414,55 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counted.orderBy(F.col("n").desc(), "token").limit(50)
     w = W.orderBy(F.col("n").desc(), "token")
     return top.withColumn("rn", F.row_number().over(w))
+
+
+@register(
+    "text_cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ), h AS (
+      SELECT token, {sketches.portable_hash_sql("token")} AS h FROM toks
+    ), cells AS (
+      SELECT j, (h >> (10 * j)) & 1023 AS pos, COUNT(*) AS c
+      FROM h CROSS JOIN (SELECT unnest(range(4)) AS j) js
+      GROUP BY j, pos
+    ), exact AS (
+      SELECT token, COUNT(*) AS exact_cnt FROM toks
+      GROUP BY token ORDER BY exact_cnt DESC, token LIMIT 20
+    ), qh AS (
+      SELECT token, exact_cnt, {sketches.portable_hash_sql("token")} AS h FROM exact
+    ), qp AS (
+      SELECT token, exact_cnt, js.j, (h >> (10 * js.j)) & 1023 AS pos
+      FROM qh CROSS JOIN (SELECT unnest(range(4)) AS j) js
+    )
+    SELECT token, exact_cnt, MIN(c) AS cms_est
+    FROM qp JOIN cells USING (j, pos)
+    GROUP BY token, exact_cnt
+    """,
+    tags=("llm", "text", "sketch"),
+)
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates for the corpus's top-20 tokens — the
+    fixed-memory token-frequency architecture at 100 TB: the d x w counter
+    table (4096 exact int64 cells, operators/sketches.py) absorbs any
+    token volume, merges across corpora by cell-wise sum, and answers
+    point queries with a broadcast join. Because the cells are exact
+    counts over the portable md5 hash's bit-slices, the whole sketch AND
+    the min-over-rows estimates are bit-reproducible by the SQL oracle —
+    which also pins the CMS overestimate guarantee (cms_est >= exact_cnt,
+    asserted in tests/test_operators.py). The exact top-20 here is the
+    query set; production would feed candidate keys from a stream."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("token"))
+    counters = sketches.cms_counters(toks, F.col("token"))
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "token")
+        .limit(20)
+    )
+    return sketches.cms_estimate(top, F.col("token"), counters)
 
 
 @register(

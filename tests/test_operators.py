@@ -90,6 +90,22 @@ def test_approx_count_distinct_within_tolerance(spark):
         assert abs(r["approx_parts"] - ex) <= 0.05 * ex + 1
 
 
+def test_cms_overestimates_within_collision_mass(spark):
+    """CMS guarantees est >= true count; with w=1024 the expected per-row
+    collision mass is N/1024, so the min-over-4-rows overshoot must stay a
+    small fraction of the corpus token count."""
+    from lagom_kinesis_spark.operators.text import tokens as tok
+
+    n_tokens = (
+        load(spark, SF_DIR, "documents")
+        .select(F.explode(tok("text")).alias("t"))
+        .count()
+    )
+    for r in QS["text_cms_heavy_hitters"].fn(spark, SF_DIR).collect():
+        assert r["cms_est"] >= r["exact_cnt"]
+        assert r["cms_est"] - r["exact_cnt"] <= max(0.02 * n_tokens, 10)
+
+
 def test_multimodal_decode_features(spark):
     blobs = multimodal.attach_payload(load(spark, SF_DIR, "documents"))
     feats = multimodal.decode_features(blobs)
