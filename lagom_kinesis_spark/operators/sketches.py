@@ -187,6 +187,67 @@ def cms_estimate(queries: DataFrame, key: Column, counters: DataFrame) -> DataFr
     )
 
 
+# ---------------------------------------------------------------------------
+# Portable Bloom filter (Bloom 1970), k-sectioned
+# ---------------------------------------------------------------------------
+
+#: k sections of 2^BLOOM_POS_BITS bits each; positions are the k disjoint
+#: 15-bit slices of the 60-bit portable hash (so k * BLOOM_POS_BITS uses the
+#: hash exactly). Sectioned ("partitioned") Bloom keeps the k probes
+#: independent by construction.
+BLOOM_K = 4
+BLOOM_POS_BITS = 15
+BLOOM_SECTION = 1 << BLOOM_POS_BITS
+
+
+def _bloom_cells(key: Column) -> Column:
+    h = portable_key_hash(key)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.shiftright(h, BLOOM_POS_BITS * j)
+                .bitwiseAND(F.lit(BLOOM_SECTION - 1))
+                .alias("pos"),
+            )
+            for j in range(BLOOM_K)
+        ]
+    )
+
+
+def bloom_bits(keys: DataFrame, key: Column) -> DataFrame:
+    """The Bloom bit SET as a relation: distinct (section, position) rows
+    lit by any key — at most k * 2^15 tiny rows however many keys went in,
+    i.e. always broadcast-sized. Represented relationally (not as a packed
+    binary) so the set is engine-neutral and a SQL oracle can rebuild it
+    bit-for-bit; union of two filters = UNION DISTINCT of their rows."""
+    return (
+        keys.select(F.explode(_bloom_cells(key)).alias("c"))
+        .select(F.col("c.j").alias("j"), F.col("c.pos").alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_maybe_contains(
+    probes: DataFrame, key: Column, bits: DataFrame
+) -> DataFrame:
+    """Rows of `probes` the filter MIGHT contain (all k probe positions
+    lit — no false negatives, small controlled false-positive rate).
+    Broadcast hash-join against the bit relation, then an all-k count
+    check: map-only over the probe side at any scale. `probes` rows must
+    be distinct (the hit count is per row-value)."""
+    cells = probes.select(
+        "*", F.explode(_bloom_cells(key)).alias("__c")
+    ).select("*", F.col("__c.j").alias("j"), F.col("__c.pos").alias("pos"))
+    return (
+        cells.join(F.broadcast(bits), ["j", "pos"])
+        .groupBy(*probes.columns)
+        .agg(F.count("*").alias("__k_hit"))
+        .filter(F.col("__k_hit") == BLOOM_K)
+        .drop("__k_hit")
+    )
+
+
 def hll_oracle_sql(
     source_sql: str, key_sql: str, group_cols: Sequence[str] = (), alias: str = "est"
 ) -> str:

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from lagom_kinesis_spark.catalog import load
 from lagom_kinesis_spark.functions import r6
+from lagom_kinesis_spark.operators import sketches
 from lagom_kinesis_spark.registry import register
 
 
@@ -147,6 +148,90 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.join(F.broadcast(bench), "g")
         .groupBy("doc_id")
         .agg(F.countDistinct("g").alias("n_shared_ngrams"))
+    )
+
+
+@register(
+    "decontaminate_bloom_prefilter",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 7),
+                                     i -> array_to_string(w[i:i+7], ' '))) AS g
+        FROM w
+      )
+    ), js AS (
+      SELECT unnest(range(4)) AS j
+    ), bench AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+    ), bits AS (
+      SELECT DISTINCT j, (h >> (15 * j)) & 32767 AS pos
+      FROM (SELECT {{hash}} AS h FROM bench) CROSS JOIN js
+    ), corpus AS (
+      SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0
+    ), cpos AS (
+      SELECT doc_id, g, j, (h >> (15 * j)) & 32767 AS pos
+      FROM (SELECT doc_id, g, {{hash}} AS h FROM corpus) CROSS JOIN js
+    ), hits AS (
+      SELECT doc_id, g FROM cpos JOIN bits USING (j, pos)
+      GROUP BY doc_id, g HAVING COUNT(*) = 4
+    ), bloom AS (
+      SELECT doc_id, COUNT(*) AS n_bloom_grams FROM hits GROUP BY doc_id
+    ), exact AS (
+      SELECT c.doc_id, COUNT(*) AS n FROM corpus c JOIN bench b USING (g)
+      GROUP BY c.doc_id
+    )
+    SELECT bloom.doc_id, n_bloom_grams,
+           COALESCE(exact.n, 0) AS n_exact_grams
+    FROM bloom LEFT JOIN exact ON bloom.doc_id = exact.doc_id
+    """.replace("{hash}", "list_sum(list_transform(range(1, 16), i2 -> "
+                "(strpos('0123456789abcdef', substr(md5(g), i2, 1)) - 1)::BIGINT"
+                " << (4 * (15 - i2))))::BIGINT"),
+    tags=("llm", "pipeline", "decontaminate", "sketch"),
+)
+def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination — the two-stage shape for a 100 TB
+    corpus vs a large benchmark union: stage 1 probes every corpus 8-gram
+    against a fixed-size broadcast Bloom bit relation (operators/
+    sketches.py: k=4 sectioned probes over the portable hash; ~16 KB
+    however many benchmark grams went in, vs broadcasting the grams
+    themselves), stage 2 runs the exact string join ONLY for bloom-flagged
+    docs. No false negatives (every exactly-contaminated doc is flagged);
+    per-doc output exposes the false-positive surplus
+    (n_bloom_grams >= n_exact_grams, asserted in tests/test_pipeline_ops.py).
+    The bit relation is engine-neutral, so the oracle rebuilds the filter
+    bit-for-bit — an exactly-checked approximate data structure."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), " ")
+    grams_expr = F.when(
+        F.size(w) >= 8,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 7),
+                lambda i: F.array_join(F.slice(w, i, 8), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select("doc_id", F.explode(grams_expr).alias("g"))
+    bench = grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
+    corpus = grams.filter(F.col("doc_id") % 50 != 0)
+    bits = sketches.bloom_bits(bench, F.col("g"))
+    flagged = sketches.bloom_maybe_contains(corpus, F.col("g"), bits)
+    bloom_counts = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_bloom_grams")
+    )
+    exact_counts = (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_exact_grams"))
+    )
+    return bloom_counts.join(exact_counts, "doc_id", "left").select(
+        "doc_id",
+        "n_bloom_grams",
+        F.coalesce("n_exact_grams", F.lit(0)).alias("n_exact_grams"),
     )
 
 

@@ -16,6 +16,27 @@ from tests.conftest import SF_DIR
 QS = all_queries()
 
 
+def test_bloom_prefilter_has_no_false_negatives(spark):
+    """Bloom guarantees: every exactly-contaminated doc is flagged, the
+    flagged-gram count never undershoots the exact count, and every
+    exactly-contaminated doc found by the exact join appears in the
+    bloom output."""
+    rows = {
+        r["doc_id"]: r
+        for r in QS["decontaminate_bloom_prefilter"].fn(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["doc_id"]: r["n_shared_ngrams"]
+        for r in QS["decontaminate_ngram_overlap"].fn(spark, SF_DIR).collect()
+    }
+    for doc_id, n in exact.items():
+        assert doc_id in rows, f"false negative: doc {doc_id}"
+        assert rows[doc_id]["n_bloom_grams"] >= n
+        assert rows[doc_id]["n_exact_grams"] == n
+    for r in rows.values():
+        assert r["n_bloom_grams"] >= r["n_exact_grams"]
+
+
 def test_native_seeded_sample_reproducible(spark):
     """Spark's native seeded Bernoulli sampler (§2B sampling row): same
     seed + same partitioning → identical sample, rate within loose bounds.
