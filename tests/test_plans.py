@@ -204,3 +204,19 @@ def test_simhash_bands_explode_once(spark):
     plan = _plan(QS["dedup_simhash"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_cms_estimate_joins_broadcast_counter_table(spark):
+    """The 4096-cell CMS counter table must broadcast to the probe side;
+    no cartesian anywhere in the sketch pipeline."""
+    plan = _plan(QS["text_cms_heavy_hitters"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_probe_joins_broadcast_bit_relation(spark):
+    """Both sketch joins (bit-relation probe, exact verify) must be
+    broadcast; the corpus side must never shuffle on gram or position."""
+    plan = _plan(QS["decontaminate_bloom_prefilter"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
