@@ -262,9 +262,7 @@ def hll_oracle_sql(
     mask = (1 << HLL_W_BITS) - 1
     return f"""
     WITH __h AS (
-      SELECT {g_pre}list_sum(list_transform(range(1, 16),
-        i -> (strpos('0123456789abcdef', substr(md5(CAST(({key_sql}) AS VARCHAR)), i, 1)) - 1)::BIGINT
-             << (4 * (15 - i))))::BIGINT AS h
+      SELECT {g_pre}{portable_hash_sql(key_sql)} AS h
       FROM {source_sql}
     ), __r AS (
       SELECT {g_pre}h >> {HLL_W_BITS} AS idx,
