@@ -219,3 +219,42 @@ def test_hll_sketch_union_within_tolerance(spark):
     row = QS["agg_hll_sketch_union"].fn(spark, SF_DIR).collect()[0]
     assert abs(row["est_total_custkeys"] - exact) <= max(2, 0.05 * exact)
     assert row["sum_groupwise_exact"] >= exact
+
+
+def test_sketch_merge_laws(spark):
+    """The rollup-without-rescan algebra the sketches promise at scale:
+    max-merging per-group HLL registers equals hashing the whole table,
+    and summing two halves' CMS counter tables cell-wise equals the CMS
+    of the union — both EXACT equalities, not approximations."""
+    from lagom_kinesis_spark.operators import sketches
+
+    o = load(spark, SF_DIR, "orders")
+    per_prio = sketches.hll_registers(o, F.col("o_custkey"), ("o_orderpriority",))
+    merged = {
+        (r["__hll_idx"]): r["__hll_rho"]
+        for r in sketches.hll_union(per_prio, ()).collect()
+    }
+    whole = {
+        (r["__hll_idx"]): r["__hll_rho"]
+        for r in sketches.hll_registers(o, F.col("o_custkey"), ()).collect()
+    }
+    assert merged == whole
+
+    toks = (
+        load(spark, SF_DIR, "documents")
+        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t"))
+    )
+    half_a = sketches.cms_counters(toks.filter(F.col("doc_id") % 2 == 0), F.col("t"))
+    half_b = sketches.cms_counters(toks.filter(F.col("doc_id") % 2 == 1), F.col("t"))
+    summed = {
+        (r["j"], r["pos"]): r["c"]
+        for r in half_a.unionAll(half_b)
+        .groupBy("j", "pos")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    }
+    whole_cms = {
+        (r["j"], r["pos"]): r["c"]
+        for r in sketches.cms_counters(toks, F.col("t")).collect()
+    }
+    assert summed == whole_cms
