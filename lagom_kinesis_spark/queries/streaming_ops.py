@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from lagom_kinesis_spark.catalog import normalize_event_ts, path_of, stream_dir
 from lagom_kinesis_spark.functions import events_cte, r6
+from lagom_kinesis_spark.operators import sketches
 from lagom_kinesis_spark.registry import register
 from lagom_kinesis_spark.session import tune
 from lagom_kinesis_spark.streaming.topics import memory_sink_table
@@ -336,6 +337,31 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), r6(F.sum("value")).alias("total_value"))
     )
     return memory_sink_table(agg, "complete")
+
+
+@register(
+    "stream_hll_distinct_users",
+    oracle=sketches.hll_oracle_sql(
+        "events", "user_id", ("event_type",), alias="est_users"
+    ),
+    tags=("streaming", "stateful", "sketch"),
+)
+def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type over an UNBOUNDED stream with FIXED
+    state: the streaming aggregation's state IS the portable-HLL register
+    table (|event_types| x 4096 max-rho cells, operators/sketches.py) —
+    the sketch answer to streaming countDistinct, which Spark (rightly)
+    refuses to run as a stateful agg because exact distinct state grows
+    with the stream. max() is a streaming-supported aggregate and HLL's
+    merge operator, so each micro-batch folds in at no extra machinery,
+    and by the register merge law (tests/test_operators.py::
+    test_sketch_merge_laws) the final state bit-equals the batch sketch —
+    hence an EXACT SQL oracle for an approximate streaming operator. The
+    estimate is read from the finished state batch-side."""
+    ev = events_stream(spark, sf_dir)
+    regs = sketches.hll_registers(ev, F.col("user_id"), ("event_type",))
+    state = memory_sink_table(regs, "complete")
+    return sketches.hll_estimate(state, ("event_type",), alias="est_users")
 
 
 @register(
