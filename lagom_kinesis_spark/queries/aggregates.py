@@ -719,6 +719,75 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(exact)
 
 
+_HLL_SEG_A = "1-URGENT"
+_HLL_SEG_B = "2-HIGH"
+
+
+@register(
+    "agg_hll_intersection",
+    oracle=f"""
+    SELECT round(ea.est_a + eb.est_b - eu.est_u, 6) AS est_intersection,
+           ea.est_a, eb.est_b, eu.est_u, ex.n_exact_both
+    FROM ({sketches.hll_oracle_sql(
+        f"(SELECT * FROM orders WHERE o_orderpriority = '{_HLL_SEG_A}')",
+        "o_custkey", (), alias="est_a")}) ea,
+         ({sketches.hll_oracle_sql(
+        f"(SELECT * FROM orders WHERE o_orderpriority = '{_HLL_SEG_B}')",
+        "o_custkey", (), alias="est_b")}) eb,
+         ({sketches.hll_oracle_sql(
+        f"(SELECT * FROM orders WHERE o_orderpriority IN ('{_HLL_SEG_A}', '{_HLL_SEG_B}'))",
+        "o_custkey", (), alias="est_u")}) eu,
+         (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_both FROM (
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '{_HLL_SEG_A}'
+            INTERSECT
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '{_HLL_SEG_B}'
+         )) ex
+    """,
+    tags=("agg", "approx", "sketch"),
+)
+def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA: customers active in BOTH priority segments via
+    inclusion-exclusion over portable-HLL estimates (|A∩B| ~ est(A) +
+    est(B) - est(A∪B)) — the audience-overlap question answered from three
+    fixed-size sketches with no re-scan and no join of the underlying
+    sets. The union sketch is the register max-merge of the two segment
+    sketches (duplicate-insensitivity makes overlapping inputs harmless);
+    every estimate is deterministic int64 arithmetic, so even the DERIVED
+    intersection estimate is SQL-oracle-exact. n_exact_both (an exact
+    INTERSECT distinct count) rides along as the accuracy reference,
+    tolerance-asserted in tests/test_operators.py."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == _HLL_SEG_A)
+    b = o.filter(F.col("o_orderpriority") == _HLL_SEG_B)
+    ra = sketches.hll_registers(a, F.col("o_custkey"), ())
+    rb = sketches.hll_registers(b, F.col("o_custkey"), ())
+    est_a = sketches.hll_estimate(ra, (), alias="est_a")
+    est_b = sketches.hll_estimate(rb, (), alias="est_b")
+    est_u = sketches.hll_estimate(
+        sketches.hll_union(ra.unionAll(rb), ()), (), alias="est_u"
+    )
+    exact = (
+        a.select("o_custkey")
+        .distinct()
+        .join(b.select("o_custkey").distinct(), "o_custkey")
+        .agg(F.count("*").alias("n_exact_both"))
+    )
+    return (
+        est_a.crossJoin(est_b)
+        .crossJoin(est_u)
+        .crossJoin(exact)
+        .select(
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_u"), 6
+            ).alias("est_intersection"),
+            "est_a",
+            "est_b",
+            "est_u",
+            "n_exact_both",
+        )
+    )
+
+
 @register(
     "agg_listagg_ordered",
     oracle="""

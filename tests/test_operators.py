@@ -258,3 +258,12 @@ def test_sketch_merge_laws(spark):
         for r in sketches.cms_counters(toks, F.col("t")).collect()
     }
     assert summed == whole_cms
+
+
+def test_hll_intersection_close_to_exact(spark):
+    """Inclusion-exclusion over sketches is noisier than a single estimate
+    (three error terms) — assert the overlap estimate lands within 15% of
+    the exact INTERSECT count (plus small-count slack)."""
+    row = QS["agg_hll_intersection"].fn(spark, SF_DIR).collect()[0]
+    exact = row["n_exact_both"]
+    assert abs(row["est_intersection"] - exact) <= max(10, 0.15 * exact)
