@@ -142,6 +142,12 @@ _NEEDS_REROW: tuple[str, ...] = (
     "agg_percentile_approx",
     "agg_hll_sketch_union",
     "sample_bernoulli",
+    # Brand-new sketch-family ops (operators/sketches.py): no driver row
+    # exists yet and each is a new §2B+ component — front-load their first.
+    "text_cms_heavy_hitters",
+    "decontaminate_bloom_prefilter",
+    "stream_hll_distinct_users",
+    "agg_hll_intersection",
 )
 
 #: Every query with a driver row in CORRECTNESS_r01 ∪ r02 (99 names).
