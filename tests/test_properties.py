@@ -170,3 +170,57 @@ def test_portable_token_hash_cross_engine(spark, toks):
         ).fetchall()
     )
     assert got_duck == expect
+
+
+HLL_KEYS = st.lists(
+    st.integers(min_value=0, max_value=10**9),
+    min_size=1,
+    max_size=300,
+    unique=True,
+)
+
+
+@given(keys=HLL_KEYS)
+@SETTINGS
+def test_portable_hll_matches_python_reference(spark, keys):
+    """Pins that operators/sketches.py implements HLL itself, not merely a
+    self-consistent pair of engine expressions: an independent pure-Python
+    HLL (hashlib md5, bit_length for rho, the textbook estimator) must
+    produce the identical register table and estimate on arbitrary keys."""
+    import hashlib
+    import math
+
+    from lagom_kinesis_spark.operators import sketches as sk
+
+    regs: dict[int, int] = {}
+    for k in keys:
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+        idx = h >> sk.HLL_W_BITS
+        w = h & ((1 << sk.HLL_W_BITS) - 1)
+        rho = (sk.HLL_W_BITS + 1) if w == 0 else sk.HLL_W_BITS + 1 - w.bit_length()
+        regs[idx] = max(regs.get(idx, 0), rho)
+    s_int = sum(1 << (sk.HLL_W_BITS + 1 - r) for r in regs.values()) + (
+        sk.HLL_M - len(regs)
+    ) * (1 << (sk.HLL_W_BITS + 1))
+    raw = (
+        sk.HLL_ALPHA
+        * sk.HLL_M
+        * sk.HLL_M
+        * float(1 << (sk.HLL_W_BITS + 1))
+        / s_int
+    )
+    zeros = sk.HLL_M - len(regs)
+    expected = (
+        sk.HLL_M * math.log(sk.HLL_M / zeros)
+        if zeros > 0 and raw <= 2.5 * sk.HLL_M
+        else raw
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    spark_regs = {
+        r["__hll_idx"]: r["__hll_rho"]
+        for r in sk.hll_registers(df, F.col("k"), ()).collect()
+    }
+    assert spark_regs == regs
+    got = sk.hll_estimate(sk.hll_registers(df, F.col("k"), ()), ()).collect()[0]["est"]
+    assert abs(got - round(expected, 6)) <= 1e-6
