@@ -365,6 +365,39 @@ def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_hll_windowed_distinct",
+    oracle=events_cte(
+        ", "
+        + sketches.hll_oracle_sql(
+            "(SELECT (epoch_us(ts)//1000000)//300*300 AS bucket_start,"
+            " user_id FROM events)",
+            "user_id",
+            ("bucket_start",),
+            alias="est_users",
+        ).lstrip().removeprefix("WITH")
+    ),
+    tags=("streaming", "stateful", "window", "sketch"),
+)
+def stream_hll_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users PER 5-MINUTE WINDOW over the stream — the
+    unique-visitors-per-interval question — with sketch-bounded state:
+    |windows| x 4096 register rows instead of |windows| x |users| exact
+    state (the unbounded-key shape that makes streaming countDistinct
+    unrunnable). Same merge-law construction as stream_hll_distinct_users,
+    keyed by event-time bucket; at production scale a watermark on ts
+    would close old windows and evict their registers — here the bounded
+    replay keeps complete mode exact, and the final state bit-equals the
+    per-window batch sketch (the oracle)."""
+    ev = events_stream(spark, sf_dir).select(
+        (F.floor(F.unix_timestamp("ts") / 300) * 300).alias("bucket_start"),
+        "user_id",
+    )
+    regs = sketches.hll_registers(ev, F.col("user_id"), ("bucket_start",))
+    state = memory_sink_table(regs, "complete")
+    return sketches.hll_estimate(state, ("bucket_start",), alias="est_users")
+
+
+@register(
     "stream_arbitrary_state",
     oracle=events_cte(
         """

@@ -148,6 +148,7 @@ _NEEDS_REROW: tuple[str, ...] = (
     "decontaminate_bloom_prefilter",
     "stream_hll_distinct_users",
     "agg_hll_intersection",
+    "stream_hll_windowed_distinct",
 )
 
 #: Every query with a driver row in CORRECTNESS_r01 ∪ r02 (99 names).
