@@ -696,7 +696,7 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT est.est_total_custkeys, ex.sum_groupwise_exact
     FROM ({sketches.hll_oracle_sql("orders", "o_custkey", (), alias="est_total_custkeys")}) est, ex
     """,
-    tags=("agg", "approx", "sketch"),
+    tags=("agg", "approx", "sketch", "scalar"),
 )
 def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch UNION — THE 100 TB distinct-count architecture: each
@@ -743,7 +743,7 @@ _HLL_SEG_B = "2-HIGH"
             SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '{_HLL_SEG_B}'
          )) ex
     """,
-    tags=("agg", "approx", "sketch"),
+    tags=("agg", "approx", "sketch", "scalar"),
 )
 def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch SET ALGEBRA: customers active in BOTH priority segments via

@@ -760,7 +760,7 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
                          WHERE c.c_custkey = o.o_custkey)) AS orphan_custkeys
     FROM orders
     """,
-    tags=("quality", "agg", "join"),
+    tags=("quality", "agg", "join", "scalar"),
 )
 def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality constraint report (the Deequ-style ingest gate a
