@@ -1,10 +1,14 @@
-"""Portable HyperLogLog over the md5 portable hash — mergeable distinct-count
-sketches whose ESTIMATE is bit-for-bit reproducible by a SQL oracle.
+"""Portable probabilistic sketches over the md5 portable hash — HyperLogLog
+(distinct counts + set algebra), Count-Min (point frequencies), and a
+sectioned Bloom filter (membership prefilter) — every one of whose outputs
+is bit-for-bit reproducible by a SQL oracle.
 
 Engine-private sketch binaries (Spark's HLL++ `approx_count_distinct`,
 DataSketches `hll_sketch_agg`) can only ever be tolerance-checked across
-engines. This module rebuilds the classic HLL (Flajolet et al. 2007) on the
-same cross-engine hash discipline as operators/similarity.portable_token_hash:
+engines. This module rebuilds the classic structures on the same
+cross-engine hash discipline as operators/similarity.portable_token_hash,
+keeping every internal quantity exact int64 so no floating-point summation
+order can perturb a result. The HLL (Flajolet et al. 2007) layout:
 
 - hash  = first 15 hex chars of md5(key-as-string) as a positive int64
           (60 bits; identical in Spark, DuckDB, and Python — pinned by
