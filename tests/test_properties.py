@@ -224,3 +224,52 @@ def test_portable_hll_matches_python_reference(spark, keys):
     assert spark_regs == regs
     got = sk.hll_estimate(sk.hll_registers(df, F.col("k"), ()), ()).collect()[0]["est"]
     assert abs(got - round(expected, 6)) <= 1e-6
+
+
+@given(toks=TOKENS)
+@SETTINGS
+def test_portable_cms_and_bloom_match_python_reference(spark, toks):
+    """Same independence pin for the other two sketches: pure-Python CMS
+    cell counts and Bloom bit sets (hashlib md5 + bit slicing) must equal
+    the Spark relations on arbitrary token multisets."""
+    import hashlib
+    from collections import Counter
+
+    from lagom_kinesis_spark.operators import sketches as sk
+
+    def h60(t: str) -> int:
+        return int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+
+    # CMS over the multiset (duplicate the list to get real multiplicities)
+    occurrences = toks + toks[: max(1, len(toks) // 2)]
+    cms_ref: Counter = Counter()
+    for t in occurrences:
+        h = h60(t)
+        for j in range(sk.CMS_D):
+            cms_ref[(j, (h >> (sk.CMS_W_BITS * j)) & (sk.CMS_W - 1))] += 1
+    df = spark.createDataFrame([(t,) for t in occurrences], "t string")
+    cms_got = {
+        (r["j"], r["pos"]): r["c"]
+        for r in sk.cms_counters(df, F.col("t")).collect()
+    }
+    assert cms_got == dict(cms_ref)
+
+    bloom_ref = {
+        (j, (h60(t) >> (sk.BLOOM_POS_BITS * j)) & (sk.BLOOM_SECTION - 1))
+        for t in toks
+        for j in range(sk.BLOOM_K)
+    }
+    keys = spark.createDataFrame([(t,) for t in toks], "t string")
+    bloom_got = {
+        (r["j"], r["pos"])
+        for r in sk.bloom_bits(keys, F.col("t")).collect()
+    }
+    assert bloom_got == bloom_ref
+    # No false negatives: every inserted key must be "maybe contained".
+    hits = {
+        r["t"]
+        for r in sk.bloom_maybe_contains(
+            keys.distinct(), F.col("t"), sk.bloom_bits(keys, F.col("t"))
+        ).collect()
+    }
+    assert hits == set(toks)
