@@ -120,41 +120,41 @@ def all_queries() -> dict[str, Query]:
 #      behavior/graph/streaming/...) gets rows even in a truncated sweep.
 #   3. Queries already driver-green (r1 ∪ r2), lowest value to re-check.
 
-#: Latest driver row is a failure fixed locally (first 9), or a rows-only
-#: row whose check has since been upgraded to an exact SQL oracle (the
-#: rest) — either way a fresh driver row is the proof, so they sweep first.
+#: Queries whose driver evidence is stale or newly upgraded, so a fresh
+#: driver row is the proof (r4): the three events-scalar queries whose only
+#: green rows are r1 — before the round-2 events.ts µs fixture swap — and
+#: sim_ann_ivf, whose check was upgraded this round from rows-only to an
+#: exact SQL oracle over a deterministic recall summary.
 _NEEDS_REROW: tuple[str, ...] = (
-    "pii_mask_digits",
-    "udf_pandas_scalar",
-    "udf_grouped_map",
-    "udf_pandas_udaf",
-    "stream_tumbling_window",
-    "agg_collect_sorted",
-    "fn_array",
-    "fn_array_gen",
-    "fn_map",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "sim_ann_lsh",
-    "udtf_split_tokens",
-    "multimodal_decode_features",
-    "agg_approx_count_distinct",
-    "agg_percentile_approx",
-    "agg_hll_sketch_union",
-    "sample_bernoulli",
-    # Brand-new sketch-family ops (operators/sketches.py): no driver row
-    # exists yet and each is a new §2B+ component — front-load their first.
-    "text_cms_heavy_hitters",
-    "decontaminate_bloom_prefilter",
-    "stream_hll_distinct_users",
-    "agg_hll_intersection",
-    "stream_hll_windowed_distinct",
+    "fn_datetime_extended",
+    "fn_json",
+    "fn_json_variant",
+    "sim_ann_ivf",
 )
 
-#: Every query with a driver row in CORRECTNESS_r01 ∪ r02 (99 names).
+#: Every query with a driver row in CORRECTNESS_r01 ∪ r02 ∪ r03 (133 names).
 _DRIVER_SAMPLED: frozenset[str] = frozenset(
     _NEEDS_REROW
     + (
+        # r3 sweep (CORRECTNESS_r03.json): 50 rows, all green.
+        "agg_collect_sorted", "agg_hll_intersection", "agg_hll_sketch_union",
+        "agg_linear_regression", "agg_mode_deterministic",
+        "behavior_anomaly_zscore", "behavior_cohort_retention",
+        "behavior_funnel_conversion", "decontaminate_bloom_prefilter",
+        "fn_array", "fn_array_gen", "fn_explode_outer", "fn_map",
+        "fn_try_safe", "fn_url_parse",
+        "flagship_revenue_by_nation", "graph_degree_stats", "graph_pagerank",
+        "join_salted_skew", "pii_mask_digits", "proj_computed",
+        "q_forecast_revenue", "q_order_priority", "q_volume_shipping",
+        "sample_bernoulli", "scan_parquet_pushdown", "sql_lateral_topn",
+        "stream_hll_distinct_users", "stream_hll_windowed_distinct",
+        "stream_session_window", "stream_sliding_window",
+        "stream_stream_join", "stream_tumbling_window",
+        "stream_watermark_dedup", "text_cms_heavy_hitters", "ts_gapfill_locf",
+        "ts_ohlc_resample", "udf_grouped_map", "udf_pandas_scalar",
+        "udf_pandas_udaf", "win_lag_lead", "win_ntile_dist",
+        "win_rank_family",
+        # r1 ∪ r2 rows.
         "agg_approx_count_distinct", "agg_bool", "agg_conditional",
         "agg_count_distinct_multi", "agg_cube", "agg_global",
         "agg_grouping_sets", "agg_having", "agg_min_by_max_by",
