@@ -170,11 +170,24 @@ class _StreamReader(DataSourceStreamReader):
     strictly serially, so scheduled-earlier implies processed-earlier —
     no child record is consumed before any parent record, preserving
     per-key order across a SplitShard/MergeShards boundary (one key's
-    records live in exactly one parent and one child). Gating on the
-    offsets this reader previously RETURNED (rather than Spark's commit
-    callback) keeps the rule self-contained in the planning path; intended
-    for TRIM_HORIZON replay consumes of a resharded stream — default off,
+    records live in exactly one parent and one child). Intended for
+    TRIM_HORIZON replay consumes of a resharded stream — default off,
     since it staggers child data into later micro-batches.
+
+    Offset-safety invariant: ``latestOffset`` must never return an offset
+    below what Spark has already committed, or the offset log records a
+    regressed end and a later micro-batch re-delivers processed records.
+    The scheduling history lives in ``_scheduled``, floored from every
+    offset Spark hands back: ``partitions(start, end)`` during planning,
+    and ``commit(end)`` after each batch (the durable lease-table analogue
+    is Spark's checkpoint, so its offsets are the authority). This makes a
+    restart safe without any persisted reader state: MicroBatchExecution
+    always re-plans the last offset-log batch via ``partitions(start, end)``
+    BEFORE the first ``latestOffset`` of a restarted run (observed protocol,
+    Spark 4.1), so every shard with committed progress floors the gate
+    first, and a held child is returned at its floored position — never
+    below the checkpoint. On a genuinely fresh query ``latestOffset`` runs
+    first with an empty floor, where holding children at 0 is correct.
     """
 
     def __init__(self, options):
@@ -183,10 +196,15 @@ class _StreamReader(DataSourceStreamReader):
         self.drain_parents_first = (
             options.get("drain_parents_first", "false").lower() == "true"
         )
-        #: Shard → end offset this reader returned from a previous
-        #: latestOffset call (parents count as drained only once their
-        #: scheduled offset has reached their tip).
+        #: Shard → highest offset known scheduled/committed: floored from
+        #: our own latestOffset answers AND every offset Spark passes back
+        #: (parents count as drained only once scheduled to their tip).
         self._scheduled: dict[str, int] = {}
+
+    def _floor_scheduled(self, offsets: dict) -> None:
+        for shard, off in offsets.items():
+            if int(off) > self._scheduled.get(shard, 0):
+                self._scheduled[shard] = int(off)
 
     def _tips(self) -> dict[str, int]:
         return {
@@ -202,12 +220,27 @@ class _StreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         if self.starting == "LATEST":
-            return self._tips()
-        return {s: 0 for s in _shards_of(self.stream_dir)}
+            off = self._tips()
+        else:
+            off = {s: 0 for s in _shards_of(self.stream_dir)}
+        # Seed scheduling history: a LATEST start treats everything before
+        # the tip as already consumed, so gating must not hold children
+        # below it (that would regress the start offset).
+        self._floor_scheduled(off)
+        return off
 
     def latestOffset(self) -> dict:
         tips = self._tips()
         if not self.drain_parents_first:
+            return tips
+        if self.starting == "LATEST" and not self._scheduled:
+            # First call of a fresh LATEST query (latestOffset precedes
+            # initialOffset in the planning protocol): the whole backlog —
+            # parents included — is skipped, so there is nothing to drain
+            # and holding children at 0 would regress below the tip-valued
+            # initial offset. A restarted reader never takes this branch:
+            # its floor is already seeded by the partitions() re-plan.
+            self._floor_scheduled(tips)
             return tips
         lineage = self._lineage()
         out: dict[str, int] = {}
@@ -220,10 +253,15 @@ class _StreamReader(DataSourceStreamReader):
             # Hold a child at its already-scheduled position until every
             # parent has been scheduled to its tip (in an earlier batch).
             out[shard] = self._scheduled.get(shard, 0) if undrained else tip
-        self._scheduled = dict(out)
+        self._floor_scheduled(out)
         return out
 
     def partitions(self, start: dict, end: dict):
+        # Both bounds are scheduled state by definition (this batch is being
+        # planned now); on a restart this re-plan of the last offset-log
+        # batch is where the reader first learns the checkpointed offsets.
+        self._floor_scheduled(start)
+        self._floor_scheduled(end)
         parts = []
         for shard, tip in end.items():
             lo = int(start.get(shard, 0))
@@ -237,7 +275,10 @@ class _StreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        pass  # progress lives in the Structured Streaming checkpoint (R17)
+        # Progress lives in the Structured Streaming checkpoint (R17); the
+        # committed offsets also floor the drain gate so it can never hold
+        # a shard below what Spark has durably recorded.
+        self._floor_scheduled(end)
 
     def stop(self) -> None:
         pass

@@ -434,3 +434,123 @@ def test_stream_reader_drains_parent_before_child(spark, stream_dir, tmp_path):
         pres = [d for d in ordered if d.startswith("pre")]
         posts = [d for d in ordered if d.startswith("post")]
         assert ordered == pres + posts
+
+
+def test_drain_gate_never_regresses_after_restart(stream_dir):
+    """A reader restarted from a checkpoint has an empty in-memory drain
+    gate; latestOffset must still never return an offset below what the
+    prior run committed (a regressed end offset in Spark's offset log means
+    re-delivery). Drives the DataSourceStreamReader calls in the order the
+    engine issues them (observed, Spark 4.1): fresh start = latestOffset →
+    initialOffset → partitions → commit; restart = partitions(start, end)
+    re-plan of the last offset-log batch, THEN latestOffset."""
+    from lagom_kinesis_spark.sources.kinesis_sim import (
+        _StreamReader,
+        create_stream,
+        put_records_ranged,
+        split_shard,
+    )
+
+    opts = {"path": stream_dir, "drain_parents_first": "true"}
+    create_stream(stream_dir, n_shards=1)
+    put_records_ranged(stream_dir, [(f"pre{i}", f"k{i % 3}") for i in range(9)])
+    left, right = split_shard(stream_dir, "shard-00000")
+    put_records_ranged(stream_dir, [(f"post{i}", f"k{i % 3}") for i in range(9)])
+
+    # Run 1 (fresh): batch 1 schedules the parent, holds children; batch 2
+    # releases the children once the parent is drained.
+    r1 = _StreamReader(opts)
+    end1 = r1.latestOffset()
+    assert end1["shard-00000"] == 9 and end1[left] == 0 and end1[right] == 0
+    start = r1.initialOffset()
+    r1.partitions(start, end1)
+    r1.commit(end1)
+    end2 = r1.latestOffset()
+    assert end2[left] + end2[right] == 9
+    r1.partitions(end1, end2)
+    r1.commit(end2)
+
+    # Restart: the engine re-plans the last offset-log batch via
+    # partitions(start, end) before any latestOffset — that call seeds the
+    # gate, so the first latestOffset answer never drops below end2.
+    r2 = _StreamReader(opts)
+    r2.partitions(end1, end2)
+    end3 = r2.latestOffset()
+    for shard, committed in end2.items():
+        assert end3[shard] >= committed, (shard, end3, end2)
+
+    # commit() floors the gate the same way (defense in depth for any
+    # protocol variant that commits the re-run before planning anew).
+    r3 = _StreamReader(opts)
+    r3.commit(end2)
+    end4 = r3.latestOffset()
+    for shard, committed in end2.items():
+        assert end4[shard] >= committed, (shard, end4, end2)
+
+
+def test_drain_gate_latest_start_does_not_regress(stream_dir):
+    """LATEST + drain_parents_first: the whole backlog is skipped, so the
+    gate must not hold a child below the tip-valued initial offset — and
+    latestOffset is called BEFORE initialOffset on a fresh query, so the
+    tip floor has to come from the reader's own first answer."""
+    from lagom_kinesis_spark.sources.kinesis_sim import (
+        _StreamReader,
+        create_stream,
+        put_records_ranged,
+        split_shard,
+    )
+
+    create_stream(stream_dir, n_shards=1)
+    put_records_ranged(stream_dir, [(f"pre{i}", f"k{i % 3}") for i in range(6)])
+    left, right = split_shard(stream_dir, "shard-00000")
+    put_records_ranged(stream_dir, [(f"post{i}", f"k{i % 3}") for i in range(6)])
+
+    r = _StreamReader(
+        {"path": stream_dir, "drain_parents_first": "true", "startingposition": "LATEST"}
+    )
+    end = r.latestOffset()  # engine calls this first on a fresh query
+    start = r.initialOffset()
+    for shard, lo in start.items():
+        assert end[shard] >= lo, (shard, end, start)
+
+
+def test_stream_restart_with_drain_gate_no_duplicates(spark, stream_dir, tmp_path):
+    """End-to-end checkpoint restart under drain_parents_first: stop the
+    query after the resharded stream is fully consumed, publish more
+    records, restart from the same checkpoint — every record is delivered
+    exactly once (no re-delivery from a regressed end offset)."""
+    from lagom_kinesis_spark.sources.kinesis_sim import (
+        create_stream,
+        put_records_ranged,
+        split_shard,
+    )
+
+    _registered(spark)
+    create_stream(stream_dir, n_shards=1)
+    put_records_ranged(stream_dir, [(f"pre{i}", f"k{i % 3}") for i in range(9)])
+    left, right = split_shard(stream_dir, "shard-00000")
+    put_records_ranged(stream_dir, [(f"post{i}", f"k{i % 3}") for i in range(9)])
+
+    seen: list = []
+
+    def run_once():
+        q = (
+            spark.readStream.format("kinesis_sim")
+            .option("path", stream_dir)
+            .option("drain_parents_first", "true")
+            .load()
+            .writeStream.foreachBatch(lambda b, e: seen.extend(b.collect()))
+            .option("checkpointLocation", str(tmp_path / "ck_restart"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    assert len(seen) == 18
+    put_records_ranged(stream_dir, [(f"late{i}", f"k{i % 3}") for i in range(6)])
+    run_once()
+    datas = [r["data"] for r in seen]
+    assert len(datas) == 24 and len(set(datas)) == 24  # exactly once each
