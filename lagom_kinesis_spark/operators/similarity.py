@@ -342,3 +342,86 @@ def hyperplane_bucket(vec: Column, dim: int, num_planes: int = 16) -> Column:
     for c in bits[1:]:
         out = out.bitwiseOR(c)
     return out
+
+
+# ---------------------------------------------------------------------------
+# IVF-flat ANN: coarse quantizer → inverted lists → probed exact re-rank
+# ---------------------------------------------------------------------------
+
+
+def centroid_rank(centroids: "np.ndarray") -> Column:
+    """Array of (−round(cos, 6), cid) structs over ``embedding``, ascending
+    sorted — element 0 is the vector's nearest centroid, the first
+    ``n_probe`` elements are a query's probe list. The raw cosines come
+    from one Arrow-batched matmul against the model-sized centroid matrix
+    (map-only, no shuffle); rounding and the argmax happen JVM-side with
+    ``F.round`` so the tie-break semantics match a SQL engine's ROUND
+    exactly (the sim_ann_lsh sign-test discipline)."""
+    cn = np.asarray(centroids, dtype=np.float64)
+    cn = cn / np.linalg.norm(cn, axis=1, keepdims=True)
+
+    @F.pandas_udf("array<double>")
+    def cent_sims(xs: pd.Series) -> pd.Series:
+        V = np.vstack(xs.values).astype(np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        return pd.Series(list(Vn @ cn.T))
+
+    return F.array_sort(
+        F.transform(
+            cent_sims(F.col("embedding")),
+            lambda c, i: F.struct(
+                (-F.round(c, 6)).alias("nc"), i.cast("int").alias("cid")
+            ),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    centroids: "np.ndarray",
+    query_pred: Column,
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-flat approximate top-k cosine: assign every corpus vector to its
+    nearest centroid (inverted lists), probe each query's ``n_probe``
+    nearest lists, exact-cosine re-rank within the probed lists only.
+
+    The quantizer is pluggable — any (k × dim) centroid matrix: KMeans
+    cluster centers or a deterministic data sample behave identically here.
+    Scale shape: centroids are model-sized (broadcast with the closure);
+    assignment is one Arrow-batched scoring pass (map-only); candidate
+    generation is an equi-join on cluster id (bucket-sized, never all
+    pairs); only the re-rank window shuffles, over probed candidates only.
+    A vector lives in exactly one list, so a (q_id, vec_id) candidate can
+    arise from at most one probe — no dedup step needed."""
+    ranked = centroid_rank(centroids)
+    assigned = corpus.select(
+        "vec_id", "embedding", ranked[0]["cid"].alias("cluster")
+    )
+    probes = (
+        corpus.filter(query_pred)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qv"),
+            F.explode(F.slice(ranked, 1, n_probe)).alias("p"),
+        )
+        .select("q_id", "qv", F.col("p")["cid"].alias("cluster"))
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, "cluster")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine_pandas(F.col("qv"), F.col("embedding")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )

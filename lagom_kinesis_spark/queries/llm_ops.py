@@ -774,50 +774,88 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ann_ivf", oracle=None, tags=("llm", "similarity", "scale"))
+def _ann_ivf_oracle(k_lists: int = 8, n_probe: int = 2, k: int = 10) -> str:
+    """DuckDB SQL replaying the IVF pipeline exactly: the same md5-ordered
+    centroid sample, the same round-6 argmax list assignment (ties to the
+    lowest centroid id), the same n_probe nearest lists per query, the same
+    rounded-cosine re-rank. Fully SQL-expressible because the quantizer is
+    a deterministic data sample, not a trained model."""
+    return f"""
+    WITH cent AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS INT) - 1 AS cid, cv
+      FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h,
+                   embedding::DOUBLE[] AS cv
+            FROM embeddings ORDER BY h, vec_id LIMIT {k_lists})
+    ), corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), assigned AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, c.cid AS cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                          c.cid) AS arn
+        FROM corpus e CROSS JOIN cent c
+      ) WHERE arn = 1
+    ), probes AS (
+      SELECT q_id, qv, cluster FROM (
+        SELECT e.vec_id AS q_id, e.v AS qv, c.cid AS cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                          c.cid) AS prn
+        FROM (SELECT vec_id, v FROM corpus WHERE vec_id < 5) e
+        CROSS JOIN cent c
+      ) WHERE prn <= {n_probe}
+    ), scored AS (
+      SELECT p.q_id, a.vec_id,
+             round(list_cosine_similarity(p.qv, a.v), 6) AS cos_sim
+      FROM probes p JOIN assigned a USING (cluster)
+    )
+    SELECT * FROM (
+      SELECT q_id, vec_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, vec_id) AS INT) AS rn
+      FROM scored
+    ) WHERE rn <= {k}
+    """
+
+
+@register(
+    "sim_ann_ivf",
+    oracle=_ann_ivf_oracle(),
+    tags=("llm", "similarity", "scale"),
+)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: k-means coarse quantizer (MLlib, fixed seed), inverted
-    lists = cluster assignments, queries probe their 2 nearest centroids,
+    """IVF-flat ANN (operators/similarity.ivf_topk): coarse quantizer →
+    inverted lists (per-vector nearest-centroid assignment, one map-only
+    Arrow-batched scoring pass) → queries probe their 2 nearest lists →
     exact cosine re-rank within probed lists only.
 
-    Scale shape: centroids are model-sized (k×dim — driver-safe); the
-    corpus-side work is one ML scoring pass (map-only) plus an equi-join on
-    cluster id. Only the |query-set| rows are collected to pick probes."""
-    import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    The quantizer here is 8 DATA-SAMPLED centroids chosen by md5 order —
+    deterministic and engine-reproducible, the same discipline that makes
+    sim_ann_lsh's hyperplanes exactly oracle-checkable — so the whole
+    pipeline replays in SQL (_ann_ivf_oracle) and the driver can
+    hash-match it. A KMeans-trained quantizer drops into the identical
+    pipeline unchanged (tests/test_operators.py::
+    test_ivf_kmeans_quantizer_same_pipeline proves it); only the centroid
+    matrix differs, never the plan shape. Scale: centroids are model-sized
+    (broadcast in the closure), candidates come from a cluster-id
+    equi-join — never all pairs."""
+    from lagom_kinesis_spark.operators.similarity import ivf_topk
 
     e = load(spark, sf_dir, "embeddings")
-    data = e.select("vec_id", "embedding", array_to_vector("embedding").alias("__fv"))
-    model = KMeans(k=8, seed=42, maxIter=10, featuresCol="__fv").fit(data)
-    assigned = model.transform(data).select(
-        "vec_id", "embedding", F.col("prediction").alias("cluster")
-    )
-    centers = np.vstack([c for c in model.clusterCenters()])
+    cent_rows = (
+        e.select("vec_id", "embedding")
+        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(8)
+        .collect()
+    )  # 8 × dim — model-sized, the documented driver-safe collect
+    import numpy as np
 
-    # Probe selection for the (small, bounded) query set — documented
-    # driver-side step over |queries| rows, never the corpus.
-    qrows = assigned.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
-    probes = []
-    for r in qrows:
-        v = np.asarray(r["embedding"], dtype=np.float64)
-        d = ((centers - v) ** 2).sum(axis=1)
-        for c in np.argsort(d)[:2]:
-            probes.append((r["vec_id"], int(c)))
-    probe_df = spark.createDataFrame(probes, "q_id long, cluster int")
-    q = assigned.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
-    )
-    cands = (
-        F.broadcast(probe_df)
-        .join(assigned, "cluster")
-        .join(F.broadcast(q), "q_id")
-        .select(
-            "q_id", "vec_id", r6(cosine_pandas(F.col("qv"), F.col("embedding"))).alias("cos_sim")
-        )
-    )
-    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
-    return cands.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    C = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    return ivf_topk(e, C, F.col("vec_id") < 5, k=10, n_probe=2)
 
 
 @register(

@@ -267,3 +267,64 @@ def test_hll_intersection_close_to_exact(spark):
     row = QS["agg_hll_intersection"].fn(spark, SF_DIR).collect()[0]
     exact = row["n_exact_both"]
     assert abs(row["est_intersection"] - exact) <= max(10, 0.15 * exact)
+
+
+def test_ivf_kmeans_quantizer_same_pipeline(spark):
+    """The IVF pipeline (operators/similarity.ivf_topk) is quantizer-
+    agnostic: a KMeans-trained centroid matrix drops in where the
+    registered query uses the md5-sampled one, with the identical plan
+    shape. Checks the structural contract (schema, ≤k per query, query
+    self-hit with cosine 1.0, candidate cosines agree with the exact
+    scorer) — the sampled-centroid variant is the oracle-checked one."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from lagom_kinesis_spark.operators.similarity import ivf_topk
+
+    e = load(spark, SF_DIR, "embeddings")
+    data = e.select("vec_id", "embedding", array_to_vector("embedding").alias("__fv"))
+    model = KMeans(k=8, seed=42, maxIter=10, featuresCol="__fv").fit(data)
+    C = np.vstack([c for c in model.clusterCenters()])
+
+    out = ivf_topk(e, C, F.col("vec_id") < 5, k=10, n_probe=2)
+    assert [f.name for f in out.schema.fields] == ["q_id", "vec_id", "cos_sim", "rn"]
+    rows = out.collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append(r)
+    exact = {
+        (r["q_id"], r["vec_id"]): r["cos_sim"]
+        for r in QS["sim_topk_cosine"].fn(spark, SF_DIR).collect()
+    }
+    for q_id, hits in per_q.items():
+        assert len(hits) <= 10
+        # A query's own vector shares its list with itself → always top hit.
+        self_hit = [r for r in hits if r["vec_id"] == q_id]
+        assert self_hit and abs(self_hit[0]["cos_sim"] - 1.0) < 1e-6
+        for r in hits:
+            key = (r["q_id"], r["vec_id"])
+            if key in exact:
+                assert abs(exact[key] - r["cos_sim"]) < 1e-9
+
+
+def test_ivf_sampled_centroids_recall_vs_exact(spark):
+    """Recall evidence for the registered (oracle-checked) IVF variant:
+    with 2 of 8 lists probed, the IVF top-10 must recover a usable share
+    of the exact top-10 and always contain the query itself."""
+    ivf = QS["sim_ann_ivf"].fn(spark, SF_DIR).collect()
+    exact = QS["sim_topk_cosine"].fn(spark, SF_DIR).collect()
+    ivf_sets, exact_sets = {}, {}
+    for r in ivf:
+        ivf_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    for r in exact:
+        exact_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    assert set(ivf_sets) == set(exact_sets)
+    recalls = [
+        len(ivf_sets[q] & exact_sets[q]) / len(exact_sets[q]) for q in exact_sets
+    ]
+    # Self-hit guarantees > 0; on the fixtures 2/8 probing recovers well
+    # above a token share of the exact neighbors.
+    assert all(q in ivf_sets[q] for q in ivf_sets)
+    assert sum(recalls) / len(recalls) >= 0.2, recalls
