@@ -513,13 +513,30 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank error is at most N/A, so at A >= N it is < 1 rank — the sketch
     provably degenerates to the exact order statistic at rank ceil(p*N),
     which the oracle selects directly (verified partition-count-invariant:
-    identical results at 1/7/32 partitions). Production would run lower A
-    (true approximation); the tolerance check for that regime is
-    tests/test_operators.py::test_percentile_approx_close_to_exact.
-    exact_median (Spark `percentile`, linear interpolation) doubles as the
-    closeness reference and matches DuckDB's quantile_cont bit-for-bit."""
+    identical results at 1/7/32 partitions). A is DERIVED from the actual
+    max group size at runtime (one cheap count pre-pass, A = 100×N in the
+    empirically-validated N/A ≤ 0.02 error regime), so the precondition is
+    checked per run, never assumed from the fixture scale — and the
+    summary buffer scales with the group, not a fixed 10M constant.
+    Production would run lower A (true approximation); the tolerance check
+    for that regime is tests/test_operators.py::
+    test_percentile_approx_close_to_exact. exact_median (Spark
+    `percentile`, linear interpolation) doubles as the closeness reference
+    and matches DuckDB's quantile_cont bit-for-bit."""
     li = load(spark, sf_dir, "lineitem")
-    acc = 10_000_000  # >= any group's row count through sf1 → exact ranks
+    n_max = int(
+        li.groupBy("l_returnflag").count().agg(F.max("count")).collect()[0][0] or 1
+    )
+    # Rank-error budget N/A: keep it in the validated ≤0.02 regime (A = N
+    # alone allows error up to a full rank — not exact). Int32-capped; past
+    # the cap the exact-mode claim ends, so fail loudly instead of silently
+    # de-exacting the oracle gate.
+    acc = min(max(100 * n_max, 10_000), 2**31 - 1)
+    if n_max / acc > 0.02:
+        raise ValueError(
+            f"groups of {n_max} rows exceed the oracle-exact regime for "
+            "percentile_approx; run the true-approximation variant instead"
+        )
     return li.groupBy("l_returnflag").agg(
         r6(F.percentile_approx("l_extendedprice", 0.25, acc)).alias("approx_p25"),
         r6(F.percentile_approx("l_extendedprice", 0.5, acc)).alias("approx_median"),

@@ -18,20 +18,47 @@ QS = all_queries()
 
 
 def test_minhash_lsh_recalls_exact_high_jaccard_pairs(spark):
-    """Every exact-Jaccard pair ≥ 0.8 (from the oracle-matched sample query)
-    must be recalled by the LSH path — the S-curve guarantees ~97% per pair;
-    the fixture's near-dups are far above the threshold."""
-    exact = {
-        (r["id_a"], r["id_b"])
-        for r in QS["dedup_jaccard_pairs"].fn(spark, SF_DIR).collect()
-        if r["jac"] >= 0.8
+    """FIXTURE-TIME SELF-CHECK for the dedup_minhash_lsh oracle gate: the
+    gate claims banded-LSH = exact all-pairs at τ=0.8, which holds only if
+    no qualifying pair is band-missed (P(miss) = (1-j⁴)¹⁶ ≈ 2e-4 at
+    j=0.8). The driver REGENERATES fixtures between rounds, so run this
+    against the new fixtures at round start (with tests/test_fixtures.py).
+    If it ever fails after a regeneration, a borderline pair got unlucky:
+    widen the band structure (num_hashes=128, bands=16 keeps r=8... use
+    num_hashes=128, bands=32 for r=4, miss ≈ 5e-8) in dedup_minhash_lsh —
+    the exact-verify step keeps correctness, only candidate-join cost
+    changes. The failure message lists each missed pair and every pair in
+    the risk band just above the threshold."""
+    from lagom_kinesis_spark.functions import r6
+    from lagom_kinesis_spark.operators.text import jaccard, shingles
+
+    # Full-corpus exact all-pairs (the gate's oracle scope — the sampled
+    # dedup_jaccard_pairs query covers only doc_id % 2 = 0); O(n²) is fine
+    # at test scale and this runs nowhere near the scale path.
+    d = load(spark, SF_DIR, "documents")
+    sub = d.select("doc_id", shingles(tokens("text")).alias("sh"))
+    a = sub.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sub.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    exact_jac = {
+        (r["id_a"], r["id_b"]): r["jac"]
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jac", r6(jaccard(F.col("sh_a"), F.col("sh_b"))))
+        .filter(F.col("jac") >= 0.7)
+        .collect()
     }
+    qualifying = {p for p, j in exact_jac.items() if j >= 0.8}
     lsh = {
         (r["id_a"], r["id_b"])
         for r in QS["dedup_minhash_lsh"].fn(spark, SF_DIR).collect()
     }
-    missed = exact - lsh
-    assert not missed, f"LSH missed high-similarity pairs: {sorted(missed)[:5]}"
+    missed = qualifying - lsh
+    borderline = sorted(
+        (p, j) for p, j in exact_jac.items() if 0.8 <= j < 0.85
+    )
+    assert not missed, (
+        f"LSH missed qualifying pairs {sorted(missed)[:5]} — widen bands "
+        f"(see docstring). Risk-band pairs (jac in [0.8, 0.85)): {borderline}"
+    )
 
 
 def test_simhash_identical_docs_distance_zero(spark):
