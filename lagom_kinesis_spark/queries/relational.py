@@ -610,11 +610,13 @@ def scan_binaryfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     a raw file, read back distributed, keyed by filename with byte
     length and content digest.
 
-    The scan under test is fully distributed (one task per file group,
-    content never touches the driver). Fixture prep writes the files
-    driver-side from a BOUNDED slice (|docs|/25 rows — the same
-    documented bounded-collect contract as the IVF query set); a real
-    pipeline's blobs arrive as files already.
+    Both halves are fully distributed: fixture prep writes the blob
+    files from the EXECUTORS via ``foreachPartition`` (each task writes
+    its own partition's files — no driver materialization at any size;
+    on a multi-node cluster the target would be shared storage), and the
+    ``binaryFile`` scan reads them back one task per file group, content
+    never touching the driver. A real pipeline's blobs arrive as files
+    already.
     """
     import os
     import shutil
@@ -627,9 +629,13 @@ def scan_binaryfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
-    for row in sub.toPandas().itertuples(index=False):  # bounded: ≤ |docs|/25
-        with open(os.path.join(tmp, f"{row.doc_id}.txt"), "wb") as f:
-            f.write(row.text.encode("utf-8"))
+
+    def _write_files(rows) -> None:
+        for row in rows:
+            with open(os.path.join(tmp, f"{row.doc_id}.txt"), "wb") as f:
+                f.write(row.text.encode("utf-8"))
+
+    sub.foreachPartition(_write_files)
     bf = spark.read.format("binaryFile").load(tmp)
     return bf.select(
         F.regexp_extract("path", r"(\d+)\.txt$", 1).alias("doc_key"),
