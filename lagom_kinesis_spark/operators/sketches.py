@@ -252,6 +252,106 @@ def bloom_maybe_contains(
     )
 
 
+# ---------------------------------------------------------------------------
+# Portable KMV / theta sketch (Bar-Yossef et al. 2002; Dasgupta et al. 2016)
+# ---------------------------------------------------------------------------
+
+#: Retained minimum hash values per sketch. 64 keeps the sketch broadcast-
+#: sized and, at the sf0.01 gate (150 distinct users per event_type),
+#: saturates so the ESTIMATION path — not the exact-set fallback — is what
+#: the oracle checks.
+THETA_K = 64
+#: The portable hash is uniform on [0, 2^60); theta lives in that domain.
+THETA_DOMAIN = 1 << 60
+
+
+def kmv_sketch(
+    df: DataFrame, key: Column, group_cols: Sequence[str] = (), k: int = THETA_K
+) -> DataFrame:
+    """Per-group KMV (theta) sketch: the k smallest DISTINCT portable
+    hashes, one row each — (group_cols..., __kmv_h). Unlike HLL this
+    sketch supports DIRECT intersection / difference estimates (theta set
+    algebra): the retained values below a common theta are a uniform
+    coordinated sample of the union, so any boolean set expression is just
+    set ops on the retained rows.
+
+    Scale shape: dropDuplicates partial-aggregates map-side (the shuffle
+    carries distinct (group, hash) pairs, not occurrences); the ranked
+    window is a spillable per-group sort emitting at most k rows per
+    group. Merge law (exploited by the oracle and proved in
+    tests/test_operators.py): k-smallest-of(union of per-segment k-smallest
+    sets) == k-smallest-of(union of the raw sets), because any value in the
+    union's true bottom-k is necessarily in its own segment's bottom-k —
+    so per-day/per-segment sketches roll up without re-scanning, the same
+    architecture as hll_union. At extreme per-group skew, pre-filter
+    h < k * DOMAIN / lower_bound(n_distinct) before the sort."""
+    from pyspark.sql.window import Window
+
+    h = portable_key_hash(key)
+    distinct = df.select(
+        *group_cols, h.alias("__kmv_h")
+    ).dropDuplicates([*group_cols, "__kmv_h"])
+    w = Window.partitionBy(*group_cols).orderBy("__kmv_h")
+    return (
+        distinct.withColumn("__kmv_rn", F.row_number().over(w))
+        .filter(F.col("__kmv_rn") <= k)
+        .drop("__kmv_rn")
+    )
+
+
+def kmv_theta(
+    sketch: DataFrame, group_cols: Sequence[str] = (), k: int = THETA_K
+) -> DataFrame:
+    """Per-group theta: the k-th smallest hash when the sketch saturated,
+    else THETA_DOMAIN (the sketch IS the exact distinct-hash set). Exact
+    int64 both ways — the only float op downstream is the final estimate
+    divide on identical operands."""
+    return (
+        sketch.groupBy(*group_cols)
+        .agg(F.max("__kmv_h").alias("__kmv_max"), F.count("*").alias("__kmv_n"))
+        .select(
+            *group_cols,
+            F.when(F.col("__kmv_n") >= k, F.col("__kmv_max"))
+            .otherwise(F.lit(THETA_DOMAIN))
+            .alias("__kmv_theta"),
+            F.col("__kmv_n"),
+        )
+    )
+
+
+def kmv_estimate_expr(n_col: Column, theta_col: Column) -> Column:
+    """Distinct-count estimate from (sample size below theta, theta):
+    n * DOMAIN / theta, rounded to 6 places. When theta == DOMAIN the
+    sample is the whole set and the expression reduces to exactly n
+    (n * 2^60 is an exact double for n < 2^53-60). The int64 → double
+    casts are IEEE round-to-nearest on both engines, so the estimate is
+    bit-reproducible by the SQL oracle."""
+    return F.round(
+        n_col.cast("double") * F.lit(float(THETA_DOMAIN)) / theta_col.cast("double"),
+        6,
+    )
+
+
+def kmv_sketch_sql(
+    source_sql: str, key_sql: str, group_cols: Sequence[str] = (), k: int = THETA_K
+) -> str:
+    """DuckDB SQL reproducing kmv_sketch bit-for-bit: distinct portable
+    hashes per group, ranked, bottom-k. Yields (group_cols..., h)."""
+    g = ", ".join(group_cols)
+    g_pre = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    return f"""(
+      SELECT {g_pre}h FROM (
+        SELECT {g_pre}h,
+               row_number() OVER ({part}ORDER BY h) AS rn
+        FROM (
+          SELECT DISTINCT {g_pre}{portable_hash_sql(key_sql)} AS h
+          FROM {source_sql}
+        )
+      ) WHERE rn <= {k}
+    )"""
+
+
 def hll_oracle_sql(
     source_sql: str, key_sql: str, group_cols: Sequence[str] = (), alias: str = "est"
 ) -> str:

@@ -805,6 +805,128 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_THETA_A = "click"
+_THETA_B = "purchase"
+_THETA_EV = f"(SELECT * FROM events WHERE event_type IN ('{_THETA_A}', '{_THETA_B}'))"
+
+
+@register(
+    "agg_theta_sketch_setops",
+    oracle=f"""
+    WITH sk AS (
+      SELECT * FROM {sketches.kmv_sketch_sql(_THETA_EV, "user_id", ("event_type",))}
+    ), th AS (
+      SELECT event_type,
+             CASE WHEN COUNT(*) >= {sketches.THETA_K} THEN MAX(h)
+                  ELSE {sketches.THETA_DOMAIN} END AS theta
+      FROM sk GROUP BY event_type
+    ), tmin AS (SELECT MIN(theta) AS theta FROM th
+    ), flagged AS (
+      SELECT sk.h,
+             MAX(CASE WHEN sk.event_type = '{_THETA_A}' THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN sk.event_type = '{_THETA_B}' THEN 1 ELSE 0 END) AS in_b
+      FROM sk, tmin WHERE sk.h < tmin.theta GROUP BY sk.h
+    ), c AS (
+      SELECT COUNT(*)::BIGINT AS n_u,
+             COALESCE(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END), 0)::BIGINT AS n_i,
+             COALESCE(SUM(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END), 0)::BIGINT AS n_a,
+             COALESCE(SUM(CASE WHEN in_a = 0 AND in_b = 1 THEN 1 ELSE 0 END), 0)::BIGINT AS n_b
+      FROM flagged
+    ), ex AS (
+      SELECT COUNT(*)::BIGINT AS n_exact_intersection FROM (
+        SELECT DISTINCT user_id FROM events WHERE event_type = '{_THETA_A}'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events WHERE event_type = '{_THETA_B}'
+      )
+    )
+    SELECT round(n_u::DOUBLE * {sketches.THETA_DOMAIN}::DOUBLE / theta::DOUBLE, 6) AS est_union,
+           round(n_i::DOUBLE * {sketches.THETA_DOMAIN}::DOUBLE / theta::DOUBLE, 6) AS est_intersection,
+           round(n_a::DOUBLE * {sketches.THETA_DOMAIN}::DOUBLE / theta::DOUBLE, 6) AS est_click_only,
+           round(n_b::DOUBLE * {sketches.THETA_DOMAIN}::DOUBLE / theta::DOUBLE, 6) AS est_purchase_only,
+           ex.n_exact_intersection
+    FROM c, tmin, ex
+    """,
+    tags=("agg", "approx", "sketch", "scalar"),
+)
+def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV sketch SET ALGEBRA — the sketch HLL cannot provide:
+    DIRECT union / intersection / difference estimates over two audience
+    sets (users who click vs users who purchase) from two fixed-size
+    sketches. Below a common theta = min(theta_a, theta_b), the retained
+    hashes of both sketches form one coordinated uniform sample of the key
+    space, so |expr ∩ [0, theta)| * DOMAIN / theta estimates ANY boolean
+    set expression — including A\\B, where HLL's inclusion-exclusion
+    degrades. Every quantity up to the final divide is exact int64 over
+    the portable md5 hash (operators/sketches.py), so all four estimates
+    are bit-reproducible by the SQL oracle; the exact intersection count
+    rides along as the accuracy reference (tolerance-asserted in
+    tests/test_operators.py). At the sf0.01 gate both sketches saturate
+    (150 distinct users/type > k=64), so the driver exercises the
+    estimation path, not the exact-set fallback."""
+    from lagom_kinesis_spark.operators.sketches import kmv_estimate_expr
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_THETA_A, _THETA_B)
+    )
+    sk = sketches.kmv_sketch(ev, F.col("user_id"), ("event_type",))
+    th = sketches.kmv_theta(sk, ("event_type",))
+    tmin = th.agg(F.min("__kmv_theta").alias("theta"))
+    flagged = (
+        sk.crossJoin(F.broadcast(tmin))
+        .filter(F.col("__kmv_h") < F.col("theta"))
+        .groupBy("__kmv_h")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == _THETA_A, 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("event_type") == _THETA_B, 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    counts = flagged.agg(
+        F.count("*").alias("n_u"),
+        F.sum(
+            ((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")
+        ).alias("n_i"),
+        F.sum(
+            ((F.col("in_a") == 1) & (F.col("in_b") == 0)).cast("long")
+        ).alias("n_a"),
+        F.sum(
+            ((F.col("in_a") == 0) & (F.col("in_b") == 1)).cast("long")
+        ).alias("n_b"),
+    )
+    exact = (
+        ev.filter(F.col("event_type") == _THETA_A)
+        .select("user_id")
+        .distinct()
+        .join(
+            ev.filter(F.col("event_type") == _THETA_B)
+            .select("user_id")
+            .distinct(),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_exact_intersection"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(tmin))
+        .crossJoin(exact)
+        .select(
+            kmv_estimate_expr(F.col("n_u"), F.col("theta")).alias("est_union"),
+            kmv_estimate_expr(F.col("n_i"), F.col("theta")).alias(
+                "est_intersection"
+            ),
+            kmv_estimate_expr(F.col("n_a"), F.col("theta")).alias(
+                "est_click_only"
+            ),
+            kmv_estimate_expr(F.col("n_b"), F.col("theta")).alias(
+                "est_purchase_only"
+            ),
+            "n_exact_intersection",
+        )
+    )
+
+
 @register(
     "agg_listagg_ordered",
     oracle="""

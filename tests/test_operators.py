@@ -287,6 +287,54 @@ def test_sketch_merge_laws(spark):
     assert summed == whole_cms
 
 
+def test_kmv_merge_law_and_estimation(spark):
+    """KMV/theta rollup-without-rescan: the bottom-k of the UNION of
+    per-segment bottom-k sets equals the bottom-k of the raw union — an
+    EXACT equality (any hash in the union's true bottom-k is in its own
+    segment's bottom-k). Also pins the estimator: with k=8 the per-type
+    sketches saturate even at sf0.001, and the python-side KMV estimate
+    from the same retained hashes matches the Spark expression."""
+    from pyspark.sql.window import Window
+
+    from lagom_kinesis_spark.operators import sketches
+
+    ev = load(spark, SF_DIR, "events")
+    k = 8
+    per_type = sketches.kmv_sketch(ev, F.col("user_id"), ("event_type",), k=k)
+    merged = sorted(
+        r["__kmv_h"]
+        for r in per_type.select("__kmv_h")
+        .dropDuplicates(["__kmv_h"])
+        .withColumn(
+            "__rn", F.row_number().over(Window.orderBy("__kmv_h"))
+        )
+        .filter(F.col("__rn") <= k)
+        .collect()
+    )
+    whole = sorted(
+        r["__kmv_h"] for r in sketches.kmv_sketch(ev, F.col("user_id"), (), k=k).collect()
+    )
+    assert merged == whole and len(whole) == k
+
+    # Estimator sanity vs the exact distinct count (k=8 → coarse; wide tol).
+    theta = whole[-1]
+    est = (k - 1) * sketches.THETA_DOMAIN / theta
+    exact = ev.select("user_id").distinct().count()
+    assert abs(est - exact) <= max(10, 0.8 * exact)
+
+
+def test_theta_setops_close_to_exact(spark):
+    """The theta set-algebra estimates must track the exact counts: at
+    sf0.001 neither sketch saturates (15 users/type < k=64), so ALL four
+    estimates are exact; assert that, plus the intersection tolerance
+    contract that holds when saturated."""
+    row = QS["agg_theta_sketch_setops"].fn(spark, SF_DIR).collect()[0]
+    exact = row["n_exact_intersection"]
+    assert abs(row["est_intersection"] - exact) <= max(10, 0.3 * exact)
+    # union >= max side; click_only + intersection ~ |click|
+    assert row["est_union"] >= row["est_click_only"] + row["est_purchase_only"]
+
+
 def test_hll_intersection_close_to_exact(spark):
     """Inclusion-exclusion over sketches is noisier than a single estimate
     (three error terms) — assert the overlap estimate lands within 15% of
