@@ -70,6 +70,16 @@ def get_spark(app_name: str = "lagom-kinesis-spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Shuffle/spill files on tmpfs when available: a long single-host suite
+    # writes map_tasks × reduce_partitions shuffle files PER SHUFFLE (stack
+    # sampling showed DiskBlockObjectWriter.initialize + mmap/unmap
+    # dominating suite-context runs as files accumulate on the root disk —
+    # a measured 2-4× drag on shuffle-heavy queries). A real cluster puts
+    # spark.local.dir on fast node-local storage; /dev/shm is this box's
+    # equivalent.
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        builder = builder.config("spark.local.dir", f"{shm}/spark-local")
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -1,0 +1,65 @@
+"""Generate a scaled-up copy of a test fixture dir for bench floor analysis.
+
+Usage: python scripts/make_scaled_fixture.py SRC_DIR DST_DIR FACTOR
+
+Fact tables are replicated FACTOR times with primary keys offset per copy
+(so join fan-outs and window/group densities scale the way a real larger
+scale factor would: 10x orders per customer, 10x events per time bucket,
+10x near-duplicate documents — not 10x distinct key ranges everywhere);
+dimension tables are copied as-is. This exists to answer one question the
+sf0.1 bench cannot (BENCH_NOTES.md): do the Spark-over-DuckDB ratios
+collapse once per-query fixed costs amortize over real data volume? It is
+a bench tool — correctness gates always run against the driver-generated
+fixtures, never against this output.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+#: fact table -> columns to offset by copy_index * (1 + max over src)
+FACTS: dict[str, tuple[str, ...]] = {
+    "lineitem": ("l_orderkey",),
+    "orders": ("o_orderkey",),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+DIMS = ("region", "nation", "customer", "supplier", "part")
+
+
+def main() -> None:
+    src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for t in DIMS:
+        con.sql(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
+            f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    for t, keys in FACTS.items():
+        f = f"{src}/{t}.parquet"
+        offsets = {
+            k: con.sql(f"SELECT 1 + MAX({k}) FROM read_parquet('{f}')").fetchone()[0]
+            for k in keys
+        }
+        copies = []
+        for i in range(factor):
+            cols = ", ".join(
+                f"({k} + {i * offsets[k]}) AS {k}" if k in keys else k
+                for k in [
+                    c[0] for c in con.sql(f"DESCRIBE SELECT * FROM read_parquet('{f}')").fetchall()
+                ]
+            )
+            copies.append(f"SELECT {cols} FROM read_parquet('{f}')")
+        con.sql(
+            f"COPY ({' UNION ALL '.join(copies)}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        print(t, "->", con.sql(f"SELECT COUNT(*) FROM read_parquet('{dst}/{t}.parquet')").fetchone()[0], "rows")
+
+
+if __name__ == "__main__":
+    main()
