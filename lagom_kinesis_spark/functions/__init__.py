@@ -3,6 +3,7 @@ from lagom_kinesis_spark.functions.helpers import (  # noqa: F401
     dec,
     events_cte,
     fan_out,
+    hash_build,
     money,
     money_sum_sql,
     r6,

@@ -69,6 +69,25 @@ def fan_out(df, min_factor: int = 1):
     return df
 
 
+def hash_build(df):
+    """Mark ``df`` as the hash-build side of a fact⋈fact shuffle join.
+
+    Spark defaults big equi-joins to sort-merge; when one side is known to
+    be materially smaller (a filtered/projected fact), a shuffled hash join
+    skips the sort of the large probe side entirely. Measured on the sf10
+    bench fixture (BENCH_NOTES.md, best-of-3 warm interleaved):
+    flagship 8.2→3.8 s, join_multiway 8.5→3.9 s, q_shipping_priority
+    4.0→3.2 s — the sort of the 60 M-row lineitem side is pure waste.
+    Scale-safe: per-task build memory is |build|/shuffle-partitions on a
+    uniform key, AQE's skew split still applies to shuffled hash joins,
+    and the hint degrades to the planner default whenever that side can't
+    host the build for the join type. Only used where the build side is
+    structurally smaller (filtered/projected); bucketed-table joins keep
+    their sorted-merge plans (see scan_bucketed_sorted's explicit hint).
+    """
+    return df.hint("shuffle_hash")
+
+
 def dec(c: Column | str, scale: int = 2, precision: int = 18) -> Column:
     c = F.col(c) if isinstance(c, str) else c
     return c.cast(f"decimal({precision},{scale})")

@@ -26,7 +26,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lagom_kinesis_spark.catalog import load
-from lagom_kinesis_spark.functions import dec, money, r6, revenue_expr, revenue_sql
+from lagom_kinesis_spark.functions import (
+    dec,
+    hash_build,
+    money,
+    r6,
+    revenue_expr,
+    revenue_sql,
+)
 from lagom_kinesis_spark.registry import register
 
 
@@ -136,7 +143,7 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(hash_build(orders), li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
@@ -192,7 +199,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(18,2)")
     vol = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(hash_build(orders), li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
         .join(F.broadcast(region), F.col("c_rkey") == F.col("r_regionkey"))
@@ -225,7 +232,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation   ON s_nationkey = n_nationkey
     JOIN orders   ON l_orderkey = o_orderkey
-    WHERE p_name LIKE '%part_1%'
+    WHERE p_name LIKE '%widget%'
     GROUP BY n_name, year(o_orderdate)
     """,
     tags=("analytics", "join", "agg"),
@@ -236,7 +243,10 @@ def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     price per unit — same plan: fact⋈orders shuffle, part/supplier/nation
     broadcast, exact-decimal arithmetic throughout."""
     li = load(spark, sf_dir, "lineitem")
-    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%part_1%"))
+    # '%widget%' selects ~13% of parts on the driver fixtures (p_name is
+    # "<adj> <noun>"); the previous '%part_1%' pattern matched nothing,
+    # making the gate row a vacuous 0-row compare.
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     supp = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
     orders = load(spark, sf_dir, "orders")
@@ -246,7 +256,7 @@ def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(hash_build(orders), li.l_orderkey == orders.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(money(F.sum(amount)).alias("profit"))
     )
@@ -505,7 +515,7 @@ def q_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     f_items = li.join(
-        orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey")
+        hash_build(orders.select("o_orderkey")), li.l_orderkey == F.col("o_orderkey")
     ).drop("o_orderkey")
     stats = f_items.groupBy(F.col("l_orderkey").alias("os_key")).agg(
         F.max("l_shipdate").alias("last_ship"),

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lagom_kinesis_spark.catalog import load
-from lagom_kinesis_spark.functions import r6
+from lagom_kinesis_spark.functions import hash_build, r6
 from lagom_kinesis_spark.registry import register
 
 #: Shared oracle CTE: trade edges (supplier nation → customer nation,
@@ -69,7 +69,7 @@ def _edges_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", F.col("s_nationkey").alias("src")
     )
     edges = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(hash_build(o), li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy("src", "dst")

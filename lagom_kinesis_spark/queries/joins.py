@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lagom_kinesis_spark.catalog import load
-from lagom_kinesis_spark.functions import money, revenue_expr, revenue_sql
+from lagom_kinesis_spark.functions import hash_build, money, revenue_expr, revenue_sql
 from lagom_kinesis_spark.registry import register
 
 
@@ -159,14 +159,18 @@ def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_left_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01')
     """,
     tags=("join",),
 )
 def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left_anti = NOT EXISTS."""
+    """left_anti = NOT EXISTS. The orders side is date-filtered so the
+    result is a real subset on the driver fixtures (unfiltered, every
+    customer has at least one order and the compare is vacuously empty)."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1999-01-01")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -272,7 +276,7 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(hash_build(o), li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -307,7 +311,11 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     selective dim filter, fact join, agg, ordered limit (ties key-pinned)."""
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
-    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    # Here lineitem is the structurally smaller side: the shipdate filter
+    # keeps only the unshipped tail (~2%), while the orders filter keeps ~97%.
+    li = hash_build(
+        load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -347,7 +355,7 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load(spark, sf_dir, "nation")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(hash_build(o), li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))

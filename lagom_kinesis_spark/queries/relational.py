@@ -13,7 +13,14 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from lagom_kinesis_spark.catalog import load
-from lagom_kinesis_spark.functions import dec, money, r6, revenue_expr, revenue_sql
+from lagom_kinesis_spark.functions import (
+    dec,
+    hash_build,
+    money,
+    r6,
+    revenue_expr,
+    revenue_sql,
+)
 from lagom_kinesis_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -52,7 +59,7 @@ def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(hash_build(orders), li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
