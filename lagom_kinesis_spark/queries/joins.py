@@ -310,12 +310,13 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: top-10 unshipped BUILDING orders by revenue —
     selective dim filter, fact join, agg, ordered limit (ties key-pinned)."""
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
-    # Here lineitem is the structurally smaller side: the shipdate filter
-    # keeps only the unshipped tail (~2%), while the orders filter keeps ~97%.
-    li = hash_build(
-        load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    # orders is the build side: on the driver fixtures both filters keep
+    # ~half their table (shipdates are spread, not TPC-H's trailing tail),
+    # so filtered orders (15M/2) is 4x smaller than filtered lineitem (60M/2).
+    o = hash_build(
+        load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
     )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
