@@ -1285,3 +1285,54 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(0).cast("long"), F.col("n_frames") - 1, F.lit(25).cast("long"))
         ).alias("frame_idx"),
     ).withColumn("byte_offset", F.col("frame_idx") * 1024)
+
+
+@register(
+    "dedup_source_overlap_matrix",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(list_sort(list_distinct(
+                 string_split(lower(text), ' '))), ' ')) AS h
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+    FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+    tags=("llm", "dedup", "agg"),
+)
+def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise inter-source duplication matrix: for every source pair,
+    how many distinct document fingerprints (sorted distinct token set,
+    as in dedup_fingerprint) appear in both.
+
+    The curation question this answers — "which corpus sources are
+    near-copies of each other?" — decides dedup ORDER in a multi-source
+    training pipeline (dedup the overlapping pair first, count tokens
+    after). Fingerprint identity rather than raw md5(text) so token-order
+    shuffles still count as overlap (and because the fixtures' exact
+    cross-source duplicates are empty below sf0.1 — raw-text identity
+    would make the gate row vacuous). Scale: one shuffle to distinct
+    (source, fingerprint) pairs, then a self-equi-join on the hash;
+    per-hash fan-out is bounded by the number of sources (tiny), never by
+    corpus size, so the join output is at most |sources|²/2 per hash
+    bucket — no quadratic blowup on a 100 TB corpus.
+    """
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "source",
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(F.split(F.lower("text"), " ")))
+            ).cast("binary")
+        ).alias("h"),
+    ).distinct()
+    a = sh.select(F.col("source").alias("source_a"), "h")
+    b = sh.select(F.col("source").alias("source_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )

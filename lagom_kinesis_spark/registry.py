@@ -196,12 +196,24 @@ _DRIVER_SAMPLED: frozenset[str] = frozenset(
 )
 
 
+#: Queries added mid-round-4, AFTER the round's ~50-slot sweep plan was
+#: locked against the 66 then-never-sampled names: they queue behind that
+#: backlog (still ahead of already-green rows) so a new registration can't
+#: displace a planned verification slot within the same round.
+_DEFER_NEW: tuple[str, ...] = (
+    "graph_triangle_count",
+    "dedup_source_overlap_matrix",
+)
+
+
 def driver_order(registry: dict[str, Query]) -> list[str]:
     """Sweep order per the priority above (stable within each tier)."""
     rerow = [n for n in _NEEDS_REROW if n in registry]
     fresh = [
         n for n in registry
-        if n not in _DRIVER_SAMPLED and n not in _NEEDS_REROW
+        if n not in _DRIVER_SAMPLED
+        and n not in _NEEDS_REROW
+        and n not in _DEFER_NEW
     ]
     # Round-robin the fresh tier across modules for family coverage.
     by_module: dict[str, list[str]] = {}
@@ -217,8 +229,9 @@ def driver_order(registry: dict[str, Query]) -> list[str]:
             lanes.remove(lane)
         else:
             i += 1
+    deferred = [n for n in _DEFER_NEW if n in registry]
     green = [n for n in registry if n in _DRIVER_SAMPLED and n not in _NEEDS_REROW]
-    return rerow + interleaved + green
+    return rerow + interleaved + deferred + green
 
 
 def queries_dict() -> dict[str, QueryFn]:
