@@ -983,3 +983,67 @@ def kinesis_sim_reshard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     put_records_ranged(d, [(str(i), str(i)) for i in ids if i % 2 == 1])
     rec = spark.read.format("kinesis_sim").option("path", d).load()
     return rec.groupBy("shard_id").agg(F.count("*").alias("n_records"))
+
+
+@register(
+    "stream_histogram_quantile",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(floor(value / 8) AS BIGINT) AS bucket,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, bucket, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM h
+    )
+    SELECT event_type,
+           CAST(MIN(bucket) * 8 AS BIGINT) AS p95_lo,
+           CAST(MAX(total) AS BIGINT) AS n_events
+    FROM c WHERE cum * 20 >= total * 19
+    GROUP BY event_type
+    """,
+    tags=("streaming", "stateful", "sketch"),
+)
+def stream_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p95 of `value` per event type over an unbounded stream with FIXED
+    state: a fixed-width histogram sketch as the streaming aggregate.
+
+    Spark (rightly) refuses `percentile` as a streaming aggregate —
+    exact quantile state grows with the stream. The histogram answer
+    bounds state at |event_types| x |buckets| counter rows (same
+    discipline as the HLL/CMS family, operators/sketches.py): the
+    streaming agg is groupBy(type, bucket).count(), a supported shape,
+    and the quantile is read from the finished state batch-side with a
+    cumulative window. Determinism: bucket = floor(value / 8) — division
+    by a power of two is exact in IEEE double, so both engines compute
+    identical buckets, and the 0.95 rank test is pure-integer
+    (cum*20 >= total*19) — hence an EXACT SQL oracle for an approximate
+    (bucket-resolution) streaming operator. At production scale the
+    bucket width trades resolution for state; log-width buckets bound
+    relative error the same way.
+    """
+    from pyspark.sql import Window as W
+
+    ev = events_stream(spark, sf_dir).select(
+        "event_type", F.floor(F.col("value") / 8).cast("long").alias("bucket")
+    )
+    hist = ev.groupBy("event_type", "bucket").agg(F.count("*").alias("n"))
+    state = memory_sink_table(hist, "complete")
+    by_type = W.partitionBy("event_type")
+    c = state.select(
+        "event_type",
+        "bucket",
+        F.sum("n").over(by_type.orderBy("bucket")).alias("cum"),
+        F.sum("n").over(by_type).alias("total"),
+    )
+    return (
+        c.filter(F.col("cum") * 20 >= F.col("total") * 19)
+        .groupBy("event_type")
+        .agg(
+            (F.min("bucket") * 8).cast("long").alias("p95_lo"),
+            F.max("total").cast("long").alias("n_events"),
+        )
+    )

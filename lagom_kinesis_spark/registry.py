@@ -203,6 +203,7 @@ _DRIVER_SAMPLED: frozenset[str] = frozenset(
 _DEFER_NEW: tuple[str, ...] = (
     "graph_triangle_count",
     "dedup_source_overlap_matrix",
+    "stream_histogram_quantile",
 )
 
 
