@@ -34,6 +34,8 @@ SMOKE_QUERIES = [
     "stream_sliding_window",
     "stream_session_window",
     "stream_stream_join",
+    "stream_hll_windowed_distinct",
+    "stream_histogram_quantile",
 ]
 
 
