@@ -220,3 +220,50 @@ def test_bloom_probe_joins_broadcast_bit_relation(spark):
     plan = _plan(QS["decontaminate_bloom_prefilter"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_aqe_skew_split_applies_to_shuffled_hash_join(spark):
+    """The hash_build (shuffle_hash hint) discipline claims AQE's skew
+    split still applies to shuffled hash joins — prove it: a join with one
+    pathological key and thresholds tuned low enough to trigger on test
+    data must show skew=true on the ShuffledHashJoin in the adaptive plan.
+    """
+    from pyspark.sql import functions as F
+
+    from lagom_kinesis_spark.functions import hash_build
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # 200k rows on ONE hot key vs a uniform build side.
+        probe = spark.range(200_000).select(
+            F.lit(7).alias("k"), F.col("id").alias("payload")
+        ).union(
+            spark.range(2_000).select(
+                (F.col("id") % 40).alias("k"), F.col("id").alias("payload")
+            )
+        )
+        build = spark.range(40).select(
+            F.col("id").alias("k"), F.col("id").alias("tag")
+        )
+        joined = probe.join(hash_build(build), "k")
+        # Execute THIS DataFrame (count() would plan a separate query and
+        # leave joined's own adaptive plan unfinalized).
+        assert len(joined.collect()) == 200_000 + 2_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin(skew=true)" in plan
+        assert "AQEShuffleRead coalesced and skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
