@@ -126,7 +126,13 @@ def hll_estimate(
 
 def portable_hash_sql(expr: str) -> str:
     """DuckDB rendering of portable_key_hash(expr): hex-digit fold of the
-    first 15 md5 chars into a positive int64."""
+    first 15 md5 chars into a positive int64.
+
+    CAUTION: the rendering wraps ``expr`` inside a ``list_transform``
+    lambda that binds ``i`` — a caller column named ``i`` referenced in
+    ``expr`` is silently shadowed (constant hash per row). Name row
+    variables in embedding SQL something else (see dedup_cdc_chunks's
+    ``p``)."""
     return (
         "list_sum(list_transform(range(1, 16), i -> "
         f"(strpos('0123456789abcdef', substr(md5(CAST(({expr}) AS VARCHAR)), i, 1)) - 1)::BIGINT"

@@ -932,3 +932,126 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.countDistinct("bin_id") * 512)
         ).alias("fill_ratio"),
     )
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pos AS (
+      -- position var is named p, NOT i: portable_hash_sql's list_transform
+      -- lambda binds i, which would shadow a row column of the same name.
+      SELECT doc_id, unnest(range(1, len(t) + 1)) AS p, t
+      FROM toks
+    ),
+    flagged AS (
+      SELECT doc_id, p, t[p] AS token,
+             CASE WHEN p >= 3
+                  AND ({sketches.portable_hash_sql("array_to_string(t[p-2:p], ' ')")}) % 8 = 0
+                  THEN 1 ELSE 0 END AS b
+      FROM pos
+    ),
+    numbered AS (
+      SELECT doc_id, p, token,
+             COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+      FROM flagged
+    ),
+    chunks AS (
+      SELECT doc_id, chunk,
+             md5(string_agg(token, ' ' ORDER BY p)) AS h
+      FROM numbered GROUP BY doc_id, chunk
+    ),
+    chunk_docs AS (
+      SELECT h, COUNT(*) AS n_docs
+      FROM (SELECT DISTINCT doc_id, h FROM chunks) GROUP BY h
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
+           round(SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS shared_share
+    FROM chunks c JOIN chunk_docs d ON c.h = d.h
+    GROUP BY c.doc_id
+    """,
+    tags=("llm", "pipeline", "dedup"),
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup audit: chunk boundaries fall where
+    the rolling trigram hash ≡ 0 (mod 8), so boundaries move WITH the
+    content — insert one token early in a document and fixed-width
+    passages (dedup_passage_chunks) all shift and stop matching, while
+    CDC chunks re-synchronize at the next content-defined cut (the
+    rsync/LBFS/storage-dedup trick, applied to corpus text).
+
+    Plan shape: boundary flags are computed array-side (one transform per
+    doc, linear — the token array is never carried through the explode),
+    then one posexplode to (doc, i, token, flag), a per-doc prefix-sum
+    window to number chunks, a (doc, chunk) hash-agg to build chunk
+    hashes, and the same co-located hash-keyed audit join as
+    dedup_passage_chunks. Per-doc windows distribute by doc_id; nothing
+    is pairwise. Expected chunk length is the modulus (8 tokens).
+    Determinism: the boundary decision is the portable 60-bit md5 hash
+    (operators/sketches.py) mod a power of two — identical integers on
+    both engines.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    flags = F.transform(
+        F.sequence(F.lit(1), F.size(t)),
+        lambda i: F.when(
+            (i >= 3)
+            & (
+                sketches.portable_key_hash(
+                    F.array_join(F.slice(t, i - 2, F.lit(3)), " ")
+                )
+                % 8
+                == 0
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    pos = d.select(
+        "doc_id", F.posexplode(F.arrays_zip(t, flags)).alias("i0", "z")
+    ).select(
+        "doc_id",
+        (F.col("i0") + 1).alias("i"),
+        F.col("z").getField("0").alias("token"),
+        F.col("z").getField("1").alias("b"),
+    )
+    prior = W.partitionBy("doc_id").orderBy("i").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    numbered = pos.select(
+        "doc_id",
+        "i",
+        "token",
+        F.coalesce(F.sum("b").over(prior), F.lit(0)).alias("chunk"),
+    )
+    chunks = numbered.groupBy("doc_id", "chunk").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "token"))),
+                    lambda s: s.getField("token"),
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("h")
+    )
+    chunk_docs = (
+        chunks.select("doc_id", "h").distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    shared = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+    return (
+        chunks.join(chunk_docs, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(shared).cast("long").alias("n_shared_chunks"),
+            r6(F.sum(shared) / F.count("*")).alias("shared_share"),
+        )
+    )

@@ -204,6 +204,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "graph_triangle_count",
     "dedup_source_overlap_matrix",
     "stream_histogram_quantile",
+    "dedup_cdc_chunks",
 )
 
 
