@@ -425,3 +425,86 @@ def ivf_topk(
     return scored.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= k
     )
+
+
+def pq_encode(corpus: DataFrame, codebooks: "np.ndarray") -> DataFrame:
+    """(vec_id, code_0..code_{m-1}): product-quantization codes.
+
+    ``codebooks`` is (m, n_codes, sub_dim): subspace ``s`` of each vector
+    (its dims ``[s*sub_dim, (s+1)*sub_dim)``) is assigned the codeword
+    with the smallest round-6 squared L2 distance (ties to the lowest
+    codeword id — the deterministic-argmin discipline shared with
+    ivf_topk). Entirely JVM column expressions — one map-only pass, no
+    Python boundary; the codebook is literal-embedded (model-sized),
+    which is also what makes the whole encoding SQL-replayable.
+    """
+    m, n_codes, sub_dim = codebooks.shape
+    v = F.col("embedding").cast("array<double>")
+    cols = [F.col("vec_id")]
+    for s in range(m):
+        sub = F.slice(v, s * sub_dim + 1, sub_dim)
+        cands = []
+        for j in range(n_codes):
+            cw = F.array(*[F.lit(float(x)) for x in codebooks[s, j]])
+            d = F.aggregate(
+                F.zip_with(sub, cw, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            cands.append(
+                F.struct(F.round(d, 6).alias("d"), F.lit(j).alias("j"))
+            )
+        cols.append(
+            F.array_min(F.array(*cands)).getField("j").alias(f"code_{s}")
+        )
+    return corpus.select(*cols)
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    codebooks: "np.ndarray",
+    q_ids: list,
+    q_vecs: "np.ndarray",
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance top-k: PQ codes on the corpus side, exact query
+    slices against the codebook on the query side.
+
+    Per query the (m × n_codes) subspace-distance table is precomputed
+    (driver-side numpy over the bounded query set) and broadcast; each
+    corpus row then costs m array lookups + a sum — the PQ promise:
+    distance evaluation touches only the code bytes, never the original
+    vector. Approximation error is the quantization residual; ranking is
+    by round-6 ADC ascending with vec_id tie pins.
+    """
+    m, n_codes, sub_dim = codebooks.shape
+    coded = pq_encode(corpus, codebooks)
+    qm = np.asarray(q_vecs, dtype=np.float64)
+    rows = []
+    for qi, qid in enumerate(q_ids):
+        tab = [
+            [
+                float(((qm[qi, s * sub_dim:(s + 1) * sub_dim] - codebooks[s, j]) ** 2).sum())
+                for j in range(n_codes)
+            ]
+            for s in range(m)
+        ]
+        rows.append((int(qid), tab))
+    spark = corpus.sparkSession
+    qdf = spark.createDataFrame(rows, "q_id long, tab array<array<double>>")
+    adc = F.round(
+        sum(
+            F.element_at(F.element_at("tab", s + 1), F.col(f"code_{s}") + 1)
+            for s in range(m)
+        ),
+        6,
+    )
+    scored = coded.crossJoin(F.broadcast(qdf)).select(
+        "q_id", "vec_id", adc.alias("adc")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), "vec_id")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )

@@ -1336,3 +1336,95 @@ def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def _ann_pq_oracle(m: int = 4, n_codes: int = 8, sub_dim: int = 16, k: int = 10) -> str:
+    """DuckDB SQL replaying PQ-ADC exactly: the same md5-ordered codeword
+    sample, the same round-6 argmin sub-space code assignment (ties to the
+    lowest codeword id), the same asymmetric-distance table, the same
+    round-6 ADC ranking. The transform lambda binds ``d`` (never ``i`` —
+    see portable_hash_sql's shadowing caution)."""
+    sq = lambda s: f"(list_sum(list_transform(range(1, {sub_dim + 1}), d -> " \
+        f"(c.v[{s}*{sub_dim} + d] - p.v[{s}*{sub_dim} + d]) * " \
+        f"(c.v[{s}*{sub_dim} + d] - p.v[{s}*{sub_dim} + d]))))"
+    return f"""
+    WITH samp AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS INT) - 1 AS j, v
+      FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h,
+                   embedding::DOUBLE[] AS v
+            FROM embeddings ORDER BY h, vec_id LIMIT {n_codes})
+    ), corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), subs AS (SELECT unnest(range(0, {m})) AS s),
+    dists AS (
+      SELECT c.vec_id, subs.s AS sub, p.j,
+             round({sq("subs.s")}, 6) AS d_r,
+             {sq("subs.s")} AS d_full
+      FROM corpus c CROSS JOIN subs CROSS JOIN samp p
+    ),
+    codes AS (
+      SELECT vec_id, sub, j AS code FROM (
+        SELECT vec_id, sub, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d_r, j) AS arn
+        FROM dists
+      ) WHERE arn = 1
+    ),
+    qtab AS (
+      SELECT vec_id AS q_id, sub, j, d_full FROM dists WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.q_id, c.vec_id, round(SUM(q.d_full), 6) AS adc
+      FROM codes c JOIN qtab q ON q.sub = c.sub AND q.j = c.code
+      GROUP BY q.q_id, c.vec_id
+    )
+    SELECT * FROM (
+      SELECT q_id, vec_id, adc,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY adc, vec_id) AS INT) AS rn
+      FROM scored
+    ) WHERE rn <= {k}
+    """
+
+
+@register(
+    "sim_ann_pq",
+    oracle=_ann_pq_oracle(),
+    tags=("llm", "similarity", "scale"),
+)
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.pq_encode/pq_adc_topk):
+    the 64-dim space splits into 4 sub-spaces of 16 dims, each sub-vector
+    is replaced by the id of its nearest codeword (8 per sub-space →
+    4 bytes per vector instead of 256), and queries rank the corpus by
+    asymmetric distance — exact query slice vs codeword — read from a
+    per-query (4 x 8) lookup table, touching only the code bytes.
+
+    Completes the ANN family (sim_topk_cosine exact / sim_ann_lsh /
+    sim_ann_ivf / PQ): IVF prunes WHICH vectors are scored, PQ compresses
+    HOW each one is scored — production systems (FAISS IVF-PQ) compose
+    both. The codebook is the md5-ordered data sample (the discipline that
+    makes the whole pipeline SQL-replayable; a k-means codebook drops into
+    the same plan). Scale: encoding is one map-only JVM-expression pass;
+    query tables are model-sized broadcasts; corpus vectors are never
+    shipped after encoding — at 100 TB the scored relation is 4 bytes of
+    code per vector, the difference between shuffling embeddings and
+    shuffling fingerprints."""
+    import numpy as np
+
+    e = load(spark, sf_dir, "embeddings")
+    samp_rows = (
+        e.select("vec_id", "embedding")
+        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(8)
+        .collect()
+    )  # 8 × dim — model-sized, the documented driver-safe collect
+    S = np.array([r["embedding"] for r in samp_rows], dtype=np.float64)
+    codebooks = S.reshape(8, 4, 16).transpose(1, 0, 2)  # (m, n_codes, sub_dim)
+    qrows = e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    q_ids = [r["vec_id"] for r in qrows]
+    q_vecs = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    from lagom_kinesis_spark.operators.similarity import pq_adc_topk
+
+    return pq_adc_topk(e, codebooks, q_ids, q_vecs, k=10)

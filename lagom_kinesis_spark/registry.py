@@ -205,6 +205,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "dedup_source_overlap_matrix",
     "stream_histogram_quantile",
     "dedup_cdc_chunks",
+    "sim_ann_pq",
 )
 
 
