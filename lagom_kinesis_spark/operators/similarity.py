@@ -438,9 +438,16 @@ def pq_encode(corpus: DataFrame, codebooks: "np.ndarray") -> DataFrame:
     Python boundary; the codebook is literal-embedded (model-sized),
     which is also what makes the whole encoding SQL-replayable.
     """
+    return corpus.select(F.col("vec_id"), *pq_code_cols(codebooks))
+
+
+def pq_code_cols(codebooks: "np.ndarray") -> list:
+    """The m aliased ``code_s`` column expressions of :func:`pq_encode` —
+    exposed so compositions (ivfpq_topk) can compute codes in the same
+    projection as other per-vector columns instead of re-joining."""
     m, n_codes, sub_dim = codebooks.shape
     v = F.col("embedding").cast("array<double>")
-    cols = [F.col("vec_id")]
+    cols = []
     for s in range(m):
         sub = F.slice(v, s * sub_dim + 1, sub_dim)
         cands = []
@@ -457,7 +464,7 @@ def pq_encode(corpus: DataFrame, codebooks: "np.ndarray") -> DataFrame:
         cols.append(
             F.array_min(F.array(*cands)).getField("j").alias(f"code_{s}")
         )
-    return corpus.select(*cols)
+    return cols
 
 
 def pq_adc_topk(
@@ -500,6 +507,74 @@ def pq_adc_topk(
         6,
     )
     scored = coded.crossJoin(F.broadcast(qdf)).select(
+        "q_id", "vec_id", adc.alias("adc")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), "vec_id")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    centroids: "np.ndarray",
+    codebooks: "np.ndarray",
+    q_ids: list,
+    q_vecs: "np.ndarray",
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-PQ (the FAISS production composition): IVF prunes WHICH vectors
+    are scored — each query probes its ``n_probe`` nearest inverted
+    lists — and PQ compresses HOW: within probed lists, ranking reads
+    asymmetric distances from the per-query (m × n_codes) table against
+    4-byte codes, never the raw vectors.
+
+    One corpus projection computes the cluster id and the PQ codes
+    together (no re-join); the query side is a model-sized broadcast of
+    (probe cluster, ADC table) rows with probes chosen by the same
+    round-6 cosine/lowest-cid rule as the corpus assignment. Scale: after
+    this projection the scored relation carries cluster + m code bytes
+    per vector — candidate generation is a cluster equi-join and the only
+    shuffle is the final per-query top-k window.
+    """
+    m, n_codes, sub_dim = codebooks.shape
+    ranked = centroid_rank(centroids)
+    assigned = corpus.select(
+        "vec_id", ranked[0]["cid"].alias("cluster"), *pq_code_cols(codebooks)
+    )
+    qm = np.asarray(q_vecs, dtype=np.float64)
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    rows = []
+    for qi, qid in enumerate(q_ids):
+        qv = qm[qi]
+        cos = np.round(cn @ (qv / np.linalg.norm(qv)), 6)
+        # n_probe nearest lists by (round-6 cosine desc, cid asc) — the
+        # same deterministic rule centroid_rank applies corpus-side.
+        order = np.lexsort((np.arange(len(cos)), -cos))[:n_probe]
+        tab = [
+            [
+                float(((qv[s * sub_dim:(s + 1) * sub_dim] - codebooks[s, j]) ** 2).sum())
+                for j in range(n_codes)
+            ]
+            for s in range(m)
+        ]
+        for cid in order:
+            rows.append((int(qid), int(cid), tab))
+    spark = corpus.sparkSession
+    qdf = spark.createDataFrame(
+        rows, "q_id long, cluster int, tab array<array<double>>"
+    )
+    adc = F.round(
+        sum(
+            F.element_at(F.element_at("tab", s + 1), F.col(f"code_{s}") + 1)
+            for s in range(m)
+        ),
+        6,
+    )
+    scored = assigned.join(F.broadcast(qdf), "cluster").select(
         "q_id", "vec_id", adc.alias("adc")
     )
     from pyspark.sql import Window

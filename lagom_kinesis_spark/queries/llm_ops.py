@@ -1428,3 +1428,112 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lagom_kinesis_spark.operators.similarity import pq_adc_topk
 
     return pq_adc_topk(e, codebooks, q_ids, q_vecs, k=10)
+
+
+def _ann_ivfpq_oracle(
+    k_lists: int = 8, n_probe: int = 2,
+    m: int = 4, n_codes: int = 8, sub_dim: int = 16, k: int = 10,
+) -> str:
+    """DuckDB SQL replaying IVF-PQ exactly: one md5-ordered sample serves
+    as both the coarse centroids and (re-sliced) the PQ codebooks; cluster
+    assignment/probing by round-6 cosine, code assignment by round-6
+    sub-space L2, ADC from unrounded query-side distances, round-6 rank."""
+    sq = lambda s: f"(list_sum(list_transform(range(1, {sub_dim + 1}), d -> " \
+        f"(c.v[{s}*{sub_dim} + d] - p.v[{s}*{sub_dim} + d]) * " \
+        f"(c.v[{s}*{sub_dim} + d] - p.v[{s}*{sub_dim} + d]))))"
+    return f"""
+    WITH samp AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS INT) - 1 AS j, v
+      FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h,
+                   embedding::DOUBLE[] AS v
+            FROM embeddings ORDER BY h, vec_id LIMIT {k_lists})
+    ), corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), assigned AS (
+      SELECT vec_id, cluster FROM (
+        SELECT c.vec_id, p.j AS cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY round(list_cosine_similarity(c.v, p.v), 6) DESC,
+                          p.j) AS arn
+        FROM corpus c CROSS JOIN samp p
+      ) WHERE arn = 1
+    ), probes AS (
+      SELECT q_id, cluster FROM (
+        SELECT c.vec_id AS q_id, p.j AS cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY round(list_cosine_similarity(c.v, p.v), 6) DESC,
+                          p.j) AS prn
+        FROM (SELECT vec_id, v FROM corpus WHERE vec_id < 5) c
+        CROSS JOIN samp p
+      ) WHERE prn <= {n_probe}
+    ), subs AS (SELECT unnest(range(0, {m})) AS s),
+    dists AS (
+      SELECT c.vec_id, subs.s AS sub, p.j,
+             round({sq("subs.s")}, 6) AS d_r,
+             {sq("subs.s")} AS d_full
+      FROM corpus c CROSS JOIN subs CROSS JOIN samp p
+    ),
+    codes AS (
+      SELECT vec_id, sub, j AS code FROM (
+        SELECT vec_id, sub, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d_r, j) AS arn
+        FROM dists
+      ) WHERE arn = 1
+    ),
+    qtab AS (
+      SELECT vec_id AS q_id, sub, j, d_full FROM dists WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT pr.q_id, a.vec_id, round(SUM(q.d_full), 6) AS adc
+      FROM probes pr
+      JOIN assigned a ON a.cluster = pr.cluster
+      JOIN codes c ON c.vec_id = a.vec_id
+      JOIN qtab q ON q.q_id = pr.q_id AND q.sub = c.sub AND q.j = c.code
+      GROUP BY pr.q_id, a.vec_id
+    )
+    SELECT * FROM (
+      SELECT q_id, vec_id, adc,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY adc, vec_id) AS INT) AS rn
+      FROM scored
+    ) WHERE rn <= {k}
+    """
+
+
+@register(
+    "sim_ann_ivfpq",
+    oracle=_ann_ivfpq_oracle(),
+    tags=("llm", "similarity", "scale"),
+)
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (operators/similarity.ivfpq_topk) — the
+    production ANN shape (FAISS IVFPQ): IVF prunes WHICH vectors each
+    query scores (probe the 2 nearest of 8 inverted lists), PQ compresses
+    HOW each is scored (asymmetric distance from a per-query 4x8 table
+    against 4-byte codes). One md5-ordered data sample serves as both the
+    coarse centroids and, re-sliced, the PQ codebooks — keeping the whole
+    two-level index SQL-replayable. Scale: the scored relation carries
+    cluster + 4 code bytes per vector; candidates come from a cluster
+    equi-join of a model-sized broadcast; original embeddings are never
+    shipped past the encoding projection."""
+    import numpy as np
+
+    from lagom_kinesis_spark.operators.similarity import ivfpq_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    samp_rows = (
+        e.select("vec_id", "embedding")
+        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(8)
+        .collect()
+    )  # 8 × dim — model-sized, the documented driver-safe collect
+    S = np.array([r["embedding"] for r in samp_rows], dtype=np.float64)
+    codebooks = S.reshape(8, 4, 16).transpose(1, 0, 2)
+    qrows = e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    q_ids = [r["vec_id"] for r in qrows]
+    q_vecs = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    return ivfpq_topk(e, S, codebooks, q_ids, q_vecs, k=10, n_probe=2)

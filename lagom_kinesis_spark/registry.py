@@ -206,6 +206,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "stream_histogram_quantile",
     "dedup_cdc_chunks",
     "sim_ann_pq",
+    "sim_ann_ivfpq",
 )
 
 
