@@ -311,3 +311,79 @@ def ts_rolling_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         money(F.sum(dec("value")).over(w)).alias("rolling_1h"),
     )
+
+
+@register(
+    "ts_ewma_trailing",
+    oracle=events_cte(
+        """
+    , rn AS (
+      SELECT event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT a.event_id, a.event_type,
+           round(SUM(t.value / CAST(1::BIGINT << (a.rn - t.rn) AS DOUBLE)), 6)
+             AS ewma_32
+    FROM rn a JOIN rn t
+      ON t.event_type = a.event_type
+     AND t.rn BETWEEN a.rn - 31 AND a.rn
+    GROUP BY a.event_id, a.event_type
+    """
+    ),
+    tags=("timeseries", "window", "join"),
+)
+def ts_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α = 1/2) over the trailing
+    32 events of each series — the smoothing statistic behind anomaly
+    baselines and rate limiters.
+
+    Determinism is why α is 1/2 and the window is 32: every weight is
+    exactly 1/2^k with k ≤ 31, an integer shift cast to double — no libm
+    pow, both engines produce identical weights, and the round-6 sum of
+    32 bounded terms absorbs summation-order ulps (the truncated tail
+    contributes < 2^-31 of one value, far below the rounding quantum
+    only when series values are bounded — on this fixture |value| ≤ ~560).
+
+    Scale shape: the trailing window is a BUCKETED band self-join, not a
+    per-series quadratic — rows key on (series, rn div 32), each anchor
+    probes its own and the previous bucket (fan-out ≤ 64 candidates,
+    then the exact rn-band filter), so the join is linear in events with
+    a constant factor, co-partitioned by the bucket key. The naive
+    band join the oracle runs would be per-series quadratic at scale
+    (here event_type has only 5 values — an equi-join on the series key
+    alone would be a 2k x 2k per-type cross product even at sf0.01).
+    """
+    e = load(spark, sf_dir, "events")
+    rn = F.row_number().over(
+        W.partitionBy("event_type").orderBy("ts", "event_id")
+    )
+    base = e.select("event_id", "event_type", "value", rn.alias("rn"))
+    t = base.select(
+        F.col("event_type").alias("t_type"),
+        (F.col("rn") / 32).cast("long").alias("bkt"),
+        F.col("rn").alias("t_rn"),
+        F.col("value").alias("t_value"),
+    )
+    a = base.select(
+        "event_id",
+        "event_type",
+        F.col("rn").alias("a_rn"),
+        F.explode(
+            F.array((F.col("rn") / 32).cast("long"), (F.col("rn") / 32).cast("long") - 1)
+        ).alias("bkt"),
+    )
+    # pyspark's shiftleft() only takes a literal bit count; the SQL form
+    # accepts a column expression.
+    weight = F.lit(1.0) / F.expr(
+        "CAST(shiftleft(1L, CAST(a_rn - t_rn AS INT)) AS DOUBLE)"
+    )
+    return (
+        a.join(t, (a.event_type == t.t_type) & (a.bkt == t.bkt))
+        .filter(
+            (F.col("t_rn") >= F.col("a_rn") - 31) & (F.col("t_rn") <= F.col("a_rn"))
+        )
+        .groupBy("event_id", "event_type")
+        .agg(r6(F.sum(F.col("t_value") * weight)).alias("ewma_32"))
+    )

@@ -207,6 +207,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "dedup_cdc_chunks",
     "sim_ann_pq",
     "sim_ann_ivfpq",
+    "ts_ewma_trailing",
 )
 
 
