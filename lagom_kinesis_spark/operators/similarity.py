@@ -444,9 +444,25 @@ def pq_encode(corpus: DataFrame, codebooks: "np.ndarray") -> DataFrame:
 def pq_code_cols(codebooks: "np.ndarray") -> list:
     """The m aliased ``code_s`` column expressions of :func:`pq_encode` —
     exposed so compositions (ivfpq_topk) can compute codes in the same
-    projection as other per-vector columns instead of re-joining."""
+    projection as other per-vector columns instead of re-joining.
+
+    Vectors are L2-NORMALIZED before slicing (and ``codebooks`` must come
+    from normalized samples): on the unit sphere squared-L2 ordering is
+    exactly inverse cosine ordering (L2² = 2 − 2cos), which is what makes
+    PQ's L2-based ADC an honest approximation of the family's cosine
+    ranking — the FAISS normalize-for-cosine discipline."""
     m, n_codes, sub_dim = codebooks.shape
-    v = F.col("embedding").cast("array<double>")
+    raw = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(raw, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    # let-bind the norm so the transform body references the evaluated
+    # scalar O(1) times instead of inlining the 64-term sum per element.
+    from lagom_kinesis_spark.functions.helpers import let
+
+    v = let(nrm, lambda n: F.transform(raw, lambda x: x / n))
     cols = []
     for s in range(m):
         sub = F.slice(v, s * sub_dim + 1, sub_dim)
@@ -487,6 +503,7 @@ def pq_adc_topk(
     m, n_codes, sub_dim = codebooks.shape
     coded = pq_encode(corpus, codebooks)
     qm = np.asarray(q_vecs, dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)  # unit sphere, as corpus
     rows = []
     for qi, qid in enumerate(q_ids):
         tab = [
@@ -546,11 +563,12 @@ def ivfpq_topk(
         "vec_id", ranked[0]["cid"].alias("cluster"), *pq_code_cols(codebooks)
     )
     qm = np.asarray(q_vecs, dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)  # unit sphere, as corpus
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     rows = []
     for qi, qid in enumerate(q_ids):
         qv = qm[qi]
-        cos = np.round(cn @ (qv / np.linalg.norm(qv)), 6)
+        cos = np.round(cn @ qv, 6)
         # n_probe nearest lists by (round-6 cosine desc, cid asc) — the
         # same deterministic rule centroid_rank applies corpus-side.
         order = np.lexsort((np.arange(len(cos)), -cos))[:n_probe]

@@ -1351,10 +1351,10 @@ def _ann_pq_oracle(m: int = 4, n_codes: int = 8, sub_dim: int = 16, k: int = 10)
     WITH samp AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS INT) - 1 AS j, v
       FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h,
-                   embedding::DOUBLE[] AS v
+                   list_transform(embedding::DOUBLE[], x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], z -> z * z)))) AS v
             FROM embeddings ORDER BY h, vec_id LIMIT {n_codes})
     ), corpus AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], z -> z * z)))) AS v FROM embeddings
     ), subs AS (SELECT unnest(range(0, {m})) AS s),
     dists AS (
       SELECT c.vec_id, subs.s AS sub, p.j,
@@ -1421,7 +1421,8 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )  # 8 × dim — model-sized, the documented driver-safe collect
     S = np.array([r["embedding"] for r in samp_rows], dtype=np.float64)
-    codebooks = S.reshape(8, 4, 16).transpose(1, 0, 2)  # (m, n_codes, sub_dim)
+    Sn = S / np.linalg.norm(S, axis=1, keepdims=True)  # unit sphere, as corpus
+    codebooks = Sn.reshape(8, 4, 16).transpose(1, 0, 2)  # (m, n_codes, sub_dim)
     qrows = e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
     q_ids = [r["vec_id"] for r in qrows]
     q_vecs = np.array([r["embedding"] for r in qrows], dtype=np.float64)
@@ -1445,10 +1446,10 @@ def _ann_ivfpq_oracle(
     WITH samp AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS INT) - 1 AS j, v
       FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h,
-                   embedding::DOUBLE[] AS v
+                   list_transform(embedding::DOUBLE[], x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], z -> z * z)))) AS v
             FROM embeddings ORDER BY h, vec_id LIMIT {k_lists})
     ), corpus AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], z -> z * z)))) AS v FROM embeddings
     ), assigned AS (
       SELECT vec_id, cluster FROM (
         SELECT c.vec_id, p.j AS cluster,
@@ -1532,7 +1533,8 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )  # 8 × dim — model-sized, the documented driver-safe collect
     S = np.array([r["embedding"] for r in samp_rows], dtype=np.float64)
-    codebooks = S.reshape(8, 4, 16).transpose(1, 0, 2)
+    Sn = S / np.linalg.norm(S, axis=1, keepdims=True)
+    codebooks = Sn.reshape(8, 4, 16).transpose(1, 0, 2)
     qrows = e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
     q_ids = [r["vec_id"] for r in qrows]
     q_vecs = np.array([r["embedding"] for r in qrows], dtype=np.float64)

@@ -403,3 +403,31 @@ def test_ivf_sampled_centroids_recall_vs_exact(spark):
     # above a token share of the exact neighbors.
     assert all(q in ivf_sets[q] for q in ivf_sets)
     assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
+def test_pq_adc_recall_vs_exact(spark):
+    """Recall evidence for the PQ variants: ADC ranking (4-byte codes, no
+    original vectors at scoring time) must beat chance by a wide margin
+    against the exact cosine top-10. The floors are statistical, not
+    IVF-grade: PQ ranks by the QUANTIZED distance (full reconstruction
+    error — 8 sampled codewords per 16-dim sub-space is coarse on these
+    near-isotropic fixture vectors), where IVF only prunes candidates and
+    re-ranks exactly. Chance recall here is k/N = 10/|corpus| (< 0.01);
+    the observed ~0.1–0.2 is signal, and a trained (k-means) codebook
+    slots into the same plan for production-grade recall."""
+    exact = QS["sim_topk_cosine"].fn(spark, SF_DIR).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    chance = 10 / 1000  # k / |sf0.001 corpus|, conservative upper bound
+    for name, floor in (("sim_ann_pq", 0.1), ("sim_ann_ivfpq", 0.05)):
+        got = {}
+        for r in QS[name].fn(spark, SF_DIR).collect():
+            got.setdefault(r["q_id"], set()).add(r["vec_id"])
+        assert set(got) == set(exact_sets), name
+        recalls = [
+            len(got[q] & exact_sets[q]) / len(exact_sets[q]) for q in exact_sets
+        ]
+        mean = sum(recalls) / len(recalls)
+        assert mean >= floor, (name, recalls)
+        assert mean >= 5 * chance, (name, "not better than chance", recalls)
