@@ -1539,3 +1539,69 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ids = [r["vec_id"] for r in qrows]
     q_vecs = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     return ivfpq_topk(e, S, codebooks, q_ids, q_vecs, k=10, n_probe=2)
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    big AS (
+      SELECT doc_id, t[p] AS a, t[p + 1] AS b
+      FROM (SELECT doc_id, unnest(range(1, len(t))) AS p, t FROM toks)
+    ),
+    bfreq AS (SELECT a, b, COUNT(*) AS c_ab FROM big GROUP BY a, b),
+    afreq AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM bfreq GROUP BY a)
+    SELECT big.doc_id, COUNT(*) AS n_bigrams,
+           round(AVG(ln(CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE))), 6)
+             AS avg_cond_logprob
+    FROM big JOIN bfreq USING (a, b) JOIN afreq USING (a)
+    GROUP BY big.doc_id
+    """,
+    tags=("llm", "text", "quality", "scalar"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram CONDITIONAL log-probability per document — one Markov
+    order above text_unigram_logprob's bag-of-words score: avg over
+    bigram instances of ln(c(a,b)/c(a)) under the corpus's own bigram
+    distribution. Repetitive/boilerplate word SEQUENCES score high even
+    when their unigrams are unremarkable — the signal a perplexity filter
+    actually wants. MLE needs no smoothing here because every scored
+    bigram contributed to the corpus counts (no zeros by construction).
+
+    Plan: bigrams extracted array-side (one transform per doc; the token
+    array never rides through the explode), then the same two-shuffle
+    shape as the unigram variant — a (a,b)-keyed count (map-side
+    combine), context counts derived FROM those partials (never a second
+    pass over instances), and a doc-keyed average. Docs under 2 tokens
+    drop identically on both engines (empty range). Spark's sequence()
+    generates DESCENDING arrays when start > stop, so the short-doc guard
+    is explicit."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    t = F.split(F.lower(F.col("text")), " ")
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("a"), F.element_at(t, i + 1).alias("b")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    big = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
+    bfreq = big.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    afreq = bfreq.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    return (
+        big.join(bfreq, ["a", "b"])
+        .join(afreq, "a")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            r6(
+                F.avg(F.log(F.col("c_ab").cast("double") / F.col("c_a").cast("double")))
+            ).alias("avg_cond_logprob"),
+        )
+    )

@@ -403,3 +403,60 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "region_share"
         ),
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=events_cte(
+        """
+    , purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      clicks    AS (SELECT event_id AS click_id, user_id, ts, value AS click_value
+                    FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.value,
+           CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.click_id END
+             AS click_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.click_value END
+             AS click_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """
+    ),
+    tags=("join", "asof"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-staleness tolerance (pandas
+    ``merge_asof(tolerance=...)`` semantics): the latest prior click of
+    the same user counts only if it happened within the last hour —
+    older matches null out rather than attributing a purchase to a
+    conversion path that went cold. Same single-shuffle union rewrite as
+    join_asof (operators/asof.py) with the matched timestamp carried
+    through so the tolerance is one null-out projection, not a second
+    join."""
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        "ts",
+        F.col("value").alias("click_value"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        ts="ts",
+        by=["user_id"],
+        right_payload=["click_id", "click_value", "click_ts"],
+        tie="click_id",
+    )
+    fresh = F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.when(fresh, F.col("click_id")).alias("click_id"),
+        F.when(fresh, F.col("click_value")).alias("click_value"),
+    )

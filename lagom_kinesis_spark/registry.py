@@ -208,6 +208,8 @@ _DEFER_NEW: tuple[str, ...] = (
     "sim_ann_pq",
     "sim_ann_ivfpq",
     "ts_ewma_trailing",
+    "text_bigram_logprob",
+    "join_asof_tolerance",
 )
 
 
