@@ -119,109 +119,68 @@ def all_queries() -> dict[str, Query]:
 #
 # The driver gate verifies the FIRST ~50 queries of queries() per round, so
 # iteration order is the verification scoreboard. Priority:
-#   1. _NEEDS_REROW: queries whose latest driver row is a failure that has
-#      since been fixed locally (r1 array-canon fixes; r2 events-ts fixes) —
-#      a green re-row is the proof the fix landed.
+#   1. Re-row tier: queries whose LATEST driver row is a failure (a fix has
+#      presumably landed; a green re-row is the proof), plus any names force-
+#      listed in _NEEDS_REROW because their evidence went stale (fixture or
+#      oracle upgrades that invalidate an old green row).
 #   2. Never-driver-sampled queries, round-robin across defining modules so
 #      every remaining family (windows/relational/analytics/timeseries/
 #      behavior/graph/streaming/...) gets rows even in a truncated sweep.
-#   3. Queries already driver-green (r1 ∪ r2), lowest value to re-check.
+#   3. Queries already driver-green, lowest value to re-check.
+#
+# The sampled/green/failed sets are DERIVED from the CORRECTNESS_r*.json
+# artifacts the driver itself writes — not hand-frozen (the hand-frozen set
+# went stale two rounds running; see VERDICT r3 #1 and r4 "What's wrong" #1).
 
-#: Queries whose driver evidence is stale or newly upgraded, so a fresh
-#: driver row is the proof (r4): the three events-scalar queries whose only
-#: green rows are r1 — before the round-2 events.ts µs fixture swap — and
-#: sim_ann_ivf, whose check was upgraded this round from rows-only to an
-#: exact SQL oracle over a deterministic recall summary.
-_NEEDS_REROW: tuple[str, ...] = (
-    "fn_datetime_extended",
-    "fn_json",
-    "fn_json_variant",
-    "sim_ann_ivf",
-)
+#: Manual override ONLY for evidence that went stale without a driver
+#: failure (e.g. a fixture swap invalidating an old green row). Empty when
+#: no such event is pending; the failed-latest-row tier is automatic.
+_NEEDS_REROW: tuple[str, ...] = ()
 
-#: Every query with a driver row in CORRECTNESS_r01 ∪ r02 ∪ r03 (133 names).
-_DRIVER_SAMPLED: frozenset[str] = frozenset(
-    _NEEDS_REROW
-    + (
-        # r3 sweep (CORRECTNESS_r03.json): 50 rows, all green.
-        "agg_collect_sorted", "agg_hll_intersection", "agg_hll_sketch_union",
-        "agg_linear_regression", "agg_mode_deterministic",
-        "behavior_anomaly_zscore", "behavior_cohort_retention",
-        "behavior_funnel_conversion", "decontaminate_bloom_prefilter",
-        "fn_array", "fn_array_gen", "fn_explode_outer", "fn_map",
-        "fn_try_safe", "fn_url_parse",
-        "flagship_revenue_by_nation", "graph_degree_stats", "graph_pagerank",
-        "join_salted_skew", "pii_mask_digits", "proj_computed",
-        "q_forecast_revenue", "q_order_priority", "q_volume_shipping",
-        "sample_bernoulli", "scan_parquet_pushdown", "sql_lateral_topn",
-        "stream_hll_distinct_users", "stream_hll_windowed_distinct",
-        "stream_session_window", "stream_sliding_window",
-        "stream_stream_join", "stream_tumbling_window",
-        "stream_watermark_dedup", "text_cms_heavy_hitters", "ts_gapfill_locf",
-        "ts_ohlc_resample", "udf_grouped_map", "udf_pandas_scalar",
-        "udf_pandas_udaf", "win_lag_lead", "win_ntile_dist",
-        "win_rank_family",
-        # r1 ∪ r2 rows.
-        "agg_approx_count_distinct", "agg_bool", "agg_conditional",
-        "agg_count_distinct_multi", "agg_cube", "agg_global",
-        "agg_grouping_sets", "agg_having", "agg_min_by_max_by",
-        "agg_percentile", "agg_percentile_approx", "agg_pivot",
-        "agg_pricing_summary", "agg_rollup", "agg_salted_skew",
-        "agg_stats_moments", "agg_unpivot", "decontaminate_ngram_overlap",
-        "dedup_clusters", "dedup_embedding_cosine", "dedup_exact",
-        "dedup_fingerprint", "dedup_jaccard_pairs", "dedup_minhash_lsh",
-        "dedup_passage_chunks", "dedup_prefix_filter_join", "dedup_simhash",
-        "emb_centroid_distance", "emb_power_iteration_pc1",
-        "emb_quantize_int8", "fn_bitwise", "fn_cast", "fn_conditional",
-        "fn_datetime", "fn_datetime_extended", "fn_hash", "fn_json",
-        "fn_json_variant", "fn_math", "fn_string", "fn_string_distance",
-        "fn_struct", "join_broadcast_dims", "join_cross", "join_full_outer",
-        "join_inner", "join_left_anti", "join_left_outer", "join_left_semi",
-        "join_multiway", "join_right_outer", "join_self_pairs",
-        "join_theta_band", "join_theta_pure", "mix_source_quota",
-        "mix_temperature_sample", "multimodal_decode_features",
-        "multimodal_frame_sample", "multimodal_meta",
-        "multimodal_resize_plan", "pack_context_windows",
-        "pipeline_corpus_filter", "pipeline_pretrain_corpus",
-        "q_returned_items", "q_shipping_priority", "sample_stratified_hash",
-        "sample_weighted_threshold", "sim_ann_ivf", "sim_ann_lsh",
-        "sim_range_search", "sim_topk_cosine", "sql_correlated_subquery",
-        "sql_cte_chain", "text_bigrams", "text_feature_hashing",
-        "text_lang_share", "text_langid", "text_length_outliers",
-        "text_quality", "text_repetition_ratio", "text_tfidf",
-        "text_token_count_regex", "text_top_tokens", "text_unigram_logprob",
-        "text_winnow_fingerprint", "text_word_entropy", "udf_map_in_arrow",
-        "udf_pandas_iter", "udf_python_scalar", "udtf_split_tokens",
+
+def _driver_history() -> tuple[frozenset[str], frozenset[str]]:
+    """(sampled, failed_latest) from CORRECTNESS_r*.json at the repo root.
+
+    A row is green if its value-hash matched, or — for oracle-less queries,
+    where the driver records ``err == "no_oracle"`` — if the rows-only check
+    produced a row count. Any other latest-round record is a failure and
+    earns the name a re-row slot. Missing/corrupt artifacts degrade to
+    "never sampled" (the name sorts into the fresh tier — safe: the worst
+    case is re-verifying a green row, never skipping an unverified one).
+    """
+    import glob
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    latest: dict[str, dict] = {}
+    for path in sorted(glob.glob(str(root / "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            latest.update({k: v for k, v in rows.items() if isinstance(v, dict)})
+    failed = frozenset(
+        name
+        for name, rec in latest.items()
+        if not (
+            rec.get("hash_match") is True
+            or (rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None)
+        )
     )
-)
+    return frozenset(latest), failed
 
 
-#: Queries added mid-round-4, AFTER the round's ~50-slot sweep plan was
-#: locked against the 66 then-never-sampled names: they queue behind that
-#: backlog (still ahead of already-green rows) so a new registration can't
-#: displace a planned verification slot within the same round.
-_DEFER_NEW: tuple[str, ...] = (
-    "graph_triangle_count",
-    "dedup_source_overlap_matrix",
-    "stream_histogram_quantile",
-    "dedup_cdc_chunks",
-    "sim_ann_pq",
-    "sim_ann_ivfpq",
-    "ts_ewma_trailing",
-    "text_bigram_logprob",
-    "join_asof_tolerance",
-)
+_DRIVER_SAMPLED, _DRIVER_FAILED = _driver_history()
 
 
 def driver_order(registry: dict[str, Query]) -> list[str]:
     """Sweep order per the priority above (stable within each tier)."""
-    rerow = [n for n in _NEEDS_REROW if n in registry]
-    fresh = [
-        n for n in registry
-        if n not in _DRIVER_SAMPLED
-        and n not in _NEEDS_REROW
-        and n not in _DEFER_NEW
-    ]
+    rerow_names = set(_NEEDS_REROW) | _DRIVER_FAILED
+    rerow = [n for n in registry if n in rerow_names]
+    fresh = [n for n in registry if n not in _DRIVER_SAMPLED and n not in rerow_names]
     # Round-robin the fresh tier across modules for family coverage.
     by_module: dict[str, list[str]] = {}
     for n in fresh:
@@ -236,9 +195,8 @@ def driver_order(registry: dict[str, Query]) -> list[str]:
             lanes.remove(lane)
         else:
             i += 1
-    deferred = [n for n in _DEFER_NEW if n in registry]
-    green = [n for n in registry if n in _DRIVER_SAMPLED and n not in _NEEDS_REROW]
-    return rerow + interleaved + deferred + green
+    green = [n for n in registry if n in _DRIVER_SAMPLED and n not in rerow_names]
+    return rerow + interleaved + green
 
 
 def queries_dict() -> dict[str, QueryFn]:
