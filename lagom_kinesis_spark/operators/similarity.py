@@ -498,7 +498,11 @@ def pq_adc_topk(
     corpus row then costs m array lookups + a sum — the PQ promise:
     distance evaluation touches only the code bytes, never the original
     vector. Approximation error is the quantization residual; ranking is
-    by round-6 ADC ascending with vec_id tie pins.
+    by round-6 ADC ascending with vec_id tie pins. Each table entry is
+    rounded to 6 decimals BEFORE the m-term sum (the code-assignment
+    discipline), so the summation order — here vs the SQL oracle's
+    unordered SUM — operates on already-quantized addends and cannot
+    shift a rank.
     """
     m, n_codes, sub_dim = codebooks.shape
     coded = pq_encode(corpus, codebooks)
@@ -516,9 +520,13 @@ def pq_adc_topk(
         rows.append((int(qid), tab))
     spark = corpus.sparkSession
     qdf = spark.createDataFrame(rows, "q_id long, tab array<array<double>>")
+    # per-term F.round (HALF_UP, same as SQL ROUND) before the fixed-order
+    # sum: see docstring's order-determinism argument.
     adc = F.round(
         sum(
-            F.element_at(F.element_at("tab", s + 1), F.col(f"code_{s}") + 1)
+            F.round(
+                F.element_at(F.element_at("tab", s + 1), F.col(f"code_{s}") + 1), 6
+            )
             for s in range(m)
         ),
         6,
@@ -585,9 +593,13 @@ def ivfpq_topk(
     qdf = spark.createDataFrame(
         rows, "q_id long, cluster int, tab array<array<double>>"
     )
+    # per-term F.round before the fixed-order sum, matching pq_adc_topk's
+    # order-determinism discipline (and the oracle's per-subspace d_r).
     adc = F.round(
         sum(
-            F.element_at(F.element_at("tab", s + 1), F.col(f"code_{s}") + 1)
+            F.round(
+                F.element_at(F.element_at("tab", s + 1), F.col(f"code_{s}") + 1), 6
+            )
             for s in range(m)
         ),
         6,

@@ -510,38 +510,42 @@ def sql_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (mergeable GK summary): the 100 TB path for
     quantiles. Oracle-exact by the GK error bound: with accuracy A the
-    rank error is at most N/A, so at A >= N it is < 1 rank — the sketch
+    rank error is at most N/A, so whenever N/A < 1 rank the sketch
     provably degenerates to the exact order statistic at rank ceil(p*N),
     which the oracle selects directly (verified partition-count-invariant:
-    identical results at 1/7/32 partitions). A is DERIVED from the actual
-    max group size at runtime (one cheap count pre-pass, A = 100×N in the
-    empirically-validated N/A ≤ 0.02 error regime), so the precondition is
-    checked per run, never assumed from the fixture scale — and the
-    summary buffer scales with the group, not a fixed 10M constant.
-    Production would run lower A (true approximation); the tolerance check
-    for that regime is tests/test_operators.py::
+    identical results at 1/7/32 partitions). A is the int32 max — the
+    summary never compresses, so its buffer is bounded by the group's
+    rows-per-partition, exactly like the exact `percentile` computed in
+    the SAME aggregate — and the validated N/A ≤ 0.02 regime holds for
+    groups up to ~42.9M rows. The regime precondition is enforced INSIDE
+    the plan (count(*) per group feeding raise_error), so the query is a
+    single job with no driver-side count pre-pass, and a too-large group
+    fails loudly instead of silently de-exacting the oracle gate.
+    Production would run lower A (true approximation, buffer O(A)); the
+    tolerance check for that regime is tests/test_operators.py::
     test_percentile_approx_close_to_exact. exact_median (Spark
     `percentile`, linear interpolation) doubles as the closeness reference
     and matches DuckDB's quantile_cont bit-for-bit."""
     li = load(spark, sf_dir, "lineitem")
-    n_max = int(
-        li.groupBy("l_returnflag").count().agg(F.max("count")).collect()[0][0] or 1
-    )
-    # Rank-error budget N/A: keep it in the validated ≤0.02 regime (A = N
-    # alone allows error up to a full rank — not exact). Int32-capped; past
-    # the cap the exact-mode claim ends, so fail loudly instead of silently
-    # de-exacting the oracle gate.
-    acc = min(max(100 * n_max, 10_000), 2**31 - 1)
-    if n_max / acc > 0.02:
-        raise ValueError(
-            f"groups of {n_max} rows exceed the oracle-exact regime for "
-            "percentile_approx; run the true-approximation variant instead"
-        )
+    acc = 2**31 - 1
+    exact_guarded = F.when(
+        F.count("*") > int(0.02 * acc),
+        F.raise_error(
+            F.concat(
+                F.lit("group of "),
+                F.count("*").cast("string"),
+                F.lit(
+                    " rows exceeds the oracle-exact regime for "
+                    "percentile_approx; run the true-approximation variant"
+                ),
+            )
+        ).cast("double"),
+    ).otherwise(r6(F.percentile("l_extendedprice", F.lit(0.5))))
     return li.groupBy("l_returnflag").agg(
         r6(F.percentile_approx("l_extendedprice", 0.25, acc)).alias("approx_p25"),
         r6(F.percentile_approx("l_extendedprice", 0.5, acc)).alias("approx_median"),
         r6(F.percentile_approx("l_extendedprice", 0.9, acc)).alias("approx_p90"),
-        r6(F.percentile("l_extendedprice", F.lit(0.5))).alias("exact_median"),
+        exact_guarded.alias("exact_median"),
     )
 
 
@@ -884,16 +888,22 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("in_b"),
         )
     )
+    # coalesce(.., 0): on a degenerate fixture where `flagged` is empty
+    # (no retained hash below theta-min), SUM yields NULL but the oracle's
+    # COALESCE yields 0 — mirror it so the engines can't diverge.
     counts = flagged.agg(
         F.count("*").alias("n_u"),
-        F.sum(
-            ((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")
+        F.coalesce(
+            F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")),
+            F.lit(0).cast("long"),
         ).alias("n_i"),
-        F.sum(
-            ((F.col("in_a") == 1) & (F.col("in_b") == 0)).cast("long")
+        F.coalesce(
+            F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 0)).cast("long")),
+            F.lit(0).cast("long"),
         ).alias("n_a"),
-        F.sum(
-            ((F.col("in_a") == 0) & (F.col("in_b") == 1)).cast("long")
+        F.coalesce(
+            F.sum(((F.col("in_a") == 0) & (F.col("in_b") == 1)).cast("long")),
+            F.lit(0).cast("long"),
         ).alias("n_b"),
     )
     exact = (

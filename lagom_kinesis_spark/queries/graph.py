@@ -256,7 +256,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank = (deg, id) total order; orient edges low-rank -> high-rank.
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    ranked = ue.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    # No broadcast hint: the degree table is vertex-cardinality, so an
+    # unconditional broadcast fails at billion-vertex scale. Let AQE
+    # broadcast when it measures the build side small (same discipline as
+    # pagerank's rank⋈edges join above).
+    ranked = ue.join(du, "u").join(dv, "v")
     oe = ranked.select(
         F.when(
             (F.col("du") < F.col("dv"))

@@ -1339,11 +1339,15 @@ def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_pq_oracle(m: int = 4, n_codes: int = 8, sub_dim: int = 16, k: int = 10) -> str:
-    """DuckDB SQL replaying PQ-ADC exactly: the same md5-ordered codeword
-    sample, the same round-6 argmin sub-space code assignment (ties to the
-    lowest codeword id), the same asymmetric-distance table, the same
-    round-6 ADC ranking. The transform lambda binds ``d`` (never ``i`` —
-    see portable_hash_sql's shadowing caution)."""
+    """DuckDB SQL replaying PQ-ADC: the same md5-ordered codeword sample,
+    the same round-6 argmin sub-space code assignment (ties to the lowest
+    codeword id), and an ADC built from PER-SUBSPACE round-6 distances —
+    each of the m table entries is rounded BEFORE the sum (mirroring the
+    code-assignment discipline), so neither engine's summation order over
+    the m terms can shift the total by more than a last-ulp on
+    already-quantized addends, and the final round-6 rank is stable. The
+    transform lambda binds ``d`` (never ``i`` — see portable_hash_sql's
+    shadowing caution)."""
     sq = lambda s: f"(list_sum(list_transform(range(1, {sub_dim + 1}), d -> " \
         f"(c.v[{s}*{sub_dim} + d] - p.v[{s}*{sub_dim} + d]) * " \
         f"(c.v[{s}*{sub_dim} + d] - p.v[{s}*{sub_dim} + d]))))"
@@ -1358,8 +1362,7 @@ def _ann_pq_oracle(m: int = 4, n_codes: int = 8, sub_dim: int = 16, k: int = 10)
     ), subs AS (SELECT unnest(range(0, {m})) AS s),
     dists AS (
       SELECT c.vec_id, subs.s AS sub, p.j,
-             round({sq("subs.s")}, 6) AS d_r,
-             {sq("subs.s")} AS d_full
+             round({sq("subs.s")}, 6) AS d_r
       FROM corpus c CROSS JOIN subs CROSS JOIN samp p
     ),
     codes AS (
@@ -1371,10 +1374,10 @@ def _ann_pq_oracle(m: int = 4, n_codes: int = 8, sub_dim: int = 16, k: int = 10)
       ) WHERE arn = 1
     ),
     qtab AS (
-      SELECT vec_id AS q_id, sub, j, d_full FROM dists WHERE vec_id < 5
+      SELECT vec_id AS q_id, sub, j, d_r FROM dists WHERE vec_id < 5
     ),
     scored AS (
-      SELECT q.q_id, c.vec_id, round(SUM(q.d_full), 6) AS adc
+      SELECT q.q_id, c.vec_id, round(SUM(q.d_r), 6) AS adc
       FROM codes c JOIN qtab q ON q.sub = c.sub AND q.j = c.code
       GROUP BY q.q_id, c.vec_id
     )
@@ -1438,7 +1441,8 @@ def _ann_ivfpq_oracle(
     """DuckDB SQL replaying IVF-PQ exactly: one md5-ordered sample serves
     as both the coarse centroids and (re-sliced) the PQ codebooks; cluster
     assignment/probing by round-6 cosine, code assignment by round-6
-    sub-space L2, ADC from unrounded query-side distances, round-6 rank."""
+    sub-space L2, ADC summed from PER-SUBSPACE round-6 distances (so the
+    m-term summation order cannot flip a rank), round-6 rank."""
     sq = lambda s: f"(list_sum(list_transform(range(1, {sub_dim + 1}), d -> " \
         f"(c.v[{s}*{sub_dim} + d] - p.v[{s}*{sub_dim} + d]) * " \
         f"(c.v[{s}*{sub_dim} + d] - p.v[{s}*{sub_dim} + d]))))"
@@ -1472,8 +1476,7 @@ def _ann_ivfpq_oracle(
     ), subs AS (SELECT unnest(range(0, {m})) AS s),
     dists AS (
       SELECT c.vec_id, subs.s AS sub, p.j,
-             round({sq("subs.s")}, 6) AS d_r,
-             {sq("subs.s")} AS d_full
+             round({sq("subs.s")}, 6) AS d_r
       FROM corpus c CROSS JOIN subs CROSS JOIN samp p
     ),
     codes AS (
@@ -1485,10 +1488,10 @@ def _ann_ivfpq_oracle(
       ) WHERE arn = 1
     ),
     qtab AS (
-      SELECT vec_id AS q_id, sub, j, d_full FROM dists WHERE vec_id < 5
+      SELECT vec_id AS q_id, sub, j, d_r FROM dists WHERE vec_id < 5
     ),
     scored AS (
-      SELECT pr.q_id, a.vec_id, round(SUM(q.d_full), 6) AS adc
+      SELECT pr.q_id, a.vec_id, round(SUM(q.d_r), 6) AS adc
       FROM probes pr
       JOIN assigned a ON a.cluster = pr.cluster
       JOIN codes c ON c.vec_id = a.vec_id

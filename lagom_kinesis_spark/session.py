@@ -77,9 +77,24 @@ def get_spark(app_name: str = "lagom-kinesis-spark") -> SparkSession:
     # a measured 2-4× drag on shuffle-heavy queries). A real cluster puts
     # spark.local.dir on fast node-local storage; /dev/shm is this box's
     # equivalent.
+    # tmpfs is RAM-backed (typically capped at 50% of RAM): a shuffle volume
+    # that would spill fine to disk can ENOSPC mid-query, and files left by
+    # a crashed JVM stay pinned in RAM. So the redirect is opt-out-able
+    # (SPARK_GRAFT_SHM=0) and gated on generous free space (default 16 GiB,
+    # ≫ any fixture-scale shuffle here); below that, fall back to disk.
     shm = "/dev/shm"
-    if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        builder = builder.config("spark.local.dir", f"{shm}/spark-local")
+    min_free = int(os.environ.get("SPARK_GRAFT_SHM_MIN_FREE_GB", "16")) << 30
+    if (
+        os.environ.get("SPARK_GRAFT_SHM", "1") != "0"
+        and os.path.isdir(shm)
+        and os.access(shm, os.W_OK)
+    ):
+        try:
+            st = os.statvfs(shm)
+            if st.f_bavail * st.f_frsize >= min_free:
+                builder = builder.config("spark.local.dir", f"{shm}/spark-local")
+        except OSError:
+            pass
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

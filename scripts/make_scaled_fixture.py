@@ -20,13 +20,23 @@ import sys
 
 import duckdb
 
-#: fact table -> columns to offset by copy_index * (1 + max over src)
+#: fact table -> columns to offset by copy_index * domain offset
 FACTS: dict[str, tuple[str, ...]] = {
     "lineitem": ("l_orderkey",),
     "orders": ("o_orderkey",),
     "events": ("event_id",),
     "documents": ("doc_id",),
     "embeddings": ("vec_id",),
+}
+#: shared key domains: every (table, column) in a domain gets ONE offset
+#: (1 + max over ALL of them), so replicated copies stay join-aligned even
+#: if one table's max key is missing from the other (e.g. an order with no
+#: lineitems at the key-range tail).
+DOMAINS: dict[str, tuple[tuple[str, str], ...]] = {
+    "orderkey": (("lineitem", "l_orderkey"), ("orders", "o_orderkey")),
+    "event_id": (("events", "event_id"),),
+    "doc_id": (("documents", "doc_id"),),
+    "vec_id": (("embeddings", "vec_id"),),
 }
 DIMS = ("region", "nation", "customer", "supplier", "part")
 
@@ -40,12 +50,19 @@ def main() -> None:
             f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
             f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
         )
+    domain_offset: dict[tuple[str, str], int] = {}
+    for members in DOMAINS.values():
+        off = 1 + max(
+            con.sql(
+                f"SELECT MAX({col}) FROM read_parquet('{src}/{tbl}.parquet')"
+            ).fetchone()[0]
+            for tbl, col in members
+        )
+        for tbl, col in members:
+            domain_offset[(tbl, col)] = off
     for t, keys in FACTS.items():
         f = f"{src}/{t}.parquet"
-        offsets = {
-            k: con.sql(f"SELECT 1 + MAX({k}) FROM read_parquet('{f}')").fetchone()[0]
-            for k in keys
-        }
+        offsets = {k: domain_offset[(t, k)] for k in keys}
         copies = []
         for i in range(factor):
             cols = ", ".join(
