@@ -41,6 +41,87 @@ HEADLINE = [
 ]
 
 
+#: Scaling-trajectory subset (bench.py --scaling): the ratio-collapse
+#: evidence of BENCH_NOTES.md as a one-command reproducible artifact.
+TRAJECTORY = [
+    "flagship_revenue_by_nation",
+    "join_multiway",
+    "join_broadcast_dims",
+    "q_shipping_priority",
+    "dedup_exact",
+    "sim_topk_cosine",
+    "text_top_tokens",
+    "text_tfidf",
+    "pipeline_corpus_filter",
+    "stream_tumbling_window",
+]
+
+
+def _time_spark(qs, spark, names, sf_dir: str) -> dict[str, float]:
+    """Warm-to-stable (≤4, stop within 25% of previous) + best-of-2 timed,
+    with an untimed GC nudge between queries — the steady-state protocol
+    documented in main()."""
+    times: dict[str, float] = {}
+    for name in names:
+        fn = qs[name].fn
+        prev = None
+        for _ in range(4):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            t = time.time() - t0
+            if prev is not None and t > prev * 0.75:
+                break
+            prev = t
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
+        print(f"# {name} @ {sf_dir}: {times[name]}s ({n} rows)", file=sys.stderr)
+        try:
+            spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+        except Exception:
+            pass
+    return times
+
+
+def _time_duck(qs, names, sf_dir: str) -> dict[str, float]:
+    """Same warm-to-stable + best-of-2 protocol on DuckDB running the
+    matching oracle_sql over the same parquet (BASELINE.md §3)."""
+    import duckdb
+
+    from lagom_kinesis_spark.catalog import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    duck_times: dict[str, float] = {}
+    for name in names:
+        oracle = qs[name].oracle
+        if oracle is None or "oracle_quadratic" in qs[name].tags:
+            continue
+        prev = None
+        for _ in range(4):
+            t0 = time.time()
+            con.sql(oracle).fetchall()
+            t = time.time() - t0
+            if prev is not None and t > prev * 0.75:
+                break
+            prev = t
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            con.sql(oracle).fetchall()
+            best = min(best, time.time() - t0)
+        duck_times[name] = round(best, 3)
+        print(f"# duckdb {name} @ {sf_dir}: {duck_times[name]}s", file=sys.stderr)
+    con.close()
+    return duck_times
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -51,7 +132,6 @@ def main() -> None:
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if subset:
         headline = [q.strip() for q in subset.split(",") if q.strip()]
-    from lagom_kinesis_spark.catalog import TABLES
     from lagom_kinesis_spark.registry import all_queries
     from lagom_kinesis_spark.session import get_spark
 
@@ -92,67 +172,16 @@ def main() -> None:
     # registry's periodic GC nudge is disabled during timed runs
     # (SPARK_GRAFT_GC_NUDGE=0) and performed here between queries instead.
     os.environ["SPARK_GRAFT_GC_NUDGE"] = "0"
-    times: dict[str, float] = {}
-    total = 0.0
-    for name in headline:
-        fn = qs[name].fn
-        prev = None
-        for _ in range(4):  # warm-ups (untimed): stop once stable
-            t0 = time.time()
-            fn(spark, sf_dir).count()
-            t = time.time() - t0
-            if prev is not None and t > prev * 0.75:
-                break  # <25% improvement over the last warm-up → stable
-            prev = t
-        best, n = float("inf"), 0
-        for _ in range(2):
-            t0 = time.time()
-            n = fn(spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
-        total += times[name]
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
-        try:  # the between-queries GC nudge (untimed; see note above)
-            spark.sparkContext._jvm.System.gc()  # noqa: SLF001
-        except Exception:
-            pass
+    times = _time_spark(qs, spark, headline, sf_dir)
+    total = sum(times.values())
 
     # BASELINE.md §3 protocol: the operative bar is DuckDB executing the
-    # matching oracle_sql on the same parquet, same machine.
+    # matching oracle_sql on the same parquet, same machine. (Quadratic
+    # oracles are skipped inside _time_duck: timing an O(n²) all-pairs
+    # correctness check would measure the oracle's blowup, not an engine.)
     duck_times: dict[str, float] = {}
     try:
-        import duckdb
-
-        con = duckdb.connect()
-        for t in TABLES:
-            con.sql(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-            )
-        for name in headline:
-            oracle = qs[name].oracle
-            if oracle is None:
-                continue
-            if "oracle_quadratic" in qs[name].tags:
-                # The oracle is a deliberate O(n²) all-pairs correctness
-                # check (gate-scale only) — timing it as a baseline would
-                # measure the oracle's own blowup, not engine performance.
-                print(f"# duckdb {name}: skipped (quadratic oracle)", file=sys.stderr)
-                continue
-            prev = None
-            for _ in range(4):  # warm-to-stable, same rule as Spark side
-                t0 = time.time()
-                con.sql(oracle).fetchall()
-                t = time.time() - t0
-                if prev is not None and t > prev * 0.75:
-                    break
-                prev = t
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                con.sql(oracle).fetchall()
-                best = min(best, time.time() - t0)
-            duck_times[name] = round(best, 3)
-            print(f"# duckdb {name}: {duck_times[name]}s", file=sys.stderr)
+        duck_times = _time_duck(qs, headline, sf_dir)
     except Exception as e:  # noqa: BLE001 — comparison is best-effort
         print(f"# duckdb comparison skipped: {e}", file=sys.stderr)
 
@@ -188,6 +217,84 @@ def main() -> None:
             }
         )
     )
+
+
+def scaling_main(out_path: str, skip_sf10: bool = False) -> None:
+    """One-command regeneration of the ratio-collapse trajectory
+    (BENCH_NOTES.md): TRAJECTORY queries on Spark AND DuckDB at
+    sf0.001 (the fixed-cost floor), sf0.1 (driver fixture), and
+    synthetic sf1/sf10 built by scripts/make_scaled_fixture.make
+    (fact replication with join-aligned key offsets). Writes one JSON
+    artifact with per-sf times and Spark-over-DuckDB ratios."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from make_scaled_fixture import FACTS, make
+
+    from lagom_kinesis_spark.registry import all_queries
+    from lagom_kinesis_spark.session import get_spark
+
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    floor_dir = os.path.join(os.path.dirname(base.rstrip("/")), "sf0.001")
+    scale_root = "/tmp/lagom_kinesis_spark/scale"
+    sfs: list[tuple[str, str]] = [("sf0.001", floor_dir), ("sf0.1", base)]
+    for label, factor in (("sf1", 10), ("sf10", 100)):
+        if label == "sf10" and skip_sf10:
+            continue
+        dst = os.path.join(scale_root, label)
+        if not all(
+            os.path.exists(os.path.join(dst, f"{t}.parquet")) for t in FACTS
+        ):
+            print(f"# building {label} fixture at {dst} ...", file=sys.stderr)
+            make(base, dst, factor)
+        sfs.append((label, dst))
+
+    spark = get_spark("lagom-kinesis-spark-scaling")
+    qs = all_queries()
+    os.environ["SPARK_GRAFT_GC_NUDGE"] = "0"
+    result: dict[str, dict] = {}
+    for label, sf_dir in sfs:
+        spark_t = _time_spark(qs, spark, TRAJECTORY, sf_dir)
+        try:
+            duck_t = _time_duck(qs, TRAJECTORY, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            print(f"# duckdb @ {label} skipped: {e}", file=sys.stderr)
+            duck_t = {}
+        result[label] = {
+            "spark": spark_t,
+            "duckdb": duck_t,
+            "ratio": {
+                k: round(spark_t[k] / duck_t[k], 2)
+                for k in duck_t
+                if duck_t[k] > 0 and k in spark_t
+            },
+        }
+    # Floor share: what fraction of the sf0.1 wall-clock is the per-query
+    # fixed cost (the sf0.001 time, where real work is ~zero).
+    floor = result.get("sf0.001", {}).get("spark", {})
+    at01 = result.get("sf0.1", {}).get("spark", {})
+    floor_share = {
+        k: round(min(1.0, floor[k] / at01[k]), 2)
+        for k in floor
+        if k in at01 and at01[k] > 0
+    }
+    payload = {
+        "metric": "scaling_trajectory",
+        "unit": "sec",
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "queries": TRAJECTORY,
+        "scales": result,
+        "floor_share_sf0.1": floor_share,
+        "note": (
+            "sf1/sf10 are synthetic fact replications of the sf0.1 driver "
+            "fixture (scripts/make_scaled_fixture.py, join-aligned key "
+            "domains); sf0.001 measures the per-query fixed cost floor. "
+            "Protocol identical to the headline bench: warm-to-stable + "
+            "best-of-2, both engines."
+        ),
+    }
+    line = json.dumps(payload)
+    with open(out_path, "w") as f:
+        f.write(line + "\n")
+    print(line)
 
 
 def _transport_bench(spark, sf_dir: str) -> dict:
@@ -239,4 +346,18 @@ def _transport_bench(spark, sf_dir: str) -> dict:
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--scaling",
+        action="store_true",
+        help="run the sf0.001/sf0.1/sf1/sf10 ratio-trajectory instead of the headline suite",
+    )
+    ap.add_argument("--out", default="BENCH_SCALING_r5.json", help="scaling artifact path")
+    ap.add_argument("--skip-sf10", action="store_true", help="trajectory without the sf10 tier")
+    a = ap.parse_args()
+    if a.scaling:
+        scaling_main(a.out, skip_sf10=a.skip_sf10)
+    else:
+        main()

@@ -41,8 +41,8 @@ DOMAINS: dict[str, tuple[tuple[str, str], ...]] = {
 DIMS = ("region", "nation", "customer", "supplier", "part")
 
 
-def main() -> None:
-    src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+def make(src: str, dst: str, factor: int) -> None:
+    """Build the scaled fixture (importable: bench.py --scaling uses this)."""
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     for t in DIMS:
@@ -76,6 +76,10 @@ def main() -> None:
             f"COPY ({' UNION ALL '.join(copies)}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
         )
         print(t, "->", con.sql(f"SELECT COUNT(*) FROM read_parquet('{dst}/{t}.parquet')").fetchone()[0], "rows")
+
+
+def main() -> None:
+    make(sys.argv[1], sys.argv[2], int(sys.argv[3]))
 
 
 if __name__ == "__main__":
