@@ -219,18 +219,60 @@ def main() -> None:
     )
 
 
+def scaling_tier_main(sf_dir: str, tier_out: str) -> None:
+    """One tier of the scaling trajectory, in its own process: fresh
+    SparkSession + fresh DuckDB, TRAJECTORY queries timed under the
+    headline protocol, result JSON to ``tier_out``."""
+    from lagom_kinesis_spark.registry import all_queries
+    from lagom_kinesis_spark.session import get_spark
+
+    spark = get_spark("lagom-kinesis-spark-scaling-tier")
+    os.environ["SPARK_GRAFT_GC_NUDGE"] = "0"
+    qs = all_queries()
+    spark_t = _time_spark(qs, spark, TRAJECTORY, sf_dir)
+    try:
+        duck_t = _time_duck(qs, TRAJECTORY, sf_dir)
+    except Exception as e:  # noqa: BLE001
+        print(f"# duckdb @ {sf_dir} skipped: {e}", file=sys.stderr)
+        duck_t = {}
+    with open(tier_out, "w") as f:
+        json.dump(
+            {
+                "spark": spark_t,
+                "duckdb": duck_t,
+                "ratio": {
+                    k: round(spark_t[k] / duck_t[k], 2)
+                    for k in duck_t
+                    if duck_t[k] > 0 and k in spark_t
+                },
+            },
+            f,
+        )
+
+
 def scaling_main(out_path: str, skip_sf10: bool = False) -> None:
     """One-command regeneration of the ratio-collapse trajectory
     (BENCH_NOTES.md): TRAJECTORY queries on Spark AND DuckDB at
     sf0.001 (the fixed-cost floor), sf0.1 (driver fixture), and
     synthetic sf1/sf10 built by scripts/make_scaled_fixture.make
     (fact replication with join-aligned key offsets). Writes one JSON
-    artifact with per-sf times and Spark-over-DuckDB ratios."""
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
-    from make_scaled_fixture import FACTS, make
+    artifact with per-sf times and Spark-over-DuckDB ratios.
 
-    from lagom_kinesis_spark.registry import all_queries
-    from lagom_kinesis_spark.session import get_spark
+    Every tier runs in its OWN subprocess (fresh JVM, fresh DuckDB), and
+    so does each fixture build: a first single-process implementation
+    measured the sf10 join family 5-7× slower than the same tier in a
+    fresh process (flagship 32.8 s vs 4.9 s) — cross-tier process state
+    (JVM aging after ~1500 stages plus the in-process 2.3 GB DuckDB
+    fixture build) poisoning the numbers. Per-tier isolation is also the
+    methodologically right protocol for cross-scale comparison: tiers
+    are independent measurements, not one long session."""
+    import subprocess
+    import tempfile
+
+    self_path = os.path.abspath(__file__)
+    scripts_dir = os.path.join(os.path.dirname(self_path), "scripts")
+    sys.path.insert(0, scripts_dir)
+    from make_scaled_fixture import FACTS
 
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     floor_dir = os.path.join(os.path.dirname(base.rstrip("/")), "sf0.001")
@@ -244,29 +286,30 @@ def scaling_main(out_path: str, skip_sf10: bool = False) -> None:
             os.path.exists(os.path.join(dst, f"{t}.parquet")) for t in FACTS
         ):
             print(f"# building {label} fixture at {dst} ...", file=sys.stderr)
-            make(base, dst, factor)
+            subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(scripts_dir, "make_scaled_fixture.py"),
+                    base,
+                    dst,
+                    str(factor),
+                ],
+                check=True,
+            )
         sfs.append((label, dst))
 
-    spark = get_spark("lagom-kinesis-spark-scaling")
-    qs = all_queries()
-    os.environ["SPARK_GRAFT_GC_NUDGE"] = "0"
     result: dict[str, dict] = {}
     for label, sf_dir in sfs:
-        spark_t = _time_spark(qs, spark, TRAJECTORY, sf_dir)
-        try:
-            duck_t = _time_duck(qs, TRAJECTORY, sf_dir)
-        except Exception as e:  # noqa: BLE001
-            print(f"# duckdb @ {label} skipped: {e}", file=sys.stderr)
-            duck_t = {}
-        result[label] = {
-            "spark": spark_t,
-            "duckdb": duck_t,
-            "ratio": {
-                k: round(spark_t[k] / duck_t[k], 2)
-                for k in duck_t
-                if duck_t[k] > 0 and k in spark_t
-            },
-        }
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+            tier_out = tf.name
+        print(f"# tier {label} ({sf_dir}) in fresh process ...", file=sys.stderr)
+        subprocess.run(
+            [sys.executable, self_path, "--scaling-tier", sf_dir, tier_out],
+            check=True,
+        )
+        with open(tier_out) as f:
+            result[label] = json.load(f)
+        os.unlink(tier_out)
     # Floor share: what fraction of the sf0.1 wall-clock is the per-query
     # fixed cost (the sf0.001 time, where real work is ~zero).
     floor = result.get("sf0.001", {}).get("spark", {})
@@ -356,8 +399,16 @@ if __name__ == "__main__":
     )
     ap.add_argument("--out", default="BENCH_SCALING_r5.json", help="scaling artifact path")
     ap.add_argument("--skip-sf10", action="store_true", help="trajectory without the sf10 tier")
+    ap.add_argument(
+        "--scaling-tier",
+        nargs=2,
+        metavar=("SF_DIR", "TIER_OUT"),
+        help="internal: run one isolated trajectory tier (spawned by --scaling)",
+    )
     a = ap.parse_args()
-    if a.scaling:
+    if a.scaling_tier:
+        scaling_tier_main(a.scaling_tier[0], a.scaling_tier[1])
+    elif a.scaling:
         scaling_main(a.out, skip_sf10=a.skip_sf10)
     else:
         main()

@@ -427,6 +427,56 @@ def ivf_topk(
     )
 
 
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    n_codes: int = 8,
+    sub_dim: int = 16,
+    n_train: int = 256,
+    n_iter: int = 10,
+) -> "np.ndarray":
+    """Trained (Lloyd's k-means) PQ codebooks — the production-grade
+    alternative to the md5-ordered data-sample codebook the registered
+    queries use for SQL replayability.
+
+    FAISS-style train-on-sample: a DETERMINISTIC md5-ordered sample of
+    ``n_train`` vectors is pulled to the driver (model-sized, the
+    documented driver-safe collect discipline), L2-normalized (the
+    normalize-for-cosine contract of pq_code_cols), and each of the ``m``
+    sub-spaces gets ``n_iter`` Lloyd iterations with md5-order-determined
+    initial codewords and lowest-index tie-breaks — fully deterministic,
+    no RNG. The returned (m, n_codes, sub_dim) array drops into
+    pq_encode / pq_adc_topk / ivfpq_topk unchanged: training swaps the
+    MODEL, never the plan (tests/test_operators.py::
+    test_pq_trained_codebook_beats_sampled pins both claims). At 100 TB
+    the sample is still driver-sized — this is exactly how production PQ
+    indexes train."""
+    import numpy as np
+
+    rows = (
+        corpus.select("vec_id", "embedding")
+        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(n_train)
+        .collect()
+    )
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    books = np.empty((m, n_codes, sub_dim), dtype=np.float64)
+    for s in range(m):
+        sub = Xn[:, s * sub_dim : (s + 1) * sub_dim]
+        cents = sub[:n_codes].copy()  # md5-order init: first n_codes rows
+        for _ in range(n_iter):
+            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)  # lowest index on ties
+            for j in range(n_codes):
+                pts = sub[assign == j]
+                if len(pts):  # empty cluster keeps its codeword
+                    cents[j] = pts.mean(axis=0)
+        books[s] = cents
+    return books
+
+
 def pq_encode(corpus: DataFrame, codebooks: "np.ndarray") -> DataFrame:
     """(vec_id, code_0..code_{m-1}): product-quantization codes.
 

@@ -23,4 +23,5 @@ from lagom_kinesis_spark.queries import (  # noqa: F401
     joins,
     aggregates,
     functions_scalar,
+    sql_modern,
 )

@@ -181,15 +181,21 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=events_cte(
         """
     , gaps AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        >= INTERVAL 5 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     ), islands AS (
+      -- ORDER BY (ts, event_id): the same total order as gaps' lag. With
+      -- ts alone, duplicate timestamps straddling a session boundary get
+      -- an ARBITRARY tie order in the running sum, assigning some of them
+      -- to the previous island (caught by the sf1 stress fixture, where
+      -- replication duplicates every boundary ts 10x; invisible at sf0.1
+      -- where per-user duplicate timestamps don't occur).
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS session_id
       FROM gaps
