@@ -402,6 +402,30 @@ def intersect_all_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_text_roundtrip",
+    oracle="SELECT n_nationkey, n_name FROM nation",
+    tags=("scan", "sink", "text"),
+)
+def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text sink + ``format("text")`` scan — the rawest
+    ingestion format a corpus pipeline meets (one record per line, all
+    parsing user-side). Writes nation as delimited lines, reads back as a
+    single ``value`` column, re-parses with JVM split/cast; the oracle is
+    the roundtrip identity. Scale: text scans split by line like any file
+    source; the explicit parse projection keeps schema derivation out of
+    the reader (no inference pass)."""
+    tmp = f"/tmp/lagom_kinesis_spark/io/nation_txt_{abs(hash(sf_dir)) % 10**8}"
+    load(spark, sf_dir, "nation").select(
+        F.concat_ws("|", F.col("n_nationkey"), F.col("n_name")).alias("value")
+    ).write.mode("overwrite").text(tmp)
+    parts = F.split(F.col("value"), "\\|")
+    return spark.read.text(tmp).select(
+        F.element_at(parts, 1).cast("int").alias("n_nationkey"),
+        F.element_at(parts, 2).alias("n_name"),
+    )
+
+
+@register(
     "scan_csv_roundtrip",
     oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
     tags=("scan", "csv"),
