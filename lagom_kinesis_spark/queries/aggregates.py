@@ -145,6 +145,42 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_approx_top_k",
+    oracle="""
+    WITH counts AS (
+      SELECT p_brand AS brand, COUNT(*) AS cnt FROM part GROUP BY p_brand
+    )
+    SELECT brand, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, brand) AS INT) AS rn
+    FROM counts
+    """,
+    tags=("agg", "approx", "sketch"),
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's native ``approx_top_k`` heavy-hitter sketch — the
+    engine-side sibling of the portable Count-Min heavy hitters
+    (text_cms_heavy_hitters). Oracle-exact by the sketch's own contract:
+    with maxItemsTracked ≥ the number of distinct items every count is
+    exact, and with k ≥ the distinct count the FULL item set is returned,
+    so re-ranking the exploded output by (count DESC, item) is
+    deterministic regardless of the sketch's internal tie order — no
+    selection ambiguity for the gate. Production runs the approximate
+    regime (bounded memory, heavy hitters only); the mergeable
+    accumulate/combine/estimate variants share the same state shape for
+    partial aggregation across 1000 executors."""
+    from pyspark.sql import Window
+
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    tk = spark.sql(
+        "SELECT explode(approx_top_k(p_brand, 64, 10000)) AS e FROM part"
+    ).select(
+        F.col("e.item").alias("brand"), F.col("e.count").alias("cnt")
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "brand")
+    return tk.withColumn("rn", F.row_number().over(w))
+
+
+@register(
     "agg_approx_count_distinct",
     oracle=sketches.hll_oracle_sql(
         "lineitem", "l_partkey", ("l_returnflag",), alias="approx_parts"
