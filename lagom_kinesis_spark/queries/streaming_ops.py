@@ -1053,3 +1053,69 @@ def stream_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("total").cast("long").alias("n_events"),
         )
     )
+
+
+#: Checkpoints from prior stream_state_store_read calls: the returned
+#: DataFrame reads the checkpoint LAZILY, so its directory must outlive the
+#: call — cleanup is one invocation behind (the _prior_sinks pattern).
+_prior_state_ckpts: list[str] = []
+
+
+@register(
+    "stream_state_store_read",
+    oracle=events_cte(
+        """
+    SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    """
+    ),
+    tags=("streaming", "state", "scan"),
+)
+def stream_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The state-store DATA SOURCE (Spark 4 `format("statestore")`): after
+    a bounded replay commits its aggregation state, read the checkpoint
+    back as a DataFrame — committed state becomes a queryable table, the
+    ops surface for state debugging, reconciliation, and offline state
+    migration. The single-batch replay makes the persisted count state
+    equal the batch aggregate, which is the exact oracle. Scale: the
+    reader exposes partition_id and loads each state partition
+    independently — a state scan parallelizes like any other source."""
+    import shutil
+    import uuid
+
+    from lagom_kinesis_spark.streaming.topics import _unload_state_stores
+
+    while _prior_state_ckpts:
+        shutil.rmtree(_prior_state_ckpts.pop(), ignore_errors=True)
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    name = f"ssr_{uuid.uuid4().hex[:12]}"
+    ck = f"/tmp/lagom_kinesis_spark/statescan/{name}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        _unload_state_stores(spark)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+    _prior_state_ckpts.append(ck)
+    st = spark.read.format("statestore").load(ck)
+    return st.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("long").alias("n"),
+    )
