@@ -94,13 +94,34 @@ def dec(c: Column | str, scale: int = 2, precision: int = 18) -> Column:
 
 
 def money(sum_col: Column) -> Column:
-    """Finalize an exact-decimal aggregate: → double, round 6."""
-    return F.round(sum_col.cast("double"), 6)
+    """Finalize an exact-decimal aggregate: cast to double, NO re-round.
+
+    Spark's decimal→double cast is correctly rounded (BigDecimal
+    .doubleValue), so the cast alone is deterministic. A trailing
+    round(…, 6) is an identity at safe magnitudes (every money decimal
+    has ≤6 fractional digits) but ULP-AMBIGUOUS above ~1e10, where the
+    6-decimal quantum drops below one double ulp and Spark's
+    BigDecimal-based round can legally pick a different neighboring
+    double than DuckDB's arithmetic round — the sf1 sweep caught exactly
+    that on agg_pricing_summary.sum_charge. So the contract is: output =
+    correctly-rounded double of the exact decimal, on both engines
+    (DuckDB via money_sum_sql's VARCHAR hop)."""
+    return sum_col.cast("double")
 
 
 def money_sum_sql(expr: str, scale: int = 2) -> str:
-    """DuckDB mirror of ``money(F.sum(dec(expr)))``."""
-    return f"round(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE), 6)"
+    """DuckDB mirror of ``money(F.sum(dec(expr)))``.
+
+    The VARCHAR hop is load-bearing: DuckDB's direct decimal→double cast
+    is NOT correctly rounded (hugeint / 10^scale in float arithmetic),
+    and above ~1e10 the round-6 quantum is below one double ulp, so the
+    1-ulp cast error stops being absorbed — the sf1 sweep caught
+    agg_pricing_summary's sum_charge differing in the last ulp on
+    IDENTICAL decimal sums. decimal→VARCHAR is exact and VARCHAR→double
+    (strtod) is correctly rounded on both engines, making the oracle's
+    double bit-identical to Spark's at every magnitude. Applied to every
+    decimal-sum finalization in the oracle SQL corpus."""
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS VARCHAR) AS DOUBLE)"
 
 
 def revenue_expr() -> Column:

@@ -21,12 +21,12 @@ from lagom_kinesis_spark.registry import register
     "agg_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_qty,
-           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_base_price,
-           round(CAST(SUM({revenue_sql}) AS DOUBLE), 6) AS sum_disc_price,
-           round(CAST(SUM({revenue_sql} * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE), 6) AS sum_charge,
-           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
-           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM({revenue_sql}) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM({revenue_sql} * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+           round(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           round(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS avg_price,
            MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
            COUNT(*) AS count_order
     FROM lineitem
@@ -59,8 +59,8 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_global",
     oracle="""
     SELECT COUNT(*) AS n_orders,
-           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS total,
-           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total,
+           round(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS avg_price,
            MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
     FROM orders
     """,
@@ -205,7 +205,7 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            GROUPING(l_returnflag, l_linestatus) AS gid,
            COUNT(*) AS n,
-           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     """,
@@ -219,7 +219,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, l_linestatus,
                grouping_id() AS gid,
                COUNT(*) AS n,
-               round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_qty
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
@@ -376,7 +376,7 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT o_orderpriority,
            COUNT(*) FILTER (o_orderstatus = 'F') AS n_finished,
-           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F') AS DOUBLE), 6) AS finished_total,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F') AS VARCHAR) AS DOUBLE) AS finished_total,
            COUNT(*) AS n
     FROM orders GROUP BY o_orderpriority
     """,
@@ -397,7 +397,7 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_having",
     oracle="""
     SELECT o_custkey, COUNT(*) AS n_orders,
-           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS spend
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS spend
     FROM orders GROUP BY o_custkey
     HAVING COUNT(*) >= 12 AND SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 1000000
     """,
@@ -420,8 +420,8 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pivot",
     oracle="""
     SELECT l_returnflag,
-           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS DOUBLE), 6) AS qty_O,
-           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS DOUBLE), 6) AS qty_F
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS VARCHAR) AS DOUBLE) AS qty_O,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS VARCHAR) AS DOUBLE) AS qty_F
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("agg", "pivot"),
@@ -469,7 +469,7 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_salted_skew",
     oracle="""
     SELECT l_returnflag,
-           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS total,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total,
            COUNT(*) AS n
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -656,14 +656,14 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT l_returnflag,
              CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS syy
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag,

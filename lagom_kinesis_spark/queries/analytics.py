@@ -40,8 +40,8 @@ from lagom_kinesis_spark.registry import register
 @register(
     "q_forecast_revenue",
     oracle="""
-    SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                         * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 6)
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
              AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
@@ -111,7 +111,7 @@ def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT sn.n_name AS supp_nation,
            cn.n_name AS cust_nation,
            year(o_orderdate) AS o_year,
-           round(CAST(SUM({revenue_sql}) AS DOUBLE), 6) AS revenue
+           CAST(CAST(SUM({revenue_sql}) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey  = c_custkey
@@ -159,10 +159,10 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH volume AS (
       SELECT year(o_orderdate) AS o_year,
-             CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+             CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
                            THEN {revenue_sql} ELSE CAST(0 AS DECIMAL(18,2)) END)
-                  AS DOUBLE) AS nation_vol,
-             CAST(SUM({revenue_sql}) AS DOUBLE) AS total_vol
+                  AS VARCHAR) AS DOUBLE) AS nation_vol,
+             CAST(CAST(SUM({revenue_sql}) AS VARCHAR) AS DOUBLE) AS total_vol
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey  = c_custkey
@@ -222,10 +222,10 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_product_type_profit",
     oracle="""
     SELECT n_name AS nation, year(o_orderdate) AS o_year,
-           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
                           - CAST(0.5 AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2))
-                            * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6)
+                            * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
              AS profit
     FROM lineitem
     JOIN part     ON l_partkey = p_partkey
@@ -293,9 +293,9 @@ def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_promo_revenue",
     oracle=f"""
-    SELECT round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {revenue_sql}
-                                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-                 / CAST(SUM({revenue_sql}) AS DOUBLE), 6) AS promo_revenue_pct
+    SELECT round(100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {revenue_sql}
+                                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(SUM({revenue_sql}) AS VARCHAR) AS DOUBLE), 6) AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-03-01'
       AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -372,7 +372,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_small_quantity_revenue",
     oracle="""
-    SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6)
+    SELECT round(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / 7.0, 6)
              AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
@@ -448,7 +448,7 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_discounted_revenue",
     oracle=f"""
-    SELECT round(CAST(SUM({revenue_sql}) AS DOUBLE), 6) AS revenue,
+    SELECT CAST(CAST(SUM({revenue_sql}) AS VARCHAR) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#3'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 11)
@@ -540,11 +540,11 @@ def q_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sales_opportunity",
     oracle="""
     WITH threshold AS (
-      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+      SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_bal
       FROM customer WHERE c_acctbal > 0.0
     )
     SELECT n_name AS nation, COUNT(*) AS numcust,
-           round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 6) AS totacctbal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS totacctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     WHERE c_acctbal > (SELECT avg_bal FROM threshold)

@@ -161,7 +161,7 @@ def behavior_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     , b AS (
       SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket,
-             round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS bucket_sum
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS bucket_sum
       FROM events GROUP BY 1, 2
     ),
     s AS (
@@ -315,7 +315,7 @@ def behavior_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey,
              max(o_orderdate) AS last_order,
              COUNT(*) AS frequency,
-             round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                AS monetary
       FROM orders GROUP BY o_custkey
     )

@@ -43,7 +43,7 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast_dims",
     oracle=f"""
     SELECT r_name AS region, COUNT(*) AS n_items,
-           round(CAST(SUM({revenue_sql}) AS DOUBLE), 6) AS revenue
+           CAST(CAST(SUM({revenue_sql}) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation   ON s_nationkey = n_nationkey
@@ -257,7 +257,7 @@ def join_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_multiway",
     oracle=f"""
     SELECT p_brand, n_name AS supp_nation, COUNT(*) AS n_items,
-           round(CAST(SUM({revenue_sql}) AS DOUBLE), 6) AS revenue
+           CAST(CAST(SUM({revenue_sql}) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN part     ON l_partkey = p_partkey
@@ -292,7 +292,7 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_shipping_priority",
     oracle=f"""
     SELECT l_orderkey,
-           round(CAST(SUM({revenue_sql}) AS DOUBLE), 6) AS revenue,
+           CAST(CAST(SUM({revenue_sql}) AS VARCHAR) AS DOUBLE) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -332,7 +332,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_returned_items",
     oracle=f"""
     SELECT c_custkey, c_name,
-           round(CAST(SUM({revenue_sql}) AS DOUBLE), 6) AS lost_revenue,
+           CAST(CAST(SUM({revenue_sql}) AS VARCHAR) AS DOUBLE) AS lost_revenue,
            n_name AS nation
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -377,7 +377,7 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p_brand,
            COUNT(*) AS n_items,
-           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6)
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
              AS total_qty
     FROM fact JOIN part ON sk = p_partkey
     GROUP BY p_brand

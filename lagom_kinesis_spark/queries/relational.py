@@ -35,7 +35,7 @@ from lagom_kinesis_spark.registry import register
     "flagship_revenue_by_nation",
     oracle=f"""
     SELECT n_name AS nation,
-           round(CAST(SUM({revenue_sql}) AS DOUBLE), 6) AS revenue,
+           CAST(CAST(SUM({revenue_sql}) AS VARCHAR) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -458,7 +458,7 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_parquet_partitioned",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n,
-           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS total
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
     FROM orders GROUP BY o_orderpriority
     """,
     tags=("sink", "parquet"),
@@ -577,7 +577,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_items,
-           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6)
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
              AS total_qty
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
@@ -679,7 +679,7 @@ def scan_binaryfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_clustered_sorted",
     oracle="""
     SELECT l_returnflag, COUNT(*) AS n,
-           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
              AS total_price
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -723,7 +723,7 @@ def sink_clustered_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_partition_pruned",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n,
-           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
              AS total
     FROM orders WHERE o_orderpriority = '1-URGENT'
     GROUP BY o_orderpriority

@@ -31,7 +31,7 @@ from lagom_kinesis_spark.registry import register
     oracle="""
     SELECT l_returnflag,
            COUNT(*) AS n_items,
-           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
              AS gross
     FROM lineitem
     WHERE l_shipdate >= DATE '1995-01-01'
@@ -52,8 +52,8 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
         |> WHERE l_shipdate >= DATE '1995-01-01'
         |> AGGREGATE COUNT(*) AS n_items,
-                     round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-                                AS DOUBLE), 6) AS gross
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                          AS DOUBLE) AS gross
            GROUP BY l_returnflag
         |> WHERE n_items > 10
         |> SELECT l_returnflag, n_items, gross
@@ -66,7 +66,7 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n,
-           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
              AS spend
     FROM orders
     GROUP BY o_orderstatus, o_orderpriority
@@ -82,8 +82,8 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n,
-               round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                          AS DOUBLE), 6) AS spend
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS spend
         FROM orders
         GROUP BY ALL
         """

@@ -52,7 +52,7 @@ _BUCKET_15M = "time_bucket(INTERVAL '15 minutes', ts)"
         f"""
     , agg AS (
       SELECT event_type, {_BUCKET_5M} AS bucket,
-             round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS bucket_sum
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS bucket_sum
       FROM events GROUP BY 1, 2
     ),
     bounds AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM agg GROUP BY 1),
@@ -131,7 +131,7 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(value) AS low,
            MAX(CASE WHEN rn_last = 1 THEN value END) AS close,
            COUNT(*) AS n_ticks,
-           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS volume
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS volume
     FROM ordered GROUP BY 1, 2
     """
     ),
@@ -183,7 +183,7 @@ def ts_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, session_seq,
            COUNT(*) AS n_events,
            (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_sec,
-           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS session_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS session_value
     FROM sessions GROUP BY 1, 2
     """
     ),
@@ -278,11 +278,11 @@ def ts_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=events_cte(
         """
     SELECT event_id, event_type,
-           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
              PARTITION BY event_type
              ORDER BY epoch_us(ts) // 1000000
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
-           ) AS DOUBLE), 6) AS rolling_1h
+           ) AS VARCHAR) AS DOUBLE) AS rolling_1h
     FROM events
     """
     ),

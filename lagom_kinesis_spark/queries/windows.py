@@ -167,7 +167,7 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_totalprice,
            COUNT(*) OVER w AS n_in_band,
-           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE), 6)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE)
              AS sum_in_band
     FROM orders
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
@@ -360,7 +360,7 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH nat AS (
       SELECT n.n_regionkey AS regionkey, c.c_nationkey AS nationkey,
-             round(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+             CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                AS nation_rev
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
