@@ -225,7 +225,12 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN ue e2 ON e2.u = e1.u AND e1.v < e2.v
     JOIN ue e3 ON e3.u = e1.v AND e3.v = e2.v
     """,
-    tags=("graph", "join", "scalar"),
+    # oracle_heavy: the oracle's unordered 3-way wedge join materializes
+    # O(sum deg²) rows — DuckDB hit >100 GB on the 6M-edge sf1 graph
+    # (the Spark side stays degree-ordered-bounded). Gate-scale only;
+    # scaled sweeps (scripts/sweep_sf1.py) skip it like the quadratic
+    # dedup oracles.
+    tags=("graph", "join", "scalar", "oracle_heavy"),
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count on the undirected nation-trade graph.

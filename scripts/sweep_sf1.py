@@ -66,8 +66,8 @@ def main() -> int:
         q = qs[name]
         if name in done:
             continue
-        if "oracle_quadratic" in q.tags:
-            print(f"SKIP      {name} (quadratic oracle)", flush=True)
+        if "oracle_quadratic" in q.tags or "oracle_heavy" in q.tags:
+            print(f"SKIP      {name} (scale-limited oracle)", flush=True)
             continue
         t0 = time.time()
         try:
