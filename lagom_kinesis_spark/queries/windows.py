@@ -252,8 +252,19 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=events_cte(
         """
     , purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
-      clicks    AS (SELECT event_id AS click_id, user_id, ts, value AS click_value
-                    FROM events WHERE event_type = 'click')
+      -- DuckDB's ASOF JOIN picks an ARBITRARY row among right-side ts ties;
+      -- the engine's tie contract (asof_join(tie=...): greatest click_id
+      -- wins) is applied by deduping to that winner per (user_id, ts)
+      -- BEFORE the asof — caught by the sf1 sweep, where fixture
+      -- replication duplicates every click ts 10x.
+      clicks    AS (
+        SELECT click_id, user_id, ts, click_value FROM (
+          SELECT event_id AS click_id, user_id, ts, value AS click_value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                    ORDER BY event_id DESC) AS trn
+          FROM events WHERE event_type = 'click'
+        ) WHERE trn = 1
+      )
     SELECT p.event_id, p.user_id, p.value, c.click_id, c.click_value
     FROM purchases p
     ASOF LEFT JOIN clicks c
@@ -410,8 +421,19 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=events_cte(
         """
     , purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
-      clicks    AS (SELECT event_id AS click_id, user_id, ts, value AS click_value
-                    FROM events WHERE event_type = 'click')
+      -- DuckDB's ASOF JOIN picks an ARBITRARY row among right-side ts ties;
+      -- the engine's tie contract (asof_join(tie=...): greatest click_id
+      -- wins) is applied by deduping to that winner per (user_id, ts)
+      -- BEFORE the asof — caught by the sf1 sweep, where fixture
+      -- replication duplicates every click ts 10x.
+      clicks    AS (
+        SELECT click_id, user_id, ts, click_value FROM (
+          SELECT event_id AS click_id, user_id, ts, value AS click_value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                    ORDER BY event_id DESC) AS trn
+          FROM events WHERE event_type = 'click'
+        ) WHERE trn = 1
+      )
     SELECT p.event_id, p.user_id, p.value,
            CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.click_id END
              AS click_id,
