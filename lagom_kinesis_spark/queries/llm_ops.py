@@ -101,7 +101,7 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE len(list_intersect(a.sh, b.sh))
           / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.3
     """,
-    tags=("llm", "dedup"),
+    tags=("llm", "dedup", "oracle_heavy"),
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard pairs (≥0.3) over a 1/2 sample — the
@@ -753,7 +753,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sub a JOIN sub b ON a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.25
     """,
-    tags=("llm", "dedup", "similarity"),
+    tags=("llm", "dedup", "similarity", "oracle_heavy"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (mandate row): exact pairwise over a
@@ -889,7 +889,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT id AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY id
     """,
-    tags=("llm", "dedup", "iterative"),
+    tags=("llm", "dedup", "iterative", "oracle_heavy"),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster resolution: exact Jaccard pairs (≥0.3, sampled) →
@@ -1090,7 +1090,7 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE len(list_intersect(a.sh, b.sh))
           / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.4
     """,
-    tags=("llm", "dedup", "join"),
+    tags=("llm", "dedup", "join", "oracle_heavy"),
 )
 def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact set-similarity self-join via PREFIX FILTERING (the
