@@ -1108,3 +1108,29 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(m3 / F.pow(m2, F.lit(1.5))).alias("skew_g1"),
         r6(m4 / F.pow(m2, F.lit(2.0)) - 3).alias("kurt_excess"),
     )
+
+
+@register(
+    "agg_listagg_native",
+    oracle="""
+    SELECT s_nationkey,
+           string_agg(s_name, '|' ORDER BY s_name) AS supplier_list
+    FROM supplier GROUP BY s_nationkey
+    """,
+    tags=("agg", "string"),
+)
+def agg_listagg_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's NATIVE ``listagg(...) WITHIN GROUP (ORDER BY ...)``
+    (SQL:2016) — the engine-side sibling of agg_listagg_ordered's
+    collect-then-join formulation. Deterministic because supplier names
+    are unique within a nation (the repo's unique-tiebreak discipline);
+    the oracle is DuckDB's ordered string_agg."""
+    register_views(spark, sf_dir, ("supplier",))
+    return spark.sql(
+        """
+        SELECT s_nationkey,
+               listagg(s_name, '|') WITHIN GROUP (ORDER BY s_name)
+                 AS supplier_list
+        FROM supplier GROUP BY s_nationkey
+        """
+    )

@@ -482,3 +482,43 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("click_id")).alias("click_id"),
         F.when(fresh, F.col("click_value")).alias("click_value"),
     )
+
+
+@register(
+    "win_range_interval",
+    oracle=events_cte(
+        """
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_last_10m,
+           round(SUM(value) OVER w, 6) AS val_last_10m
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
+    """
+    ),
+    tags=("window", "interval"),
+)
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-INTERVAL range frame: per user, the trailing-10-minute event
+    count and value sum — the event-time sibling of win_range_frame's
+    numeric band, and the window-function phrasing of a sliding window
+    (vs stream_sliding_window's bucketed one). RANGE frames are
+    value-defined, so duplicate timestamps are peers sharing one frame —
+    tie-safe by construction (the property the sf1 replicated fixture
+    stresses). SUM(value) is a ≤10-minute window of O(1)-magnitude
+    doubles: float error ≪ the round-6 quantum, the small-float
+    discipline. Scale: one shuffle on user_id + a per-partition
+    sort — the standard window envelope."""
+    from lagom_kinesis_spark.catalog import load as _load
+
+    _load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               COUNT(*) OVER w AS n_last_10m,
+               round(SUM(value) OVER w, 6) AS val_last_10m
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
+        """
+    )
