@@ -51,3 +51,49 @@ def test_credential_chain_fallback():
     """Both credentials absent ⇒ default provider chain (no keys in opts)."""
     c = KinesisSourceConfig(stream_name="s", region="us-east-1")
     assert "awsAccessKeyId" not in c.source_options()
+
+
+# --- driver sweep-order derivation (registry.driver_order) ------------------
+
+
+def test_driver_order_tiers(monkeypatch):
+    """The sweep-order contract: failed-latest rows first (automatic
+    re-row), never-sampled next (module round-robin), already-green last —
+    with the sampled/failed sets DERIVED from CORRECTNESS artifacts, not
+    hand-frozen (the staleness bug that cost rounds 3-5 attention)."""
+    from lagom_kinesis_spark import registry as R
+
+    class Q:  # minimal Query stand-in
+        def __init__(self, name, module):
+            self.name, self.module = name, module
+
+    reg = {
+        "green_a": Q("green_a", "m1"),
+        "fresh_b": Q("fresh_b", "m1"),
+        "failed_c": Q("failed_c", "m2"),
+        "fresh_d": Q("fresh_d", "m2"),
+        "green_e": Q("green_e", "m2"),
+    }
+    monkeypatch.setattr(R, "_DRIVER_SAMPLED", frozenset({"green_a", "green_e", "failed_c"}))
+    monkeypatch.setattr(R, "_DRIVER_FAILED", frozenset({"failed_c"}))
+    order = R.driver_order(reg)
+    assert order[0] == "failed_c"  # re-row tier leads
+    assert set(order[1:3]) == {"fresh_b", "fresh_d"}  # fresh tier next
+    assert set(order[3:]) == {"green_a", "green_e"}  # green tier last
+
+
+def test_driver_history_reads_artifacts():
+    """_driver_history: green = hash_match or rows-only-with-rows; anything
+    else in the LATEST record is a failure earning a re-row slot."""
+    import json
+
+    from lagom_kinesis_spark import registry as R
+
+    sampled, failed = R._driver_history()
+    # the real repo artifacts: every sampled name is green (r1-r4 scoreboard)
+    assert len(sampled) >= 179
+    assert failed == frozenset()
+    # every name in the artifacts must be registered (no orphan evidence)
+    from lagom_kinesis_spark.registry import all_queries
+
+    assert sampled <= set(all_queries())
