@@ -273,3 +273,51 @@ def test_portable_cms_and_bloom_match_python_reference(spark, toks):
         ).collect()
     }
     assert hits == set(toks)
+
+
+ASOF_LEFT = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # by-group
+        st.integers(min_value=0, max_value=40),  # ts
+    ),
+    min_size=1,
+    max_size=20,
+)
+ASOF_RIGHT = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # by-group
+        st.integers(min_value=0, max_value=40),  # ts
+        st.integers(min_value=0, max_value=99),  # tie/payload id
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(left=ASOF_LEFT, right=ASOF_RIGHT)
+@SETTINGS
+def test_asof_join_matches_pandas_reference(spark, left, right):
+    """operators/asof.py vs an independent pure-Python reference of the
+    documented contract: for each left row, the right row in the same
+    group with the greatest ts <= left ts, ties (equal ts) broken by
+    greatest tie id; null-extended when none exists. Random duplicate
+    timestamps across both sides — the case the sf1 sweep showed DuckDB's
+    native ASOF cannot pin deterministically."""
+    from lagom_kinesis_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(g, t, i) for i, (g, t) in enumerate(left)], "g int, ts int, lid int"
+    )
+    rdf = spark.createDataFrame(
+        right or [(99, -1, 0)], "g int, ts int, rid int"
+    ).limit(len(right))
+    got = {
+        (r["lid"]): r["rid"]
+        for r in asof_join(
+            ldf, rdf, ts="ts", by=["g"], right_payload=["rid"], tie="rid"
+        ).collect()
+    }
+    for i, (g, t) in enumerate(left):
+        cands = [(rt, rid) for (rg, rt, rid) in right if rg == g and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, g, t, cands, got[i])
