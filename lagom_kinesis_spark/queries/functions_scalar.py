@@ -664,3 +664,63 @@ def fn_printf_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("%s/%d", "s_name", "s_nationkey").alias("name_nation"),
         F.lpad(F.col("s_suppkey").cast("string"), 8, "0").alias("padded"),
     )
+
+
+@register(
+    "fn_xml",
+    oracle="""
+    SELECT o_orderkey AS k, o_orderpriority AS p, o_orderdate AS d
+    FROM orders WHERE o_orderkey % 20 = 0
+    """,
+    tags=("functions", "xml"),
+)
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML functions (Spark 4 ``from_xml``): serialize rows to XML text,
+    parse back with a typed schema, emit the typed fields — the roundtrip
+    identity is the oracle (DuckDB reads the originals directly; no XML
+    engine needed oracle-side). Long / string / TIMESTAMP all survive the
+    text hop losslessly (midnight-precision order dates); the priority
+    strings carry no XML-special characters by fixture construction."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    xml = F.concat(
+        F.lit("<o><k>"), F.col("o_orderkey").cast("string"),
+        F.lit("</k><p>"), F.col("o_orderpriority"),
+        F.lit("</p><d>"), F.col("o_orderdate").cast("string"),
+        F.lit("</d></o>"),
+    )
+    parsed = F.from_xml(xml, "k BIGINT, p STRING, d TIMESTAMP")
+    return o.select(
+        parsed.getField("k").alias("k"),
+        parsed.getField("p").alias("p"),
+        parsed.getField("d").alias("d"),
+    )
+
+
+@register(
+    "fn_str_to_map",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment AS seg,
+           CAST(c_custkey AS VARCHAR) AS key_str,
+           2 AS n_entries
+    FROM customer WHERE c_custkey % 10 = 0
+    """,
+    tags=("functions", "map"),
+)
+def fn_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``str_to_map``: parse delimited key:value text into a MAP column —
+    the classic log-attribute ingestion path — then read entries back out.
+    Roundtrip identity oracle (segments/keys contain neither delimiter by
+    fixture construction)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    payload = F.concat(
+        F.lit("seg:"), F.col("c_mktsegment"),
+        F.lit(",key:"), F.col("c_custkey").cast("string"),
+    )
+    m = F.str_to_map(payload, F.lit(","), F.lit(":"))
+    return c.select(
+        "c_custkey",
+        F.element_at(m, "seg").alias("seg"),
+        F.element_at(m, "key").alias("key_str"),
+        F.size(m).alias("n_entries"),
+    )
