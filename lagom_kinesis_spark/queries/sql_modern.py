@@ -117,3 +117,94 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"lo": 150000.0, "cutoff": datetime.date(1997, 1, 1)},
     )
+
+
+@register(
+    "sql_execute_immediate",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders WHERE o_totalprice > 200000.0
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "modern"),
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic SQL (Spark 4 `EXECUTE IMMEDIATE ... USING`) composed with
+    the `IDENTIFIER()` clause: the statement text binds both the TABLE
+    NAME and a predicate constant as positional parameters — the
+    metadata-driven query-generation path (think: one audited statement
+    template over many tables), injection-safe on both binds. Resolves to
+    the identical plan as the static phrasing, hence the classic oracle."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority, COUNT(*) AS n
+           FROM IDENTIFIER(?) WHERE o_totalprice > ?
+           GROUP BY o_orderpriority'
+          USING 'orders', 200000.0D
+        """
+    )
+
+
+@register(
+    "udf_sql_function",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 6) AS gross
+    FROM lineitem WHERE l_orderkey % 40 = 0
+    """,
+    tags=("sql", "modern", "udf"),
+)
+def udf_sql_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDF (Spark 4 `CREATE FUNCTION ... RETURNS ... RETURN
+    expr`): user-defined logic that stays a Catalyst EXPRESSION — inlined
+    into whole-stage codegen, optimizer-visible, no Python boundary; the
+    fastest UDF tier of the §2B UDF surface and the one a 100 TB hot path
+    should prefer. The oracle inlines the same expression."""
+    register_views(spark, sf_dir, ("lineitem",))
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION gross_of(
+          p DOUBLE, d DOUBLE) RETURNS DOUBLE
+        RETURN round(p * (1 - d), 6)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               gross_of(l_extendedprice, l_discount) AS gross
+        FROM lineitem WHERE l_orderkey % 40 = 0
+        """
+    )
+
+
+@register(
+    "sql_session_variables",
+    oracle="""
+    WITH avg_price AS (
+      SELECT AVG(o_totalprice) AS a FROM orders
+    )
+    SELECT o_orderpriority, COUNT(*) AS n_above_avg
+    FROM orders, avg_price WHERE o_totalprice > a
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "modern"),
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session variables (Spark 4 `DECLARE VARIABLE` / `SET VAR`): a
+    scalar computed once into session state, then referenced like a
+    literal in later statements — the multi-statement scripting surface.
+    The oracle inlines the subquery the variable held. (The variable's
+    double value feeds only a comparison, not output — no float-output
+    determinism exposure.)"""
+    register_views(spark, sf_dir, ("orders",))
+    spark.sql("DECLARE OR REPLACE VARIABLE lks_avg_price DOUBLE")
+    spark.sql("SET VAR lks_avg_price = (SELECT AVG(o_totalprice) FROM orders)")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_above_avg
+        FROM orders WHERE o_totalprice > lks_avg_price
+        GROUP BY o_orderpriority
+        """
+    )
