@@ -208,3 +208,53 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "api_pandas_on_spark",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("api", "modern"),
+)
+def api_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas-on-Spark front door (`pyspark.pandas`): the pandas
+    drop-in API compiling to the SAME Catalyst plans as the DataFrame
+    API — a distinct user surface (the one a pandas-native data scientist
+    reaches for first), not a distinct engine. groupby/agg here plans as
+    partial+final hash aggregation like every other aggregate in this
+    repo; outputs are count/min/max — determinism-safe without the
+    decimal-accumulation machinery pandas-on-Spark's astype cannot
+    express (money sums stay on the DataFrame/SQL surfaces). Oracle:
+    plain SQL GROUP BY."""
+    import warnings
+
+    from lagom_kinesis_spark.catalog import path_of
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import pyspark.pandas as ps
+
+        psdf = ps.read_parquet(path_of(sf_dir, "orders"))
+        out = (
+            psdf.groupby("o_orderpriority")
+            .agg(
+                n=("o_orderkey", "count"),
+                min_price=("o_totalprice", "min"),
+                max_price=("o_totalprice", "max"),
+            )
+            .reset_index()
+        )
+        sdf = out.to_spark()
+    from pyspark.sql import functions as F
+
+    return sdf.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n"),
+        "min_price",
+        "max_price",
+    )
