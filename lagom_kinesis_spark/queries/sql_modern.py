@@ -258,3 +258,78 @@ def api_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_price",
         "max_price",
     )
+
+
+@register(
+    "join_lateral_df_api",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, s.s_suppkey, s.s_name, s.s_acctbal
+    FROM nation n, LATERAL (
+      SELECT s_suppkey, s_name, s_acctbal FROM supplier
+      WHERE s_nationkey = n.n_nationkey
+      ORDER BY s_acctbal DESC, s_suppkey LIMIT 2
+    ) s
+    """,
+    tags=("join", "modern", "lateral"),
+)
+def join_lateral_df_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's DataFrame ``lateralJoin`` with ``.outer()`` column
+    references — the API sibling of sql_lateral_topn's SQL LATERAL: per
+    nation, the top-2 suppliers by (acctbal DESC, suppkey) computed by a
+    correlated subquery DataFrame. Catalyst decorrelates to the same
+    join + per-group-limit plan as the SQL phrasing; inner semantics
+    (supplier-less nations drop) match the comma-LATERAL oracle."""
+    from pyspark.sql import functions as F
+
+    from lagom_kinesis_spark.catalog import load
+
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = load(spark, sf_dir, "supplier")
+    sub = (
+        s.where(F.col("s_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+        .limit(2)
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    return n.lateralJoin(sub)
+
+
+@register(
+    "sort_transpose_stats",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             MIN(l_quantity) AS mn, MAX(l_quantity) AS mx
+      FROM lineitem GROUP BY l_returnflag
+    ), long AS (
+      SELECT l_returnflag, 'n' AS key, n AS v FROM s
+      UNION ALL SELECT l_returnflag, 'min_qty', mn FROM s
+      UNION ALL SELECT l_returnflag, 'max_qty', mx FROM s
+    )
+    SELECT key,
+           MAX(CASE WHEN l_returnflag = 'A' THEN v END) AS a,
+           MAX(CASE WHEN l_returnflag = 'N' THEN v END) AS n,
+           MAX(CASE WHEN l_returnflag = 'R' THEN v END) AS r
+    FROM long GROUP BY key
+    """,
+    tags=("sort", "modern"),
+)
+def sort_transpose_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose()`` (Spark 4): flip a small stats frame so
+    metrics become rows and group values become columns — the
+    report-shaping sibling of pivot/unpivot, bounded by construction
+    (transpose of an AGGREGATE, never raw data: the output width is the
+    group-key cardinality). The oracle rebuilds the transposed matrix
+    with conditional aggregation."""
+    from pyspark.sql import functions as F
+
+    from lagom_kinesis_spark.catalog import load
+
+    li = load(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+    return stats.transpose()
