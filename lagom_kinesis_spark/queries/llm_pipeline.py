@@ -1191,3 +1191,58 @@ def pipeline_decontamination_audit(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
     )
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), weighted AS (
+      SELECT doc_id, source,
+             ({sketches.portable_hash_sql("tok")} % 2001) - 1000 AS w
+      FROM toks
+    ), scored AS (
+      SELECT doc_id, source,
+             SUM(w) AS s_int,
+             COUNT(*) AS n_tok
+      FROM weighted GROUP BY doc_id, source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN s_int > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass,
+           round(AVG(s_int / (1000.0 * n_tok)), 6) AS avg_score
+    FROM scored GROUP BY source
+    """,
+    tags=("llm", "pipeline", "text", "scalar"),
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the linear-classifier shape of
+    production corpus curation (fasttext / fineweb-edu style): each token
+    maps through the portable 60-bit hash to an INTEGER weight in
+    [-1000, 1000] (a stand-in for trained feature weights; a real model's
+    weights broadcast into the same expression), docs score by the weight
+    sum, and the keep-decision is ``Σw > 0`` on EXACT int64 arithmetic —
+    classification can never flip on float summation order, the same
+    integer-decision discipline as sample_weighted_threshold. Per-source
+    report: doc count, pass count, mean normalized score (round-6 of a
+    small-magnitude average — the float discipline). Scale: explode →
+    one hash per token instance → two-level agg; map-side partials carry
+    one (doc, sum, count) row; no model service in the loop."""
+    from lagom_kinesis_spark.operators.similarity import portable_token_hash
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    w = (portable_token_hash(F.col("tok")) % 2001 - 1000).cast("long")
+    scored = tok.select("doc_id", "source", w.alias("w")).groupBy(
+        "doc_id", "source"
+    ).agg(F.sum("w").alias("s_int"), F.count("*").alias("n_tok"))
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("s_int") > 0).cast("long")).alias("n_pass"),
+        r6(F.avg(F.col("s_int") / (1000.0 * F.col("n_tok")))).alias("avg_score"),
+    )
