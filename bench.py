@@ -282,9 +282,18 @@ def scaling_main(out_path: str, skip_sf10: bool = False) -> None:
         if label == "sf10" and skip_sf10:
             continue
         dst = os.path.join(scale_root, label)
-        if not all(
-            os.path.exists(os.path.join(dst, f"{t}.parquet")) for t in FACTS
-        ):
+        # Cache key: the _DONE marker make() writes last with the matching
+        # (src, factor) spec — a partially-built fixture (interrupted run:
+        # facts present, dims missing) must rebuild, not be silently reused.
+        done = os.path.join(dst, "_DONE")
+        want = f"{os.path.abspath(base)}\nfactor={factor}\n"
+        cached = False
+        try:
+            with open(done) as fh:
+                cached = fh.read() == want
+        except OSError:
+            cached = False
+        if not cached:
             print(f"# building {label} fixture at {dst} ...", file=sys.stderr)
             subprocess.run(
                 [

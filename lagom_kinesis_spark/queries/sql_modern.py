@@ -332,4 +332,8 @@ def sort_transpose_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
     )
-    return stats.transpose()
+    t = stats.transpose()
+    # transpose() names value columns after the data ('A','N','R'); DuckDB
+    # folds unquoted aliases to lowercase, and the driver's compare sorts
+    # columns case-SENSITIVELY — lowercase to match the oracle exactly.
+    return t.toDF(*[c.lower() for c in t.columns])

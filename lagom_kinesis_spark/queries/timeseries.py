@@ -235,7 +235,7 @@ def ts_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, date_trunc('hour', bucket_5m) AS bucket_1h,
            CAST(SUM(n) AS BIGINT) AS n_events,
-           round(CAST(SUM(s) AS DOUBLE), 6) AS total_value,
+           CAST(CAST(SUM(s) AS VARCHAR) AS DOUBLE) AS total_value,
            MIN(lo) AS min_value, MAX(hi) AS max_value,
            COUNT(*) AS n_populated_5m
     FROM fine GROUP BY 1, 2

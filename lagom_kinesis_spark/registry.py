@@ -138,8 +138,9 @@ def all_queries() -> dict[str, Query]:
 _NEEDS_REROW: tuple[str, ...] = ()
 
 
-def _driver_history() -> tuple[frozenset[str], frozenset[str]]:
-    """(sampled, failed_latest) from CORRECTNESS_r*.json at the repo root.
+def _driver_history(root=None) -> tuple[frozenset[str], frozenset[str]]:
+    """(sampled, failed_latest) from CORRECTNESS_r*.json at ``root``
+    (default: the repo root; tests pass a tmp dir with synthetic artifacts).
 
     A row is green if its value-hash matched, or — for oracle-less queries,
     where the driver records ``err == "no_oracle"`` — if the rows-only check
@@ -152,7 +153,9 @@ def _driver_history() -> tuple[frozenset[str], frozenset[str]]:
     import json
     from pathlib import Path
 
-    root = Path(__file__).resolve().parent.parent
+    if root is None:
+        root = Path(__file__).resolve().parent.parent
+    root = Path(root)
     latest: dict[str, dict] = {}
     for path in sorted(glob.glob(str(root / "CORRECTNESS_r*.json"))):
         try:

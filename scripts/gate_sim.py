@@ -18,11 +18,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def canon_frame(pdf):
-    """Driver-style canonicalization: lowercase + name-sorted columns,
-    sort_values over everything, then a stable hash of the values."""
+    """Driver-style canonicalization: RAW-name-sorted columns (the driver
+    sorts case-sensitively — r5's transpose red row proved it), sort_values
+    over everything, then a stable hash of the values."""
     import pandas as pd  # noqa: F401
 
-    pdf = pdf.rename(columns={c: c.lower() for c in pdf.columns})
     pdf = pdf[sorted(pdf.columns)]
     pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(
         drop=True

@@ -76,6 +76,11 @@ def make(src: str, dst: str, factor: int) -> None:
             f"COPY ({' UNION ALL '.join(copies)}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
         )
         print(t, "->", con.sql(f"SELECT COUNT(*) FROM read_parquet('{dst}/{t}.parquet')").fetchone()[0], "rows")
+    # Completion marker: written LAST so an interrupted build (facts copied,
+    # dims missing/truncated) is never mistaken for a finished fixture.
+    # Keyed on (src, factor) so a different build spec forces a rebuild.
+    with open(os.path.join(dst, "_DONE"), "w") as fh:
+        fh.write(f"{os.path.abspath(src)}\nfactor={factor}\n")
 
 
 def main() -> None:

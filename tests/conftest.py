@@ -63,13 +63,18 @@ def _canon(v):
 
 
 def assert_matches_oracle(spark_df, duck_con, sql: str, check_rows: bool = True):
-    """Mirror of the driver compare: sort columns by name, exact multiset."""
+    """Mirror of the driver compare: sort columns by RAW name (case-sensitive,
+    exactly like the driver's value hash — r5's transpose bug hid behind a
+    lowercase-first local sort), exact multiset of canonicalized rows.  The
+    schema-name check stays case-insensitive because the driver's own
+    schema_match folds case (it passed on the r5 red row); only the value
+    ordering is case-sensitive."""
     duck_rel = duck_con.sql(sql)
-    duck_cols = [c.lower() for c in duck_rel.columns]
-    spark_cols = [c.lower() for c in spark_df.columns]
-    assert sorted(duck_cols) == sorted(spark_cols), (
-        f"schema mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
-    )
+    duck_cols = list(duck_rel.columns)
+    spark_cols = list(spark_df.columns)
+    assert sorted(c.lower() for c in duck_cols) == sorted(
+        c.lower() for c in spark_cols
+    ), f"schema mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
     s_order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
     d_order = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
 

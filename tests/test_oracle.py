@@ -49,3 +49,20 @@ def test_no_oracle_is_vacuously_empty(duck):
         if duck.sql(f"SELECT count(*) FROM ({q.oracle})").fetchone()[0] == 0:
             empty.append(name)
     assert not empty, f"vacuously-empty oracles (check their predicates): {empty}"
+
+
+def test_compare_is_column_case_sensitive(spark, duck):
+    """Driver-parity guard (r5 lesson): the driver's value hash sorts columns
+    by RAW name, so a Spark frame with 'A','N' where the oracle has 'a','n'
+    permutes the value tuples and hash-mismatches even on identical values.
+    The local compare used to lowercase first and green-lit exactly that bug
+    (sort_transpose_stats, the only red row on the r5 board). Assert the
+    hardened compare now rejects it."""
+    sdf = spark.createDataFrame([(1.0, 2.0, "x")], ["B", "a", "k"])
+    # identical values, lowercase names -> raw-name column order differs
+    sql = "SELECT 1.0::DOUBLE AS b, 2.0::DOUBLE AS a, 'x' AS k"
+    with pytest.raises(AssertionError):
+        assert_matches_oracle(sdf, duck, sql)
+    # exact-name match still passes
+    sdf2 = spark.createDataFrame([(1.0, 2.0, "x")], ["b", "a", "k"])
+    assert_matches_oracle(sdf2, duck, sql)
