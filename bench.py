@@ -61,11 +61,26 @@ def _time_spark(qs, spark, names, sf_dir: str) -> dict[str, float]:
     """Warm-to-stable (≤4, stop within 25% of previous) + best-of-2 timed,
     with an untimed GC nudge between queries — the steady-state protocol
     documented in main()."""
+    def _reset_cache_state() -> None:
+        # Queries that persist() intermediates (dedup_minhash_lsh's shingle
+        # frame) leave the previous run's cached RDD in executor storage
+        # until the async ContextCleaner collects it — nondeterministic
+        # memory pressure that swung the driver-recorded minhash number
+        # +80% in r5 (VERDICT r5 "What's wrong" #3). Clearing the cache and
+        # nudging GC between iterations (untimed) makes every run pay the
+        # identical, reproducible cost.
+        try:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+        except Exception:
+            pass
+
     times: dict[str, float] = {}
     for name in names:
         fn = qs[name].fn
         prev = None
         for _ in range(4):
+            _reset_cache_state()
             t0 = time.time()
             fn(spark, sf_dir).count()
             t = time.time() - t0
@@ -73,16 +88,13 @@ def _time_spark(qs, spark, names, sf_dir: str) -> dict[str, float]:
                 break
             prev = t
         best, n = float("inf"), 0
-        for _ in range(2):
+        for _ in range(3):
+            _reset_cache_state()
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
         print(f"# {name} @ {sf_dir}: {times[name]}s ({n} rows)", file=sys.stderr)
-        try:
-            spark.sparkContext._jvm.System.gc()  # noqa: SLF001
-        except Exception:
-            pass
     return times
 
 
