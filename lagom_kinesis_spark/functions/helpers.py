@@ -62,11 +62,23 @@ def fan_out(df, min_factor: int = 1):
     the condition triggers); on a real cluster reading many splits the
     condition is false and this is a no-op.
     """
+    # Memoized by input-DataFrame identity: df.rdd.getNumPartitions()
+    # converts the plan to an RDD in the JVM (~0.1-0.2 s) on every call,
+    # and catalog.load now hands out the SAME DataFrame object per
+    # (session, sf_dir, table), so the answer cannot change. The cached
+    # tuple pins the input object so its id() stays valid.
+    key = (id(df), min_factor)
+    hit = _FAN_CACHE.get(key)
+    if hit is not None and hit[0] is df:
+        return hit[1]
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism * min_factor
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    out = df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    _FAN_CACHE[key] = (df, out)
+    return out
+
+
+_FAN_CACHE: dict = {}
 
 
 def hash_build(df):

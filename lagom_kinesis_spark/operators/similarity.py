@@ -184,14 +184,19 @@ def minhash_signatures(
     standard one-hash-then-derive minhash construction, ~linear in corpus
     bytes instead of num_hashes× corpus bytes.
     """
-    ex = shingled.select(F.col(id_col), F.explode(shingle_col).alias("__sh")).select(
-        F.col(id_col), F.xxhash64("__sh").alias("__h0")
+    ex = shingled.selectExpr(
+        id_col, f"explode({shingle_col}) AS __sh"
+    ).selectExpr(id_col, "xxhash64(__sh) AS __h0")
+    # One spark.sql call with the whole aggregate list: building num_hashes
+    # Column objects one F.* call at a time costs ~2 py4j roundtrips per
+    # hash (~0.4 s of per-query BUILD time at 64 hashes); a single SQL
+    # string is one roundtrip with identical semantics (SQL integer
+    # literals are INT, same as F.lit(i)).
+    aggs = ", ".join(
+        f"min(xxhash64(__h0, {i})) AS mh{i}" for i in range(num_hashes)
     )
-    return ex.groupBy(id_col).agg(
-        *[
-            F.min(F.xxhash64("__h0", F.lit(i))).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ]
+    return ex.sparkSession.sql(
+        f"SELECT {id_col}, {aggs} FROM {{ex}} GROUP BY {id_col}", ex=ex
     )
 
 
@@ -214,20 +219,18 @@ def lsh_candidate_pairs(
     # All band keys in ONE pass over the signatures (a per-band union would
     # recompute the signature aggregation once per band per join side — the
     # classic DAG-duplication trap; explode keeps one upstream instance).
-    band_keys = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                *[
-                    F.col(f"mh{i}")
-                    for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                ],
-            )
-            for b in range(bands)
-        ]
+    band_keys = ", ".join(
+        "xxhash64({b}, {cols})".format(
+            b=b,
+            cols=", ".join(
+                f"mh{i}"
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
+        )
+        for b in range(bands)
     )
-    buckets = sigs.select(
-        F.col(id_col), F.explode(band_keys).alias("bucket")
+    buckets = sigs.selectExpr(
+        id_col, f"explode(array({band_keys})) AS bucket"
     ).persist()  # tiny: bands × docs rows of (id, long)
     a = buckets.select(F.col(id_col).alias("id_a"), "bucket")
     b_ = buckets.select(F.col(id_col).alias("id_b"), "bucket")

@@ -46,8 +46,25 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+#: Sessions already tuned (by JVM identity): tune() is called on every
+#: catalog.load and from many query entry points — ~13 py4j conf roundtrips
+#: each time adds tens of ms of pure fixed cost per query. Confs set once on
+#: a session stay set (the only in-repo mutation, memory_sink_table's
+#: shuffle-partition override, restores its previous value), so re-applying
+#: per call buys nothing.
+_TUNED: set = set()
+
+
 def tune(spark: SparkSession) -> SparkSession:
-    """Apply runtime confs to an existing session (idempotent, cheap)."""
+    """Apply runtime confs to an existing session (idempotent, cheap;
+    memoized per JVM session identity)."""
+    try:
+        key = spark._jsparkSession.hashCode()  # noqa: SLF001
+    except Exception:  # pragma: no cover
+        key = id(spark)
+    if key in _TUNED:
+        return spark
+    _TUNED.add(key)
     for k, v in RUNTIME_CONFS.items():
         try:
             if spark.conf.get(k, None) != v:
