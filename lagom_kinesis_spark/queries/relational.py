@@ -625,6 +625,75 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "flagship_bucketed",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(CAST(SUM({revenue_sql}) AS VARCHAR) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    """,
+    tags=("flagship", "join", "agg", "scale"),
+)
+def flagship_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship query over a BUCKETED fact layout — identical results,
+    exchange-free fact join. Both fact tables are bucketBy(orderkey) +
+    sortBy into the warehouse (one-time write-side shuffle), so the
+    lineitem⋈orders SortMergeJoin plans with NO Exchange and NO runtime
+    Sort on either side — the canonical repeated-fact-join layout at
+    100 TB. Measured at sf10 (.bench/flagship_bucketed_ab.py,
+    BENCH_NOTES.md): 1.59 s vs the shuffle plan's 3.73 s (2.3×), layout
+    cost 20.9 s amortized over every subsequent orderkey join."""
+    tag = abs(hash(sf_dir)) % 10**8
+    bo, bl = f"bq_fl_orders_{tag}", f"bq_fl_lineitem_{tag}"
+    if not (spark.catalog.tableExists(bo) and spark.catalog.tableExists(bl)):
+        import os
+        import shutil
+
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for t in (bo, bl):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+        n_buckets = 8
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderdate"
+        ).repartition(n_buckets, "o_orderkey").write.bucketBy(
+            n_buckets, "o_orderkey"
+        ).sortBy("o_orderkey").saveAsTable(bo)
+        load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ).repartition(n_buckets, "l_orderkey").write.bucketBy(
+            n_buckets, "l_orderkey"
+        ).sortBy("l_orderkey").saveAsTable(bl)
+    li, orders = spark.table(bl), spark.table(bo).filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1999-01-01")
+    )
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            money(F.sum(revenue_expr())).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+@register(
     "scan_binaryfile_roundtrip",
     oracle="""
     SELECT CAST(doc_id AS VARCHAR) AS doc_key,

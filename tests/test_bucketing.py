@@ -65,3 +65,27 @@ def test_bucketed_aggregation_avoids_shuffle(spark, bucketed_tables):
         agged._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan
+
+
+def test_flagship_bucketed_fact_join_plan(spark):
+    """flagship_bucketed (the sf10 A/B winner, BENCH_NOTES.md): the
+    lineitem⋈orders SortMergeJoin must plan with no Exchange and no
+    runtime Sort under either fact side — the bucketed+sorted layout
+    carries both — and results must equal the shuffle-plan flagship."""
+    from lagom_kinesis_spark.registry import all_queries
+
+    qs = all_queries()
+    df = qs["flagship_bucketed"].fn(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin" in plan, plan[:800]
+    # The only hash-partition Exchange allowed is the final group-by's;
+    # the fact join itself must read bucket files directly (broadcast
+    # exchanges for the dim sides are expected and fine).
+    n_hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_hash_exchanges <= 1, f"fact join still shuffles:\n{plan[:1200]}"
+    flagship = qs["flagship_revenue_by_nation"].fn(spark, SF_DIR)
+    got = sorted((r["nation"], r["n_items"]) for r in df.collect())
+    want = sorted((r["nation"], r["n_items"]) for r in flagship.collect())
+    assert got == want
