@@ -6,9 +6,12 @@ anti-join + union). Upsert = updates win over target on key match, inserts
 otherwise — one shuffle per side on the key, broadcastable when the update
 set is small (the common CDC case).
 
-SCD2 variant: instead of replacing, close the old row (valid_to = now) and
-append the new one — same join skeleton, kept out of scope until a
-versioned sink format lands.
+SCD2 variant (:func:`scd2_apply`): instead of replacing, close the old
+version (valid_to = effective ts) and append the new one — the
+slowly-changing-dimension type-2 MERGE every warehouse runs nightly. The
+emulation returns the new full table state (the parquet-era pattern:
+rewrite the dimension snapshot); on a versioned sink format the same two
+join legs become the MERGE's matched/not-matched clauses.
 """
 
 from __future__ import annotations
@@ -39,3 +42,90 @@ def upsert(
     upd = F.broadcast(updates) if broadcast_updates else updates
     kept = target.join(upd, keys, "left_anti")  # target rows not overwritten
     return kept.unionByName(updates)
+
+
+def scd2_apply(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    attrs: Sequence[str],
+    eff_col: str = "eff",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+    broadcast_updates: bool = True,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension MERGE, emulated on an immutable
+    snapshot.
+
+    ``target`` carries ``keys + attrs + valid_from + valid_to +
+    is_current`` (history rows have is_current = false); ``updates``
+    carries ``keys + attrs + eff_col`` and must be unique per key (the
+    MERGE precondition, as in :func:`upsert`). For a matching CURRENT row
+    whose attrs changed (null-safe comparison): the old version closes
+    (valid_to = effective ts, is_current = false) and the new version
+    appends; identical attrs are a no-op; unknown keys insert as new
+    current rows; history rows pass through untouched.
+
+    Scale: the update set is the CDC batch — broadcast both legs (two
+    map-side joins, zero shuffles on the dimension); the returned frame is
+    the full new table state, written back partition-parallel. On Delta /
+    Iceberg the same two legs are the matched/not-matched clauses of one
+    MERGE INTO.
+    """
+    from functools import reduce
+
+    keys, attrs = list(keys), list(attrs)
+    u = updates.select(
+        *[F.col(k) for k in keys],
+        *[F.col(a).alias(f"__u_{a}") for a in attrs],
+        F.col(eff_col).alias("__eff"),
+    )
+    if broadcast_updates:
+        u = F.broadcast(u)
+    cur = target.filter(F.col(is_current))
+    hist = target.filter(~F.col(is_current))
+    out_cols = target.columns
+    j = cur.join(u, keys, "left")
+    changed = F.col("__eff").isNotNull() & reduce(
+        lambda a, b: a | b,
+        [~F.col(a).eqNullSafe(F.col(f"__u_{a}")) for a in attrs],
+    )
+    closed = j.filter(changed).select(
+        *keys,
+        *attrs,
+        valid_from,
+        F.col("__eff").alias(valid_to),
+        F.lit(False).alias(is_current),
+    )
+    kept = j.filter(~changed | F.col("__eff").isNull()).select(*out_cols)
+    cur_attrs = cur.select(
+        *[F.col(k) for k in keys],
+        *[F.col(a).alias(f"__t_{a}") for a in attrs],
+        F.lit(True).alias("__t_hit"),  # join-presence marker: attr columns
+        # may legitimately be NULL on a matched row, so null-checking an
+        # attr cannot distinguish key-miss from null attr
+    )
+    fresh = (
+        u.join(cur_attrs, keys, "left")
+        .filter(
+            F.col("__t_hit").isNull()  # new key
+            | reduce(
+                lambda a, b: a | b,
+                [~F.col(f"__u_{a}").eqNullSafe(F.col(f"__t_{a}")) for a in attrs],
+            )
+        )
+        .select(
+            *keys,
+            *[F.col(f"__u_{a}").alias(a) for a in attrs],
+            F.col("__eff").alias(valid_from),
+            F.lit(None).cast(target.schema[valid_to].dataType).alias(valid_to),
+            F.lit(True).alias(is_current),
+        )
+    )
+    return (
+        hist.select(*out_cols)
+        .unionByName(kept)
+        .unionByName(closed.select(*out_cols))
+        .unionByName(fresh.select(*out_cols))
+    )

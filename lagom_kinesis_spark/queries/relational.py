@@ -625,6 +625,77 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_scd2",
+    oracle="""
+    WITH cur AS (
+      SELECT c_custkey, c_mktsegment,
+             TIMESTAMP '1995-01-01' AS valid_from
+      FROM customer
+    ), upd AS (
+      SELECT c_custkey, concat('SEG2_', c_mktsegment) AS c_mktsegment,
+             TIMESTAMP '1997-06-01' AS eff
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT -1 AS c_custkey, 'NEW_SEGMENT' AS c_mktsegment,
+             TIMESTAMP '1997-06-01' AS eff
+    )
+    SELECT c.c_custkey, c.c_mktsegment, c.valid_from,
+           u.eff AS valid_to, FALSE AS is_current
+    FROM cur c JOIN upd u USING (c_custkey)
+    WHERE u.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+    UNION ALL
+    SELECT c.c_custkey, c.c_mktsegment, c.valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+    FROM cur c LEFT JOIN upd u USING (c_custkey)
+    WHERE u.eff IS NULL OR u.c_mktsegment IS NOT DISTINCT FROM c.c_mktsegment
+    UNION ALL
+    SELECT u.c_custkey, u.c_mktsegment, u.eff AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+    FROM upd u LEFT JOIN cur c USING (c_custkey)
+    WHERE c.c_custkey IS NULL
+       OR u.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+    """,
+    tags=("merge",),
+)
+def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension MERGE (operators/merge.scd2_apply —
+    the SCD2 variant VERDICT r4/r5 scoped behind the upsert): a CDC batch
+    re-segments every 10th customer effective 1997-06-01 and adds one new
+    key; changed rows close (valid_to = effective ts) and re-insert as the
+    new current version, new keys insert, everything else passes through.
+    Updates broadcast — two map-side joins, zero dimension shuffles."""
+    from lagom_kinesis_spark.operators.merge import scd2_apply
+
+    cust = load(spark, sf_dir, "customer")
+    target = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1995-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            F.concat(F.lit("SEG2_"), F.col("c_mktsegment")).alias(
+                "c_mktsegment"
+            ),
+            F.lit("1997-06-01 00:00:00").cast("timestamp").alias("eff"),
+        )
+        .unionByName(
+            spark.sql(
+                "SELECT -1L AS c_custkey, 'NEW_SEGMENT' AS c_mktsegment, "
+                "TIMESTAMP '1997-06-01' AS eff"
+            )
+        )
+    )
+    return scd2_apply(
+        target, updates, keys=["c_custkey"], attrs=["c_mktsegment"]
+    )
+
+
+@register(
     "flagship_bucketed",
     oracle=f"""
     SELECT n_name AS nation,

@@ -1055,12 +1055,6 @@ def stream_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Checkpoints from prior stream_state_store_read calls: the returned
-#: DataFrame reads the checkpoint LAZILY, so its directory must outlive the
-#: call — cleanup is one invocation behind (the _prior_sinks pattern).
-_prior_state_ckpts: list[str] = []
-
-
 @register(
     "stream_state_store_read",
     oracle=events_cte(
@@ -1079,20 +1073,22 @@ def stream_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal the batch aggregate, which is the exact oracle. Scale: the
     reader exposes partition_id and loads each state partition
     independently — a state scan parallelizes like any other source."""
-    import shutil
     import uuid
 
-    from lagom_kinesis_spark.streaming.topics import _unload_state_stores
+    from lagom_kinesis_spark.streaming.topics import (
+        _unload_state_stores,
+        fresh_scratch_dir,
+    )
 
-    while _prior_state_ckpts:
-        shutil.rmtree(_prior_state_ckpts.pop(), ignore_errors=True)
     agg = (
         events_stream(spark, sf_dir)
         .groupBy("event_type")
         .agg(F.count("*").alias("n"))
     )
     name = f"ssr_{uuid.uuid4().hex[:12]}"
-    ck = f"/tmp/lagom_kinesis_spark/statescan/{name}"
+    # checkpoint must outlive this call (the returned DataFrame reads it
+    # lazily); fresh_scratch_dir defers deletion to the next invocation
+    ck = fresh_scratch_dir("statescan")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     q = (
@@ -1113,7 +1109,6 @@ def stream_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.catalog.dropTempView(name)
         except Exception:
             pass
-    _prior_state_ckpts.append(ck)
     st = spark.read.format("statestore").load(ck)
     return st.select(
         F.col("key.event_type").alias("event_type"),

@@ -37,6 +37,7 @@ Structured Streaming:
 
 from __future__ import annotations
 
+import os
 import random
 import time
 import uuid
@@ -375,6 +376,30 @@ def run_topic_producers(producers: dict[str, TaggedProducer]) -> None:
 #: consumes it, so cleanup is one call behind (same pattern as the registry's
 #: clearCache-at-start). Keeps long suites from accumulating sink rows.
 _prior_sinks: list[str] = []
+
+
+#: Scratch directories handed out by :func:`fresh_scratch_dir`, keyed by
+#: tag; the PREVIOUS dir for a tag is removed when the next one is handed
+#: out (deferred one call, like _prior_sinks above).
+_scratch_dirs: dict[str, str] = {}
+
+
+def fresh_scratch_dir(tag: str) -> str:
+    """Deferred-cleanup scratch-dir manager (VERDICT r5 nit: query
+    functions shouldn't mutate their own module globals for this): create
+    a fresh directory for ``tag`` and delete the previous same-tag one.
+    Cleanup is one call behind because callers return DataFrames that read
+    the directory LAZILY — it must outlive the call that created it."""
+    import shutil
+    import uuid
+
+    prev = _scratch_dirs.pop(tag, None)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    d = f"/tmp/lagom_kinesis_spark/{tag}/{uuid.uuid4().hex[:12]}"
+    os.makedirs(d, exist_ok=True)
+    _scratch_dirs[tag] = d
+    return d
 
 #: Streaming shuffle/state partitions for the bounded-replay harness. The
 #: number of state-store instances per stateful op == shuffle partitions at

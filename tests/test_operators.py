@@ -485,3 +485,54 @@ def test_pq_trained_codebook_beats_sampled(spark):
         ]
 
     assert skeleton(trained_df) == skeleton(sampled_df)
+
+
+def test_scd2_apply_edge_semantics(spark):
+    """scd2_apply edges the merge_scd2 fixture query can't exercise:
+    history rows pass through untouched, a same-attrs update is a no-op,
+    a NULL-attr matched row compares null-safely, and a new key inserts
+    as current even when its attr is NULL."""
+    from datetime import datetime
+
+    from lagom_kinesis_spark.operators.merge import scd2_apply
+
+    t0 = datetime(2020, 1, 1)
+    t1 = datetime(2021, 1, 1)
+    eff = datetime(2022, 6, 1)
+    target = spark.createDataFrame(
+        [
+            # k=1: history row + current row whose attr will change
+            (1, "old", t0, t1, False),
+            (1, "a", t1, None, True),
+            # k=2: current, update carries identical attr -> no-op
+            (2, "b", t0, None, True),
+            # k=3: current attr NULL, update NULL -> null-safe no-op
+            (3, None, t0, None, True),
+            # k=4: no update at all
+            (4, "d", t0, None, True),
+        ],
+        "k int, seg string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "a2", eff),
+            (2, "b", eff),
+            (3, None, eff),
+            (5, None, eff),  # new key with NULL attr
+        ],
+        "k int, seg string, eff timestamp",
+    )
+    out = scd2_apply(target, updates, keys=["k"], attrs=["seg"])
+    rows = {
+        (r["k"], r["seg"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in out.collect()
+    }
+    assert rows == {
+        (1, "old", t0, t1, False),  # history untouched
+        (1, "a", t1, eff, False),  # closed
+        (1, "a2", eff, None, True),  # new version
+        (2, "b", t0, None, True),  # no-op kept
+        (3, None, t0, None, True),  # null-safe no-op kept
+        (4, "d", t0, None, True),  # unmatched kept
+        (5, None, eff, None, True),  # new key inserted
+    }
