@@ -1717,3 +1717,59 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_cond_logprob"),
         )
     )
+
+
+@register(
+    "text_levenshtein_knn",
+    oracle="""
+    WITH probes AS (
+      SELECT doc_id AS q_id, substr(text, 1, 120) AS qk
+      FROM documents WHERE doc_id IN (0, 1, 2)
+    ), scored AS (
+      SELECT p.q_id, d.doc_id,
+             levenshtein(p.qk, substr(d.text, 1, 120)) AS dist
+      FROM probes p CROSS JOIN documents d
+      WHERE d.doc_id <> p.q_id
+    )
+    SELECT q_id, doc_id, dist FROM (
+      SELECT q_id, doc_id, dist,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY dist, doc_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+    tags=("llm", "text", "similarity"),
+)
+def text_levenshtein_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance nearest neighbors: for a BOUNDED probe set (3 docs),
+    the 5 closest documents by levenshtein over the 120-char normalized
+    prefix — the fuzzy-matching primitive (near-identical boilerplate,
+    templated docs, OCR noise) the token-set family (Jaccard/minhash)
+    can't express because it is order- and character-sensitive.
+
+    Scale: probes broadcast, one map-only corpus scan computing a
+    JVM-codegen'd DP distance per (probe, doc) — linear in corpus size ×
+    |probes|, no shuffle before the bounded top-k; both engines implement
+    the identical classic DP distance (parity spot-checked incl. empty
+    strings). Prefix capping bounds the O(len²) DP cell count per row."""
+    d = load(spark, sf_dir, "documents")
+    probes = d.filter(F.col("doc_id").isin(0, 1, 2)).select(
+        F.col("doc_id").alias("q_id"),
+        F.substring("text", 1, 120).alias("qk"),
+    )
+    scored = (
+        d.select("doc_id", F.substring("text", 1, 120).alias("k"))
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "doc_id",
+            F.levenshtein(F.col("qk"), F.col("k")).alias("dist"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy("dist", "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "doc_id", "dist")
+    )

@@ -981,3 +981,43 @@ def scan_parquet_codec_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "p_partkey", "p_name", F.round("p_retailprice", 6).alias("p_retailprice")
     )
+
+
+@register(
+    "observe_metrics",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+             AS gross,
+           COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted
+    FROM lineitem WHERE l_shipdate >= DATE '1996-01-01'
+    """,
+    tags=("dq", "observe"),
+)
+def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.observe`` (named Observation): pipeline metrics
+    accumulated ON THE SAME PASS as the real action — zero extra scans,
+    the production pattern for row-count / money-total / quality-rate
+    telemetry on every batch (vs dq_constraint_report, which is a
+    dedicated audit query). The observed frame is driven by a noop-sink
+    write (metrics arrive via QueryExecution listeners, not a second
+    job); the returned 1-row frame is the metric record, and the oracle
+    recomputes the same aggregates directly."""
+    from pyspark.sql import Observation
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= "1996-01-01"
+    )
+    obs = Observation("lks_batch_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        money(F.sum(dec("l_extendedprice"))).alias("gross"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["gross"], m["n_discounted"])],
+        "n_rows bigint, gross double, n_discounted bigint",
+    )

@@ -337,3 +337,44 @@ def sort_transpose_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # folds unquoted aliases to lowercase, and the driver's compare sorts
     # columns case-SENSITIVELY — lowercase to match the oracle exactly.
     return t.toDF(*[c.lower() for c in t.columns])
+
+
+@register(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE chain AS (
+      SELECT c_custkey AS node, c_custkey AS anc, 0 AS depth FROM customer
+      UNION ALL
+      SELECT node, CAST(FLOOR(anc / 10) AS BIGINT) AS anc, depth + 1 AS depth
+      FROM chain WHERE anc > 0
+    )
+    SELECT depth AS hops, COUNT(*) AS n_customers
+    FROM chain WHERE anc = 0 GROUP BY depth
+    """,
+    tags=("sql", "modern"),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4): iterate-until-empty inside one SQL
+    statement — the hierarchy/graph-traversal front door that previously
+    required driver-side loop unrolling (graph.py's PageRank pattern).
+    Walks each customer key's integer-division ancestor chain
+    (k → ⌊k/10⌋ → … → 0, a synthetic but deterministic tree over fixture
+    keys) and histograms chain depth. Scale: each recursion level is one
+    distributed step over a strictly-shrinking frontier, and depth is
+    O(log key) — the row volume is N·digits, linear in the table; Spark's
+    cteRecursionLevelLimit (default 100) bounds runaway recursion."""
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT c_custkey AS node, c_custkey AS anc, 0 AS depth
+          FROM customer
+          UNION ALL
+          SELECT node, CAST(FLOOR(anc / 10) AS BIGINT) AS anc,
+                 depth + 1 AS depth
+          FROM chain WHERE anc > 0
+        )
+        SELECT depth AS hops, COUNT(*) AS n_customers
+        FROM chain WHERE anc = 0 GROUP BY depth
+        """
+    )
