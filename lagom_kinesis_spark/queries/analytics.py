@@ -586,3 +586,239 @@ def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             money(F.sum(dec("c_acctbal"))).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey,
+             l_extendedprice / l_quantity AS unit_cost
+      FROM lineitem
+    ), best AS (
+      SELECT l_partkey, MIN(unit_cost) AS min_cost
+      FROM costs GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
+           round(c.unit_cost, 6) AS unit_cost
+    FROM costs c
+    JOIN best b ON c.l_partkey = b.l_partkey AND c.unit_cost = b.min_cost
+    JOIN part p ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size >= 40
+    """,
+    tags=("analytics", "join", "subquery"),
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier): the correlated-scalar-subquery
+    pattern `WHERE cost = (SELECT MIN(cost) ... same part)` — expressed
+    Spark-first as a per-part MIN aggregate joined back on (part, cost),
+    which is exactly how Catalyst de-correlates Q2. No partsupp in the
+    fixture, so unit cost comes from observed lineitems. All suppliers
+    tied at the minimum are returned (no arbitrary pick — deterministic
+    without a tiebreak). Scale: one shuffle on l_partkey for the MIN, one
+    for the join-back; part/supplier/nation broadcast; IEEE division is
+    bit-identical on both engines so the equality join cannot diverge."""
+    li = load(spark, sf_dir, "lineitem")
+    costs = li.select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+    )
+    best = costs.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        costs.join(
+            best,
+            (costs.l_partkey == best.l_partkey)
+            & (costs.unit_cost == best.min_cost),
+        )
+        .drop(best.l_partkey)
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name",
+            r6(F.col("unit_cost")).alias("unit_cost"),
+        )
+    )
+
+
+@register(
+    "q_part_value_share",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS s
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey,
+           CAST(CAST(s AS VARCHAR) AS DOUBLE) AS part_value
+    FROM pv
+    WHERE CAST(CAST(s AS VARCHAR) AS DOUBLE) * (SELECT COUNT(*) FROM pv) >
+          1.1 * (SELECT CAST(CAST(SUM(s) AS VARCHAR) AS DOUBLE) FROM pv)
+    """,
+    tags=("analytics", "agg", "subquery"),
+)
+def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part value filtered against
+    a GLOBAL scalar threshold — `HAVING value > fraction * SUM(value)` — here 1.1x the AVERAGE
+    part share, so the cut is scale-relative (a fixed fraction went
+    vacuous at sf>=0.01: more parts means smaller shares).
+    Adapted to lineitem value (no partsupp). Scale: ONE shuffle builds
+    the per-part aggregate; the global total re-aggregates the per-part
+    partials (never rescans the fact) and broadcasts back as a 1-row
+    frame. Both engines derive the compared doubles from identical exact
+    decimals via the correctly-rounded VARCHAR-hop, so the threshold
+    cut is bit-deterministic."""
+    li = load(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice")).alias("s")
+    )
+    pv = pv.persist()
+    total = pv.agg(
+        money(F.sum("s")).alias("total"), F.count("*").alias("n_parts")
+    )
+    return (
+        pv.select("l_partkey", money(F.col("s")).alias("part_value"))
+        .crossJoin(F.broadcast(total))
+        .filter(
+            F.col("part_value") * F.col("n_parts") > F.lit(1.1) * F.col("total")
+        )
+        .select("l_partkey", "part_value")
+    )
+
+
+@register(
+    "q_late_shipment_priority",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_priority,
+           COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_priority
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY l_linestatus
+    """,
+    tags=("analytics", "join", "agg"),
+)
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / priority): conditional counts of
+    high- vs low-priority orders among late shipments (shipped > 90 days
+    after ordering — the fixture has no commit/receipt dates). The theta
+    residual (shipdate vs orderdate arithmetic) rides on the equi-join;
+    the CASE counts combine map-side. One fact shuffle, tiny output."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(hash_build(o), li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_priority"),
+            F.count(F.when(~high, 1)).alias("low_priority"),
+        )
+    )
+
+
+@register(
+    "q_supplier_part_variety",
+    oracle="""
+    WITH excluded AS (
+      SELECT s_suppkey FROM supplier
+      WHERE CAST(s_acctbal AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM supplier)
+            < (SELECT SUM(CAST(s_acctbal AS DECIMAL(18,2))) FROM supplier)
+    )
+    SELECT p_brand, p_type,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size >= 25
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM excluded)
+    GROUP BY p_brand, p_type
+    """,
+    tags=("analytics", "agg", "subquery"),
+)
+def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    count per (brand, type), excluding below-average-balance suppliers —
+    the NOT IN correlated-exclusion pattern, expressed as a broadcast
+    anti-join. The below-average test multiplies by COUNT instead of
+    dividing by it so the comparison stays in the EXACT decimal domain
+    (a double AVG is summation-order-dependent and could flip a
+    borderline supplier between engines). Scale: exclusion set and part
+    dim broadcast; one shuffle for the distinct-count aggregate."""
+    s = load(spark, sf_dir, "supplier")
+    stats = s.agg(
+        F.sum(dec("s_acctbal")).alias("bal_total"),
+        F.count("*").alias("n_sup"),
+    )
+    excluded = (
+        s.crossJoin(F.broadcast(stats))
+        .filter(dec("s_acctbal") * F.col("n_sup") < F.col("bal_total"))
+        .select("s_suppkey")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(excluded),
+            li.l_suppkey == excluded.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q_heavy_part_suppliers",
+    oracle="""
+    SELECT s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey
+      HAVING SUM(l_quantity) > 50
+    )
+    """,
+    tags=("analytics", "join", "subquery"),
+)
+def q_heavy_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess inventory): suppliers who moved heavy
+    volume of a part family in a year — the nested semi-join chain
+    (supplier IN (agg over lineitem⋈part)). Spark-first: the inner
+    aggregate is its own frame, then a LEFT SEMI join; part dim
+    broadcast into the fact scan, one shuffle for the per-supplier SUM,
+    and the qualified-supplier set (tiny) broadcasts into the semi
+    join. Quantities are exact decimals on both engines."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+    )
