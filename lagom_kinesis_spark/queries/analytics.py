@@ -661,7 +661,7 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(CAST(s AS VARCHAR) AS DOUBLE) * (SELECT COUNT(*) FROM pv) >
           1.1 * (SELECT CAST(CAST(SUM(s) AS VARCHAR) AS DOUBLE) FROM pv)
     """,
-    tags=("analytics", "agg", "subquery"),
+    tags=("analytics", "agg", "subquery", "scalar"),
 )
 def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (important stock): per-part value filtered against
@@ -743,7 +743,7 @@ def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_suppkey NOT IN (SELECT s_suppkey FROM excluded)
     GROUP BY p_brand, p_type
     """,
-    tags=("analytics", "agg", "subquery"),
+    tags=("analytics", "agg", "subquery", "scalar"),
 )
 def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape (parts/supplier relationship): distinct supplier

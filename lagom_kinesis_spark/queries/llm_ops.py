@@ -1769,7 +1769,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored
     ) WHERE rn <= 5
     """,
-    tags=("llm", "text", "similarity"),
+    tags=("llm", "text", "similarity", "cross"),
 )
 def text_levenshtein_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance nearest neighbors: for a BOUNDED probe set (3 docs),
