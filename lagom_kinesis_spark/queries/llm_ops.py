@@ -1804,3 +1804,101 @@ def text_levenshtein_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("q_id", "doc_id", "dist")
     )
+
+
+@register(
+    "quality_repetition_filter",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             len(string_split(lower(text), ' ')) AS n_tokens,
+             len(list_distinct(string_split(lower(text), ' '))) AS n_distinct
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(string_split(lower(text), ' ')), 1)),
+               i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+                                   string_split(lower(text), ' ')[i+1])
+             )) AS bigram
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, MAX(n) AS top_n, SUM(n) AS total_n FROM (
+        SELECT doc_id, bigram, COUNT(*) AS n FROM grams
+        GROUP BY doc_id, bigram
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS INT) AS n_tokens,
+           round(1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 6)
+             AS dup_token_frac,
+           round(COALESCE(CAST(g.top_n AS DOUBLE) / g.total_n, 0.0), 6)
+             AS top_bigram_share,
+           (round(1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 6) <= 0.7
+            AND round(COALESCE(CAST(g.top_n AS DOUBLE) / g.total_n, 0.0), 6) <= 0.2)
+             AS keep
+    FROM base b LEFT JOIN bg g USING (doc_id)
+    """,
+    tags=("llm", "quality"),
+)
+def quality_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher/RefinedWeb rule family
+    the heuristic scorer lacks): per document, the duplicate-token
+    fraction (1 − distinct/total) and the TOP-BIGRAM SHARE (most frequent
+    bigram's fraction of all bigrams) — boilerplate, keyword-stuffed and
+    looping generations score high on exactly these; `keep` applies the
+    classic thresholds (dup ≤ 0.7, top-bigram ≤ 0.2).
+
+    Scale: token stats are map-only array expressions; the bigram mode
+    needs one shuffle on (doc_id, bigram) whose partials combine map-side,
+    then a per-doc rollup — no all-pairs anything, linear in corpus
+    bytes. Ratios round-6 on identical integer inputs, so the boolean cut
+    is engine-deterministic."""
+    from lagom_kinesis_spark.functions.helpers import let
+
+    d = fan_out(load(spark, sf_dir, "documents"))
+    base = d.select(
+        "doc_id",
+        let(
+            tokens("text"),
+            lambda t: F.struct(
+                F.size(t).alias("n_tokens"),
+                F.size(F.array_distinct(t)).alias("n_distinct"),
+            ),
+        ).alias("s"),
+    ).select("doc_id", "s.n_tokens", "s.n_distinct")
+    grams = let(
+        tokens("text"),
+        lambda t: F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(t, (i + 1).cast("int")),
+                    F.element_at(t, (i + 2).cast("int")),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    bg = (
+        d.select("doc_id", F.explode(grams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top_n"), F.sum("n").alias("total_n"))
+    )
+    dup_frac = F.round(
+        1.0 - F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
+    )
+    top_share = F.round(
+        F.coalesce(F.col("top_n").cast("double") / F.col("total_n"), F.lit(0.0)),
+        6,
+    )
+    return base.join(bg, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        dup_frac.alias("dup_token_frac"),
+        top_share.alias("top_bigram_share"),
+        ((dup_frac <= 0.7) & (top_share <= 0.2)).alias("keep"),
+    )

@@ -250,6 +250,38 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_within_watermark",
+    oracle=events_cte(
+        """
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+    FROM events GROUP BY event_type
+    """
+    ),
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` (Spark 3.5+): the TIME-BOUNDED
+    dedup — state for a key is evicted once the watermark passes its
+    event time, vs classic dropDuplicates (stream_watermark_dedup) whose
+    key set grows forever. The right primitive for at-least-once
+    redelivery, where duplicates arrive CLOSE together: at 100 TB/day the
+    state store holds one watermark-window of keys, not the stream's
+    lifetime. Same redelivery shape as the classic query (stream unioned
+    with itself) so the two dedup semantics are directly comparable —
+    and, with all duplicates inside one watermark window, the same exact
+    distinct-count oracle."""
+    s = events_stream(spark, sf_dir)
+    doubled = s.unionByName(events_stream(spark, sf_dir))
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+    )
+    return memory_sink_table(deduped, "complete")
+
+
+@register(
     "stream_stream_join",
     oracle=events_cte(
         """
