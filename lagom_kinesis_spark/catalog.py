@@ -42,6 +42,17 @@ TABLES: tuple[str, ...] = (
 )
 
 
+def stable_tag(s: str) -> str:
+    """Process-stable 8-hex tag for cache/scratch paths derived from a
+    fixture dir. Python's ``hash()`` is salt-randomized per process, so
+    hash-derived paths never matched across processes — every fresh
+    process rebuilt its own copy of cached artifacts (io-format fixtures,
+    bucketed warehouse tables) and orphaned the previous ones."""
+    import hashlib
+
+    return hashlib.md5(s.encode()).hexdigest()[:8]
+
+
 def path_of(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
@@ -108,7 +119,7 @@ def stream_dir(sf_dir: str, name: str) -> str:
     to the parquet. Idempotent per (sf_dir, name)."""
     import os
 
-    d = f"/tmp/lagom_kinesis_spark/stream_src/{abs(hash(sf_dir)) % 10**8}_{name}"
+    d = f"/tmp/lagom_kinesis_spark/stream_src/{stable_tag(sf_dir)}_{name}"
     link = f"{d}/{name}.parquet"
     if not os.path.islink(link):
         os.makedirs(d, exist_ok=True)

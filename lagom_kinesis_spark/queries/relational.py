@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from lagom_kinesis_spark.catalog import load
+from lagom_kinesis_spark.catalog import load, stable_tag
 from lagom_kinesis_spark.functions import (
     dec,
     hash_build,
@@ -414,7 +414,7 @@ def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the roundtrip identity. Scale: text scans split by line like any file
     source; the explicit parse projection keeps schema derivation out of
     the reader (no inference pass)."""
-    tmp = f"/tmp/lagom_kinesis_spark/io/nation_txt_{abs(hash(sf_dir)) % 10**8}"
+    tmp = f"/tmp/lagom_kinesis_spark/io/nation_txt_{stable_tag(sf_dir)}"
     load(spark, sf_dir, "nation").select(
         F.concat_ws("|", F.col("n_nationkey"), F.col("n_name")).alias("value")
     ).write.mode("overwrite").text(tmp)
@@ -433,7 +433,7 @@ def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink + schema'd CSV scan (no inferSchema — explicit schema is the
     only scale-safe option: inference re-reads the data)."""
-    tmp = f"/tmp/lagom_kinesis_spark/io/nation_csv_{abs(hash(sf_dir)) % 10**8}"
+    tmp = f"/tmp/lagom_kinesis_spark/io/nation_csv_{stable_tag(sf_dir)}"
     load(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(tmp)
     return spark.read.schema("n_nationkey int, n_name string, n_regionkey int").option(
         "header", True
@@ -447,7 +447,7 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON lines sink + schema'd JSON scan."""
-    tmp = f"/tmp/lagom_kinesis_spark/io/supplier_json_{abs(hash(sf_dir)) % 10**8}"
+    tmp = f"/tmp/lagom_kinesis_spark/io/supplier_json_{stable_tag(sf_dir)}"
     load(spark, sf_dir, "supplier").write.mode("overwrite").json(tmp)
     return spark.read.schema(
         "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
@@ -469,7 +469,7 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     enabling partition pruning on read."""
     from lagom_kinesis_spark.functions import dec, money
 
-    tmp = f"/tmp/lagom_kinesis_spark/io/orders_part_{abs(hash(sf_dir)) % 10**8}"
+    tmp = f"/tmp/lagom_kinesis_spark/io/orders_part_{stable_tag(sf_dir)}"
     load(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
         "o_orderpriority"
     ).parquet(tmp)
@@ -565,7 +565,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink + scan (Spark's second built-in columnar format — same
     pushdown/pruning machinery as parquet). The oracle reads the original
     parquet: a lossless roundtrip through ORC must reproduce it."""
-    tmp = f"/tmp/lagom_kinesis_spark/io/part_orc_{abs(hash(sf_dir)) % 10**8}"
+    tmp = f"/tmp/lagom_kinesis_spark/io/part_orc_{stable_tag(sf_dir)}"
     load(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_brand", "p_retailprice"
     ).write.mode("overwrite").orc(tmp)
@@ -595,7 +595,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     A ``merge`` join hint pins the big⋈big SortMergeJoin path that
     bucketing de-shuffles (a broadcast would mask the point at test
     scale; at 100 TB neither fact side fits a broadcast anyway)."""
-    tag = abs(hash(sf_dir)) % 10**8
+    tag = stable_tag(sf_dir)
     bo, bl = f"bq_orders_{tag}", f"bq_lineitem_{tag}"
     if not (spark.catalog.tableExists(bo) and spark.catalog.tableExists(bl)):
         # The warehouse directory outlives the in-memory catalog across
@@ -722,7 +722,7 @@ def flagship_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB. Measured at sf10 (.bench/flagship_bucketed_ab.py,
     BENCH_NOTES.md): 1.59 s vs the shuffle plan's 3.73 s (2.3×), layout
     cost 20.9 s amortized over every subsequent orderkey join."""
-    tag = abs(hash(sf_dir)) % 10**8
+    tag = stable_tag(sf_dir)
     bo, bl = f"bq_fl_orders_{tag}", f"bq_fl_lineitem_{tag}"
     if not (spark.catalog.tableExists(bo) and spark.catalog.tableExists(bl)):
         import os
@@ -792,7 +792,7 @@ def scan_binaryfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    tmp = f"/tmp/lagom_kinesis_spark/io/docs_bin_{abs(hash(sf_dir)) % 10**8}"
+    tmp = f"/tmp/lagom_kinesis_spark/io/docs_bin_{stable_tag(sf_dir)}"
     sub = (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 25 == 0)
@@ -840,7 +840,7 @@ def sink_clustered_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from lagom_kinesis_spark.functions import dec, money
 
-    tmp = f"/tmp/lagom_kinesis_spark/io/lineitem_clustered_{abs(hash(sf_dir)) % 10**8}"
+    tmp = f"/tmp/lagom_kinesis_spark/io/lineitem_clustered_{stable_tag(sf_dir)}"
     li = load(spark, sf_dir, "lineitem").select(
         "l_shipdate", "l_orderkey", "l_returnflag", "l_extendedprice"
     )
@@ -879,7 +879,7 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY.md §1.1)."""
     from lagom_kinesis_spark.functions import dec, money
 
-    tmp = f"/tmp/lagom_kinesis_spark/io/orders_pruned_{abs(hash(sf_dir)) % 10**8}"
+    tmp = f"/tmp/lagom_kinesis_spark/io/orders_pruned_{stable_tag(sf_dir)}"
     load(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
         "o_orderpriority"
     ).parquet(tmp)
@@ -906,7 +906,7 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the added column. The append-only topic-at-rest layout
     (SURVEY.md §1.1) evolves exactly this way; readers must never
     require a rewrite of historical files."""
-    tmp = f"/tmp/lagom_kinesis_spark/io/docs_evolve_{abs(hash(sf_dir)) % 10**8}"
+    tmp = f"/tmp/lagom_kinesis_spark/io/docs_evolve_{stable_tag(sf_dir)}"
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
@@ -973,7 +973,7 @@ def scan_parquet_codec_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage/CPU codec tradeoff is a first-class knob — zstd typically
     halves footprint vs snappy for ~equal scan speed; correctness must
     be codec-invariant, which the identity oracle checks."""
-    tmp = f"/tmp/lagom_kinesis_spark/io/part_zstd_{abs(hash(sf_dir)) % 10**8}"
+    tmp = f"/tmp/lagom_kinesis_spark/io/part_zstd_{stable_tag(sf_dir)}"
     load(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_retailprice"
     ).write.mode("overwrite").option("compression", "zstd").parquet(tmp)

@@ -17,7 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lagom_kinesis_spark.catalog import normalize_event_ts, path_of, stream_dir
+from lagom_kinesis_spark.catalog import (
+    normalize_event_ts,
+    path_of,
+    stable_tag,
+    stream_dir,
+)
 from lagom_kinesis_spark.functions import events_cte, r6
 from lagom_kinesis_spark.operators import sketches
 from lagom_kinesis_spark.registry import register
@@ -55,7 +60,7 @@ def _events_dir_with_sentinel(sf_dir: str) -> str:
 
     from lagom_kinesis_spark.catalog import path_of
 
-    d = f"/tmp/lagom_kinesis_spark/stream_src/{abs(hash(sf_dir)) % 10**8}_events_eos"
+    d = f"/tmp/lagom_kinesis_spark/stream_src/{stable_tag(sf_dir)}_events_eos"
     link = f"{d}/events.parquet"
     sentinel = f"{d}/zz_sentinel.parquet"
     # A cached sentinel written under a PREVIOUS fixture encoding would
@@ -728,7 +733,7 @@ def kinesis_sim_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.dataSource.register(KinesisSimDataSource)
     except Exception:
         pass  # already registered in this session
-    d = f"/tmp/lagom_kinesis_spark/ksim/{abs(hash(sf_dir)) % 10**8}_docs"
+    d = f"/tmp/lagom_kinesis_spark/ksim/{stable_tag(sf_dir)}_docs"
     _shutil.rmtree(d, ignore_errors=True)
     tbl = _pq.read_table(path_of(sf_dir, "documents"), columns=["doc_id", "lang"])
     put_records(
@@ -842,7 +847,7 @@ def kinesis_sim_produce_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         spark.dataSource.register(KinesisSimDataSource)
     except Exception:
         pass  # already registered in this session
-    d = f"/tmp/lagom_kinesis_spark/ksim/{abs(hash(sf_dir)) % 10**8}_produce"
+    d = f"/tmp/lagom_kinesis_spark/ksim/{stable_tag(sf_dir)}_produce"
     _shutil.rmtree(d, ignore_errors=True)
     records = load(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("data"),
@@ -936,7 +941,7 @@ def stream_relay_to_kinesis(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.dataSource.register(KinesisSimDataSource)
     except Exception:
         pass  # already registered in this session
-    d = f"/tmp/lagom_kinesis_spark/ksim/{abs(hash(sf_dir)) % 10**8}_relay"
+    d = f"/tmp/lagom_kinesis_spark/ksim/{stable_tag(sf_dir)}_relay"
     _shutil.rmtree(d, ignore_errors=True)
 
     def flow(batch_df: DataFrame, epoch_id: int) -> None:
@@ -1006,7 +1011,7 @@ def kinesis_sim_reshard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         spark.dataSource.register(KinesisSimDataSource)
     except Exception:
         pass  # already registered in this session
-    d = f"/tmp/lagom_kinesis_spark/ksim/{abs(hash(sf_dir)) % 10**8}_reshard"
+    d = f"/tmp/lagom_kinesis_spark/ksim/{stable_tag(sf_dir)}_reshard"
     _shutil.rmtree(d, ignore_errors=True)
     create_stream(d, n_shards=1)
     import pyarrow.parquet as _pq
