@@ -45,6 +45,7 @@ HEADLINE = [
 #: evidence of BENCH_NOTES.md as a one-command reproducible artifact.
 TRAJECTORY = [
     "flagship_revenue_by_nation",
+    "flagship_bucketed",
     "join_multiway",
     "join_broadcast_dims",
     "q_shipping_priority",

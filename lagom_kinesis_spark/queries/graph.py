@@ -291,3 +291,60 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wedges.join(closing, ["x", "y"]).agg(
         F.count("*").alias("n_triangles")
     )
+
+
+@register(
+    "graph_reachability_recursive",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ), step AS (
+      SELECT dst, 1 AS hops FROM edges WHERE src = (SELECT MIN(src) FROM edges)
+      UNION ALL
+      SELECT e.dst, s.hops + 1 FROM step s JOIN edges e ON e.src = s.dst
+      WHERE s.hops < 3
+    )
+    SELECT dst AS nation, MIN(hops) AS min_hops FROM step GROUP BY dst
+    """,
+    tags=("graph", "sql", "modern"),
+)
+def graph_reachability_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS reachability over the trade graph via WITH
+    RECURSIVE (Spark 4) — minimum hop count from the lowest-keyed source
+    nation to every nation reachable in ≤3 hops. Complements the unrolled
+    iterative family (PageRank k=3, components fixpoint): here the
+    ITERATION ITSELF is declarative — each recursion level is one
+    distributed join over the frontier, and the depth guard bounds work
+    on a cyclic graph. Scale: recursion runs on the AGGREGATED edge list
+    (dimension-cardinality, not fact-cardinality); the single
+    fact-table-sized shuffle is the edge aggregation, shared with every
+    other graph query."""
+    from lagom_kinesis_spark.catalog import register_views
+
+    register_views(
+        spark, sf_dir, ("lineitem", "orders", "customer", "supplier")
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE edges AS (
+          SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2
+        ), step AS (
+          SELECT dst, 1 AS hops
+          FROM edges WHERE src = (SELECT MIN(src) FROM edges)
+          UNION ALL
+          SELECT e.dst, s.hops + 1 FROM step s JOIN edges e ON e.src = s.dst
+          WHERE s.hops < 3
+        )
+        SELECT dst AS nation, MIN(hops) AS min_hops FROM step GROUP BY dst
+        """
+    )

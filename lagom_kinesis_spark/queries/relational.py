@@ -1021,3 +1021,55 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["gross"], m["n_discounted"])],
         "n_rows bigint, gross double, n_discounted bigint",
     )
+
+
+@register(
+    "sink_zorder_clustered",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+             AS total_qty
+    FROM lineitem
+    WHERE l_partkey BETWEEN 50 AND 80 AND l_suppkey BETWEEN 2 AND 5
+    GROUP BY l_returnflag
+    """,
+    tags=("scan", "sink", "scale"),
+)
+def sink_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton space-filling-curve) clustering: interleave the
+    bits of TWO filter dimensions (l_partkey, l_suppkey) into one sort
+    key, range-partition + sort the layout by it, and re-read with a
+    two-dimensional band filter. Unlike single-key clustering
+    (sink_clustered_sorted), points close in the 2-D key space land in
+    the same row groups, so min/max stats prune a 2-D predicate — the
+    vanilla-Spark form of Delta/Iceberg Z-ORDER table maintenance. The
+    interleave is a pure codegen bit expression; the oracle is the same
+    aggregate over the unclustered source (layout must never change
+    results)."""
+    from lagom_kinesis_spark.functions import dec, money
+
+    tmp = f"/tmp/lagom_kinesis_spark/io/lineitem_zorder_{stable_tag(sf_dir)}"
+    # 16-bit × 2 Morton interleave: bit i of partkey -> bit 2i, bit i of
+    # suppkey -> bit 2i+1. One SQL string (one py4j call), pure codegen.
+    z = " + ".join(
+        f"(((l_partkey >> {i}) & 1) << {2 * i}) + "
+        f"(((l_suppkey >> {i}) & 1) << {2 * i + 1})"
+        for i in range(16)
+    )
+    li = load(spark, sf_dir, "lineitem").selectExpr(
+        "l_partkey", "l_suppkey", "l_returnflag", "l_quantity",
+        f"({z}) AS __zkey",
+    )
+    (
+        li.repartitionByRange(8, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    back = spark.read.parquet(tmp).filter(
+        F.col("l_partkey").between(50, 80) & F.col("l_suppkey").between(2, 5)
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        money(F.sum(dec("l_quantity"))).alias("total_qty"),
+    )
