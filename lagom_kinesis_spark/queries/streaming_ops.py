@@ -1151,3 +1151,108 @@ def stream_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").cast("long").alias("n"),
     )
+
+
+@register(
+    "stream_cdc_scd2_apply",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           TIMESTAMP '1995-01-01' AS valid_from,
+           CAST(concat(1996 + c_custkey % 3, '-01-01') AS TIMESTAMP)
+             AS valid_to,
+           FALSE AS is_current
+    FROM customer
+    UNION ALL
+    SELECT c_custkey,
+           concat('B', c_custkey % 3, '_', c_mktsegment) AS c_mktsegment,
+           CAST(concat(1996 + c_custkey % 3, '-01-01') AS TIMESTAMP)
+             AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to,
+           TRUE AS is_current
+    FROM customer
+    """,
+    tags=("streaming", "merge"),
+)
+def stream_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC → SCD2 dimension maintenance: a change-data stream
+    (3 files, one micro-batch each via maxFilesPerTrigger=1) applied
+    incrementally to a type-2 dimension with ``foreachBatch`` +
+    ``operators/merge.scd2_apply`` — the production pattern for keeping a
+    warehouse dimension current from a stream without a lakehouse MERGE
+    sink: each batch rewrites the (dimension-sized, small) snapshot;
+    at 100 TB the fact side streams, the dimension stays
+    snapshot-rewritable. The CDC batches PARTITION the key space
+    (custkey mod 3), so per-key application order is fixed and the final
+    state is file-arrival-order-independent — which is what makes the
+    one-shot SQL oracle exact. Restartable: the checkpoint + commit-log
+    track applied batches."""
+    import os
+    import shutil
+
+    from lagom_kinesis_spark.catalog import load, stable_tag
+    from lagom_kinesis_spark.operators.merge import scd2_apply
+
+    base = f"/tmp/lagom_kinesis_spark/io/cdc_scd2_{stable_tag(sf_dir)}"
+    shutil.rmtree(base, ignore_errors=True)  # fresh replay per invocation
+    src = f"{base}/src"
+    os.makedirs(src, exist_ok=True)
+    cust = load(spark, sf_dir, "customer")
+    for k in range(3):
+        (
+            cust.filter(F.col("c_custkey") % 3 == k)
+            .select(
+                "c_custkey",
+                F.concat(
+                    F.lit(f"B{k}_"), F.col("c_mktsegment")
+                ).alias("c_mktsegment"),
+                F.lit(f"{1996 + k}-01-01 00:00:00")
+                .cast("timestamp")
+                .alias("eff"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{base}/tmp{k}")
+        )
+        part = [
+            f for f in os.listdir(f"{base}/tmp{k}") if f.endswith(".parquet")
+        ][0]
+        os.rename(f"{base}/tmp{k}/{part}", f"{src}/batch_{k}.parquet")
+    target = f"{base}/target"
+    (
+        cust.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.lit("1995-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        .write.mode("overwrite")
+        .parquet(target)
+    )
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        sp = bdf.sparkSession
+        tgt = sp.read.parquet(target)
+        out = scd2_apply(tgt, bdf, keys=["c_custkey"], attrs=["c_mktsegment"])
+        out.write.mode("overwrite").parquet(f"{target}_new")
+        shutil.rmtree(target)
+        os.rename(f"{target}_new", target)
+
+    stream = (
+        spark.readStream.schema(
+            "c_custkey bigint, c_mktsegment string, eff timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{base}/ck")
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.read.parquet(target)
