@@ -217,3 +217,118 @@ def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", double_it(F.col("n_chars")).alias("double_chars"))
+
+
+@register(
+    "udf_cogrouped_map",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, make_timestamp(epoch_ns(ts)//1000) AS ts,
+             event_type
+      FROM events
+    )
+    SELECT p.user_id, p.event_id AS purchase_id,
+           CAST((SELECT COUNT(*) FROM ev c
+                 WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                   AND c.ts <= p.ts) AS BIGINT) AS clicks_before
+    FROM ev p WHERE p.event_type = 'purchase'
+    """,
+    tags=("udf", "pandas", "streaming-adjacent"),
+)
+def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped map (``groupBy().cogroup().applyInPandas``): TWO
+    relations grouped on the same key arrive as a pandas-frame PAIR per
+    key — the attribution pattern (purchases scored against each user's
+    click history) that a plain grouped-map cannot express without a
+    pre-join blowup. Per user: every purchase gets its count of
+    clicks at-or-before it (numpy searchsorted over the sorted click
+    times — vectorized, no per-row python).
+
+    Scale: one shuffle per side on user_id (the cogroup key), Arrow
+    transfer, per-key work linear in that key's rows; the oracle is the
+    correlated-count phrasing Catalyst would de-correlate to the same
+    per-user plan."""
+    import numpy as np
+
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+
+    def attribute(cl: pd.DataFrame, pu: pd.DataFrame) -> pd.DataFrame:
+        if pu.empty:
+            return pd.DataFrame(
+                {"user_id": [], "purchase_id": [], "clicks_before": []}
+            ).astype({"user_id": "int64", "purchase_id": "int64",
+                      "clicks_before": "int64"})
+        ct = np.sort(cl["ts"].values) if len(cl) else np.array(
+            [], dtype="datetime64[us]"
+        )
+        n_before = np.searchsorted(ct, pu["ts"].values, side="right")
+        return pd.DataFrame(
+            {
+                "user_id": pu["user_id"].values,
+                "purchase_id": pu["event_id"].values,
+                "clicks_before": n_before.astype("int64"),
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            attribute, "user_id long, purchase_id long, clicks_before long"
+        )
+    )
+
+
+@register(
+    "udtf_polymorphic_prefix",
+    oracle="""
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS tok0,
+           string_split(text, ' ')[2] AS tok1,
+           string_split(text, ' ')[3] AS tok2
+    FROM documents
+    """,
+    tags=("udf", "udtf", "sql"),
+)
+def udtf_polymorphic_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC UDTF (Spark 4 ``analyze``): the output SCHEMA is
+    computed at plan time from a constant argument — here the prefix
+    width n decides how many token columns exist. This is the
+    table-function contract static UDTFs (udtf_split_tokens) can't
+    express: one function, schema per call site, fully resolved before
+    execution so Catalyst prunes/pushes through it like any relation.
+    The oracle spells out the n=3 instance with split-array indexing
+    (out-of-range → NULL on both engines)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class PrefixTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            st = StructType()
+            for i in range(n.value):
+                st = st.add(f"tok{i}", "string")
+            return AnalyzeResult(schema=st)
+
+        def eval(self, text: str, n: int):
+            toks = (text or "").split(" ")
+            yield tuple(
+                (toks[i] if i < len(toks) else None) for i in range(n)
+            )
+
+    spark.udtf.register("lks_prefix_tokens", PrefixTokens)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.tok0, t.tok1, t.tok2
+        FROM __udtf_docs d, LATERAL lks_prefix_tokens(d.text, 3) t
+        """
+    )
