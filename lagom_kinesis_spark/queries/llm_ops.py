@@ -774,6 +774,102 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_semantic_semdedup",
+    oracle="""
+    WITH cent AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS INT) - 1 AS cid, cv
+      FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h,
+                   embedding::DOUBLE[] AS cv
+            FROM embeddings ORDER BY h, vec_id LIMIT 8)
+    ), corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), assigned AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, c.cid AS cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                          c.cid) AS arn
+        FROM corpus e CROSS JOIN cent c
+      ) WHERE arn = 1
+    ), dup AS (
+      SELECT DISTINCT b.cluster, b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+    )
+    SELECT s.cluster, COUNT(*) AS n_vectors,
+           COUNT(d.vec_id) AS n_dups,
+           round(COUNT(d.vec_id) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_share
+    FROM assigned s LEFT JOIN dup d
+      ON s.cluster = d.cluster AND s.vec_id = d.vec_id
+    GROUP BY s.cluster
+    """,
+    tags=("llm", "dedup", "similarity", "scale"),
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the embedding space with a coarse quantizer, then find
+    near-duplicate pairs ONLY within each cluster — the scale answer to
+    ``dedup_embedding_cosine``'s global all-pairs, which no 100 TB corpus
+    can afford. A vector is a duplicate iff a lower-id vector in the SAME
+    cluster has rounded cosine ≥ 0.35; the lowest id stays as the cluster's
+    representative. Output: per-cluster vector/dup counts + dup share.
+
+    The quantizer is the IVF discipline (sim_ann_ivf): 8 md5-ordered
+    data-sampled centroids (model-sized driver collect), round-6 argmax
+    assignment with ties to the lowest cid — fully SQL-replayable, so the
+    whole pipeline hash-matches the DuckDB oracle. Scale shape: assignment
+    is one Arrow-batched map-only scoring pass; the quadratic is confined
+    to cluster-id equi-join buckets (n²/k per cluster vs n² global — with
+    real KMeans centroids, cluster sizes are capacity-bounded); the rollup
+    is a two-level aggregate on cluster id."""
+    import numpy as np
+
+    from lagom_kinesis_spark.operators.similarity import centroid_rank
+
+    e = fan_out(load(spark, sf_dir, "embeddings"))
+    cent_rows = (
+        e.select("vec_id", "embedding")
+        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(8)
+        .collect()
+    )  # 8 × dim — model-sized, the documented driver-safe collect
+    C = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    # Assignment scores every vector once; persist so the pairs join's two
+    # sides and the final rollup don't re-run the Arrow scoring pass.
+    assigned = e.select(
+        "vec_id", "embedding", centroid_rank(C)[0]["cid"].alias("cluster")
+    ).persist()
+    a = assigned.select(
+        "cluster", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = assigned.select(
+        "cluster", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    dups = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(r6(cosine(F.col("va"), F.col("vb"))) >= 0.35)
+        .select("cluster", F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        assigned.join(dups, ["cluster", "vec_id"], "left")
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.count("is_dup").alias("n_dups"),
+            r6(F.count("is_dup") / F.count("*").cast("double")).alias(
+                "dup_share"
+            ),
+        )
+    )
+
+
 def _ann_ivf_oracle(k_lists: int = 8, n_probe: int = 2, k: int = 10) -> str:
     """DuckDB SQL replaying the IVF pipeline exactly: the same md5-ordered
     centroid sample, the same round-6 argmax list assignment (ties to the

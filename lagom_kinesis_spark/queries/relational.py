@@ -572,6 +572,56 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(tmp)
 
 
+def _ensure_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    src: str,
+    cols: list,
+    key: str,
+    n_buckets: int,
+) -> None:
+    """Make ``table`` — ``src``'s ``cols`` bucketed+sorted by ``key`` — exist
+    in this session's catalog, reusing a layout a sibling process already
+    wrote.
+
+    The warehouse directory is SHARED across processes (stable_tag paths)
+    while the session catalog is per-process, so a fresh process must not
+    rmtree files a sibling may be scanning (pytest + gate racing produced a
+    mid-scan FileNotFound). The ensure-phase is flock-serialized per table;
+    a completed layout (``_SUCCESS`` present) is ADOPTED by registering an
+    external bucketed table over it (plans identically: Bucketed scan, no
+    Exchange); only a partial/corrupt directory is rebuilt."""
+    if spark.catalog.tableExists(table):
+        return
+    import fcntl
+    import os
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    os.makedirs(wh, exist_ok=True)
+    with open(os.path.join(wh, f".lock_{table}"), "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        path = os.path.join(wh, table)
+        sel = load(spark, sf_dir, src).select(*cols)
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            col_ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in sel.schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {table} ({col_ddl}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+            )
+            return
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(path, ignore_errors=True)
+        sel.repartition(n_buckets, key).write.bucketBy(n_buckets, key).sortBy(
+            key
+        ).saveAsTable(table)
+
+
 @register(
     "join_bucketed_colocated",
     oracle="""
@@ -597,22 +647,14 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale; at 100 TB neither fact side fits a broadcast anyway)."""
     tag = stable_tag(sf_dir)
     bo, bl = f"bq_orders_{tag}", f"bq_lineitem_{tag}"
-    if not (spark.catalog.tableExists(bo) and spark.catalog.tableExists(bl)):
-        # The warehouse directory outlives the in-memory catalog across
-        # sessions — clear both metadata and location before (re)writing.
-        import os
-        import shutil
-
-        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-        for t in (bo, bl):
-            spark.sql(f"DROP TABLE IF EXISTS {t}")
-            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
-        load(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_orderpriority"
-        ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(bo)
-        load(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_quantity"
-        ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(bl)
+    _ensure_bucketed(
+        spark, sf_dir, bo, "orders", ["o_orderkey", "o_orderpriority"],
+        "o_orderkey", 8,
+    )
+    _ensure_bucketed(
+        spark, sf_dir, bl, "lineitem", ["l_orderkey", "l_quantity"],
+        "l_orderkey", 8,
+    )
     li, o = spark.table(bl), spark.table(bo)
     return (
         li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
@@ -722,35 +764,28 @@ def flagship_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB. Measured at sf10 (.bench/flagship_bucketed_ab.py,
     BENCH_NOTES.md): 1.59 s vs the shuffle plan's 3.73 s (2.3×), layout
     cost 20.9 s amortized over every subsequent orderkey join."""
+    # Bucket count scales with the fact data (~64 MB of source parquet
+    # per bucket, clamped [8, 64]): 8 buckets = 8 join tasks, which
+    # underparallelizes a 32-core sf10 tier 2x (measured 3.4 s vs
+    # 1.6 s at 32 buckets); a real table would size buckets once at
+    # layout time exactly this way. Deterministic in sf_dir, so every
+    # process derives the same layout and can adopt another's files.
+    import os
+
+    n_buckets = max(
+        8,
+        min(64, os.path.getsize(f"{sf_dir}/lineitem.parquet") >> 26),
+    )
     tag = stable_tag(sf_dir)
     bo, bl = f"bq_fl_orders_{tag}", f"bq_fl_lineitem_{tag}"
-    if not (spark.catalog.tableExists(bo) and spark.catalog.tableExists(bl)):
-        import os
-        import shutil
-
-        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-        for t in (bo, bl):
-            spark.sql(f"DROP TABLE IF EXISTS {t}")
-            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
-        # Bucket count scales with the fact data (~64 MB of source parquet
-        # per bucket, clamped [8, 64]): 8 buckets = 8 join tasks, which
-        # underparallelizes a 32-core sf10 tier 2x (measured 3.4 s vs
-        # 1.6 s at 32 buckets); a real table would size buckets once at
-        # layout time exactly this way.
-        n_buckets = max(
-            8,
-            min(64, os.path.getsize(f"{sf_dir}/lineitem.parquet") >> 26),
-        )
-        load(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_custkey", "o_orderdate"
-        ).repartition(n_buckets, "o_orderkey").write.bucketBy(
-            n_buckets, "o_orderkey"
-        ).sortBy("o_orderkey").saveAsTable(bo)
-        load(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_extendedprice", "l_discount"
-        ).repartition(n_buckets, "l_orderkey").write.bucketBy(
-            n_buckets, "l_orderkey"
-        ).sortBy("l_orderkey").saveAsTable(bl)
+    _ensure_bucketed(
+        spark, sf_dir, bo, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate"], "o_orderkey", n_buckets,
+    )
+    _ensure_bucketed(
+        spark, sf_dir, bl, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount"], "l_orderkey", n_buckets,
+    )
     li, orders = spark.table(bl), spark.table(bo).filter(
         (F.col("o_orderdate") >= "1996-01-01")
         & (F.col("o_orderdate") < "1999-01-01")

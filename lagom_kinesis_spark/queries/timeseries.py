@@ -111,6 +111,117 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_interpolate_linear",
+    oracle=events_cte(
+        f"""
+    , agg AS (
+      SELECT event_type, {_BUCKET_5M} AS bucket,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS bucket_sum
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM agg GROUP BY 1),
+    grid AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 5 MINUTE)) AS bucket
+      FROM bounds
+    ),
+    j AS (
+      SELECT g.event_type, g.bucket, a.bucket_sum
+      FROM grid g LEFT JOIN agg a ON g.event_type = a.event_type AND g.bucket = a.bucket
+    ),
+    anchored AS (
+      SELECT event_type, bucket, bucket_sum,
+             last_value(bucket_sum IGNORE NULLS) OVER w_prev AS pv,
+             last_value(CASE WHEN bucket_sum IS NOT NULL THEN bucket END IGNORE NULLS)
+               OVER w_prev AS pb,
+             first_value(bucket_sum IGNORE NULLS) OVER w_next AS nv,
+             first_value(CASE WHEN bucket_sum IS NOT NULL THEN bucket END IGNORE NULLS)
+               OVER w_next AS nb
+      FROM j
+      WINDOW w_prev AS (PARTITION BY event_type ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w_next AS (PARTITION BY event_type ORDER BY bucket
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, bucket,
+           (bucket_sum IS NOT NULL) AS observed,
+           CASE
+             WHEN bucket_sum IS NOT NULL THEN bucket_sum
+             WHEN pv IS NULL OR nv IS NULL THEN NULL
+             ELSE pv + (nv - pv) *
+                  (CAST(date_part('epoch', bucket) - date_part('epoch', pb) AS DOUBLE)
+                   / CAST(date_part('epoch', nb) - date_part('epoch', pb) AS DOUBLE))
+           END AS value_interp
+    FROM anchored
+    """
+    ),
+    tags=("timeseries", "window"),
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled 5-minute rollup with LINEAR interpolation — the
+    TimescaleDB ``time_bucket_gapfill`` + ``interpolate`` contract next to
+    ``ts_gapfill_locf``'s locf: each hole gets the straight-line value
+    between its previous and next observed buckets, weighted by bucket
+    time. The grid spans each series' own [min, max] OBSERVED buckets, so
+    every gap has both anchors by construction (no edge extrapolation).
+
+    Scale shape: identical to the locf query — per-series bounds generate
+    a time-range-bound grid; the anchor carry is two window passes over
+    the same (event_type, bucket) sort, which Spark evaluates in one
+    exchange + sort. The interpolated value is emitted UNROUNDED: both
+    engines evaluate the bit-identical IEEE expression tree over exact
+    inputs (decimal-sum anchors via the VARCHAR hop, whole-second epoch
+    integers), so the raw doubles hash-match — while round(x, 6) would
+    DIVERGE on exact 10⁻⁷ halves (a 64-step gap makes denominator 6400:
+    Spark HALF_UP vs DuckDB's rounding disagree on e.g. 32.1678125)."""
+    e = load(spark, sf_dir, "events")
+    agg = e.groupBy(
+        "event_type", F.window("ts", "5 minutes").start.alias("bucket")
+    ).agg(money(F.sum(dec("value"))).alias("bucket_sum"))
+    bounds = agg.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 5 minutes"))
+        ).alias("bucket"),
+    )
+    j = grid.join(agg, ["event_type", "bucket"], "left")
+    w_prev = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_next = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    anchor_bucket = F.when(
+        F.col("bucket_sum").isNotNull(), F.col("bucket")
+    )
+    pv = F.last("bucket_sum", ignorenulls=True).over(w_prev)
+    pb = F.last(anchor_bucket, ignorenulls=True).over(w_prev)
+    nv = F.first("bucket_sum", ignorenulls=True).over(w_next)
+    nb = F.first(anchor_bucket, ignorenulls=True).over(w_next)
+    frac = (
+        (F.unix_timestamp(F.col("bucket")) - F.unix_timestamp(pb)).cast("double")
+        / (F.unix_timestamp(nb) - F.unix_timestamp(pb)).cast("double")
+    )
+    val = (
+        F.when(F.col("bucket_sum").isNotNull(), F.col("bucket_sum"))
+        .when(pv.isNull() | nv.isNull(), F.lit(None).cast("double"))
+        .otherwise(pv + (nv - pv) * frac)
+    )
+    return j.select(
+        "event_type",
+        "bucket",
+        F.col("bucket_sum").isNotNull().alias("observed"),
+        val.alias("value_interp"),
+    )
+
+
+@register(
     "ts_ohlc_resample",
     oracle=events_cte(
         f"""
