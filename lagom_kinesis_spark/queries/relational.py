@@ -480,6 +480,60 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_dynamic_partition_pruning",
+    oracle="""
+    SELECT n_name AS nation,
+           COUNT(*) AS n_customers,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+             AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    tags=("join", "scan", "pruning", "scale"),
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is laid out
+    ``partitionBy(c_nationkey)`` on disk and joined to a dimension whose
+    filter is DATA-DEPENDENT (nation ⋈ region WHERE r_name='ASIA' — the
+    nationkey set only exists at runtime, so static pushdown can't see
+    it). Spark injects a ``dynamicpruningexpression`` into the fact scan's
+    PartitionFilters from the broadcast dim's build side, so only the 5
+    ASIA partition directories are read — at 100 TB, THE mechanism that
+    turns a star-schema full scan into a selective one
+    (tests/test_plans.py asserts the dynamicpruning subquery; a
+    constant-foldable dim filter would degrade to static IN pruning and
+    prove nothing). Oracle: same join over the unpartitioned source."""
+    from lagom_kinesis_spark.functions import dec, money
+
+    tmp = f"/tmp/lagom_kinesis_spark/io/cust_nat_{stable_tag(sf_dir)}"
+    load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_nationkey"
+    ).write.mode("overwrite").partitionBy("c_nationkey").parquet(tmp)
+    fact = spark.read.parquet(tmp)
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dim = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    return (
+        fact.join(
+            F.broadcast(dim),
+            fact.c_nationkey == dim.n_nationkey.cast(
+                fact.schema["c_nationkey"].dataType
+            ),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            money(F.sum(dec("c_acctbal"))).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
     "merge_upsert",
     oracle="""
     WITH updates AS (

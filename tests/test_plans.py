@@ -178,6 +178,21 @@ def test_partition_pruned_scan_has_partition_filters(spark):
     assert "o_orderpriority" in plan.split("PartitionFilters")[1].split("]")[0]
 
 
+def test_dynamic_partition_pruning_injects_runtime_filter(spark):
+    """The fact scan must carry a dynamicpruningexpression PartitionFilter
+    fed from the dim build side — RUNTIME pruning, not a statically folded
+    IN list (the dim filter r_name='ASIA' reaches c_nationkey only through
+    the nation⋈region data, which Catalyst cannot constant-fold)."""
+    plan = _plan(QS["join_dynamic_partition_pruning"].fn(spark, SF_DIR))
+    fact_scan = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "c_nationkey" in ln
+    ]
+    assert fact_scan, f"no partitioned fact scan in plan:\n{plan}"
+    assert "dynamicpruning" in fact_scan[0].lower()
+
+
 def test_minhash_lsh_is_banded_equi_join_not_cartesian(spark):
     """The 100 TB near-dup path must generate candidates via band-bucket
     EQUI-joins (SortMerge/Hash on the bucket key), never an all-pairs
