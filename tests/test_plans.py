@@ -193,6 +193,39 @@ def test_dynamic_partition_pruning_injects_runtime_filter(spark):
     assert "dynamicpruning" in fact_scan[0].lower()
 
 
+def test_bloom_runtime_filter_injects_on_shuffle_join(spark):
+    """Spark's runtime row-level filter (the DPP analog for UNpartitioned
+    fact columns): a selective dim side builds a bloom_filter_agg, and the
+    fact side probes bloom_filter_might_contain BEFORE the shuffle — at
+    100 TB this drops non-matching fact rows at the scan instead of
+    shuffling them. Enabled by default in Spark 4; only the 10 GB
+    application-side floor is lowered here so fixture-scale plans qualify
+    (the mechanism, not the threshold, is what scale inherits)."""
+    lowered = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in lowered}
+    try:
+        for k, v in lowered.items():
+            spark.conf.set(k, v)
+        li = load(spark, SF_DIR, "lineitem")
+        o = load(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_minhash_lsh_is_banded_equi_join_not_cartesian(spark):
     """The 100 TB near-dup path must generate candidates via band-bucket
     EQUI-joins (SortMerge/Hash on the bucket key), never an all-pairs
