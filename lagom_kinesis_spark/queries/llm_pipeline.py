@@ -454,6 +454,123 @@ def emb_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_assign_sql(cent: str, alias: str) -> str:
+    """One Lloyd assignment step in DuckDB SQL: per-vector argmin of the
+    round-6 squared L2 distance against ``cent`` (cid, cv), ties to the
+    lowest cid — mirroring the Spark side's row_number over (d, cid)."""
+    return f"""
+    {alias} AS (
+      SELECT vec_id, v, cid AS cluster, d FROM (
+        SELECT c.vec_id, c.v, t.cid,
+               round(list_sum(list_transform(range(1, 65),
+                 i -> (c.v[i] - t.cv[i]) * (c.v[i] - t.cv[i]))), 6) AS d,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY round(list_sum(list_transform(range(1, 65),
+                   i -> (c.v[i] - t.cv[i]) * (c.v[i] - t.cv[i]))), 6) ASC,
+                   t.cid) AS rn
+        FROM corpus c CROSS JOIN {cent} t
+      ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "cluster_kmeans_lloyd",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cent0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS INT) - 1 AS cid,
+             v AS cv
+      FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h, v
+            FROM corpus ORDER BY h, vec_id LIMIT 4)
+    ),{_kmeans_assign_sql("cent0", "a1")},
+    ex1 AS (SELECT cluster, i, v[i] AS val FROM a1, range(1, 65) r(i)),
+    m1 AS (SELECT cluster, i, AVG(val) AS c FROM ex1 GROUP BY cluster, i),
+    cent1 AS (
+      SELECT cluster AS cid, list(c ORDER BY i) AS cv FROM m1 GROUP BY cluster
+    ),{_kmeans_assign_sql("cent1", "a2")}
+    SELECT cluster, COUNT(*) AS n_vectors,
+           CAST(CAST(SUM(CAST(d AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             AS inertia
+    FROM a2 GROUP BY cluster
+    """,
+    tags=("llm", "pipeline", "embedding", "iterative", "scale"),
+)
+def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (k=4, one full Lloyd iteration, unrolled):
+    md5-sampled seeds → round-6 argmin assignment → per-(cluster, dim)
+    AVG centroid update (posexplode + partial-combining agg, the
+    emb_centroid_distance step) → reassignment; output per-cluster size +
+    inertia. This trains the coarse quantizer IN the engine — the
+    complement to operators/similarity.train_pq_codebooks' driver-side
+    model-sized training, for when even the training sample should not
+    leave the cluster. Everything is in-plan: seeds come from a LIMIT-4
+    subquery (no driver collect), centroids re-enter each unrolled
+    iteration as a broadcast k×1-row table.
+
+    Scale shape: assignment is a k-row broadcast cross join (map-only);
+    the update is one (cluster, dim)-keyed shuffle with map-side
+    combine; iterations unroll like graph_pagerank — no driver loop.
+    Determinism: distances round to 6 before the argmin (ties to lowest
+    cid, the IVF discipline) so the assignment survives AVG's
+    accumulation-order ulps; inertia decimal-accumulates round-6 per-row
+    distances and finalizes with the correctly-rounded VARCHAR-hop cast
+    (helpers.money discipline)."""
+    k = 4
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = (
+        e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(k)
+    )
+    cent = seeds.select(
+        (
+            F.row_number().over(W.orderBy("h", "vec_id")) - 1
+        ).cast("int").alias("cid"),
+        F.col("v").alias("cv"),
+    )
+
+    def l2sq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+        j = corpus.crossJoin(F.broadcast(centroids)).withColumn(
+            "d", r6(l2sq(F.col("v"), F.col("cv")))
+        )
+        w = W.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cid").asc())
+        return (
+            j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", F.col("cid").alias("cluster"), "d")
+        )
+
+    a1 = assign(e, cent)
+    m1 = (
+        a1.select("cluster", F.posexplode("v").alias("i", "val"))
+        .groupBy("cluster", "i")
+        .agg(F.avg("val").alias("c"))
+    )
+    cent1 = m1.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    ).select(F.col("cluster").alias("cid"), "cv")
+    a2 = assign(e, cent1)
+    return a2.groupBy("cluster").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.col("d").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("inertia"),
+    )
+
+
 @register(
     "dedup_passage_chunks",
     oracle="""
