@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from lagom_kinesis_spark.catalog import load
-from lagom_kinesis_spark.functions import r6
+from lagom_kinesis_spark.functions import fan_out, r6
 from lagom_kinesis_spark.operators import sketches
 from lagom_kinesis_spark.registry import register
 
@@ -568,6 +568,177 @@ def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("d").cast("decimal(18,6)"))
         .cast("double")
         .alias("inertia"),
+    )
+
+
+def _bpe_pairs_sql(src: str, alias: str) -> str:
+    """Adjacent-symbol pair counts (freq-weighted) over ``src`` (word,
+    freq, seq) in DuckDB SQL — one BPE statistics round."""
+    return f"""
+    {alias} AS (
+      SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS pair_count
+      FROM (
+        SELECT freq,
+               unnest(list_transform(range(1, len(t)),
+                 i -> {{'a': t[i], 'b': t[i+1]}})) AS p
+        FROM (SELECT freq, string_split(seq, ' ') AS t FROM {src})
+      ) GROUP BY 1, 2
+    ), {alias}_r AS (
+      SELECT a, b, pair_count,
+             CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, a, b) AS INT)
+               AS rn
+      FROM {alias}
+    )"""
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=f"""
+    WITH words AS (
+      SELECT w AS word, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ), seq0 AS (
+      SELECT word, freq,
+             rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+      FROM words
+    ),{_bpe_pairs_sql("seq0", "p1")},
+    m1 AS (SELECT a, b FROM p1_r WHERE rn = 1),
+    seq1 AS (
+      SELECT word, freq,
+             replace(seq, m1.a || ' ' || m1.b, m1.a || m1.b) AS seq
+      FROM seq0 CROSS JOIN m1
+    ),{_bpe_pairs_sql("seq1", "p2")}
+    SELECT 1 AS round, a, b, pair_count, rn FROM p1_r WHERE rn <= 5
+    UNION ALL
+    SELECT 2 AS round, a, b, pair_count, rn FROM p2_r WHERE rn <= 5
+    """,
+    tags=("llm", "pipeline", "text", "iterative"),
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, the distributed core: two merge rounds
+    over the corpus word-frequency dictionary (exactly how
+    HuggingFace/SentencePiece train, re-expressed as engine plans). Words
+    → (word, freq) dict (the one corpus-sized shuffle; the dict is
+    vocabulary-bounded from here on) → char-spaced symbol sequences →
+    freq-weighted adjacent-pair counts → the argmax pair becomes merge 1
+    (ties lexicographic) → single-pass left-to-right `replace` applies it
+    to every word — identical non-overlapping semantics in both engines —
+    → recount → merge 2. Output: top-5 pairs per round with ranks (rn=1
+    rows ARE the learned merges).
+
+    Scale shape: pair counting is a map-side-combining agg keyed by a
+    symbol pair; the merge pick is a window over the pair table
+    (symbol-vocabulary-sized, not corpus-sized); merge application is a
+    broadcast 1-row cross join + map-only string replace. Each further
+    merge unrolls the same three steps — no driver loop. The guard on
+    1-symbol words matters: Spark's ``sequence(1, 0)`` DESCENDS instead
+    of returning empty (oracle-gotchas)."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    seq0 = words.select(
+        "word",
+        "freq",
+        F.rtrim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"),
+    )
+
+    def pair_ranks(seqdf: DataFrame) -> DataFrame:
+        t = F.split("seq", " ")
+        prs = F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.struct(
+                    F.element_at(t, i).alias("a"),
+                    F.element_at(t, i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        counts = (
+            seqdf.select("freq", F.explode(prs).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        w = W.orderBy(F.col("pair_count").desc(), "a", "b")
+        return counts.withColumn("rn", F.row_number().over(w))
+
+    p1 = pair_ranks(seq0)
+    m1 = p1.filter(F.col("rn") == 1).select(
+        F.col("a").alias("ma"), F.col("b").alias("mb")
+    )
+    seq1 = seq0.crossJoin(F.broadcast(m1)).select(
+        "word",
+        "freq",
+        F.replace(
+            F.col("seq"),
+            F.concat_ws(" ", "ma", "mb"),
+            F.concat("ma", "mb"),
+        ).alias("seq"),
+    )
+    p2 = pair_ranks(seq1)
+    out1 = p1.filter(F.col("rn") <= 5).select(
+        F.lit(1).alias("round"), "a", "b", "pair_count", "rn"
+    )
+    out2 = p2.filter(F.col("rn") <= 5).select(
+        F.lit(2).alias("round"), "a", "b", "pair_count", "rn"
+    )
+    return out1.unionByName(out2)
+
+
+@register(
+    "text_chunk_sliding",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), sized AS (
+      SELECT doc_id, t, len(t) AS n,
+             1 + (greatest(len(t) - 32, 0) + 23) // 24 AS n_chunks
+      FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST(k AS INT) AS chunk_idx,
+           CAST(len(list_slice(t, k * 24 + 1, k * 24 + 32)) AS INT)
+             AS n_tokens,
+           md5(array_to_string(list_slice(t, k * 24 + 1, k * 24 + 32), ' '))
+             AS chunk_md5
+    FROM (SELECT doc_id, t, unnest(range(0, n_chunks)) AS k FROM sized)
+    """,
+    tags=("llm", "pipeline", "text"),
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap (size 32 tokens, stride 24 —
+    the embedding-index / RAG ingestion standard): every document becomes
+    ⌈(n−32)/24⌉+1 chunks, consecutive chunks sharing 8 tokens so no
+    semantic boundary is ever lost to a hard cut; the final chunk clamps
+    to the document end. Output carries the chunk's token count and an
+    md5 content key — exactly what downstream embedding + near-dup
+    stages join on. Map-only at any scale: chunk starts come from a
+    per-row integer sequence (always ascending — n_chunks ≥ 1), the
+    explode fans out ~n/24 rows per document, and no chunk ever crosses
+    a row boundary, so there is no shuffle at all."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    t = F.split(F.lower("text"), " ")
+    base = d.select("doc_id", t.alias("t")).filter(F.size("t") > 0)
+    n_chunks = 1 + F.floor(
+        (F.greatest(F.size("t") - 32, F.lit(0)) + 23) / 24
+    ).cast("int")
+    chunk = lambda k: F.slice(F.col("t"), k * 24 + 1, 32)  # noqa: E731
+    return base.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("k"),
+    ).select(
+        "doc_id",
+        F.col("k").cast("int").alias("chunk_idx"),
+        F.size(chunk(F.col("k"))).alias("n_tokens"),
+        F.md5(
+            F.concat_ws(" ", chunk(F.col("k"))).cast("binary")
+        ).alias("chunk_md5"),
     )
 
 
