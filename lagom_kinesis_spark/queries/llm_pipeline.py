@@ -495,7 +495,7 @@ def _kmeans_assign_sql(cent: str, alias: str) -> str:
              AS inertia
     FROM a2 GROUP BY cluster
     """,
-    tags=("llm", "pipeline", "embedding", "iterative", "scale"),
+    tags=("llm", "pipeline", "embedding", "iterative", "scale", "cross"),
 )
 def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means (k=4, one full Lloyd iteration, unrolled):
@@ -613,7 +613,7 @@ def _bpe_pairs_sql(src: str, alias: str) -> str:
     UNION ALL
     SELECT 2 AS round, a, b, pair_count, rn FROM p2_r WHERE rn <= 5
     """,
-    tags=("llm", "pipeline", "text", "iterative"),
+    tags=("llm", "pipeline", "text", "iterative", "cross"),
 )
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training, the distributed core: two merge rounds
