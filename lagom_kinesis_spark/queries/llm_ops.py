@@ -775,6 +775,91 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_sorted_neighborhood",
+    oracle="""
+    WITH sub AS (
+      SELECT doc_id, lower(text) AS lt,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1)),
+               i -> concat_ws(' ',
+                    string_split(lower(text), ' ')[i],
+                    string_split(lower(text), ' ')[i+1],
+                    string_split(lower(text), ' ')[i+2])
+             )) AS sh
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, sh, substr(lt, 1, 2) AS blk,
+             ROW_NUMBER() OVER (PARTITION BY substr(lt, 1, 2)
+                                ORDER BY substr(lt, 1, 40), doc_id) AS rn
+      FROM sub
+    ), cand AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, a.sh AS sa, b.sh AS sb
+      FROM ranked a JOIN ranked b
+        ON a.blk = b.blk AND b.rn - a.rn IN (1, 2)
+    )
+    SELECT least(da, db) AS id_a, greatest(da, db) AS id_b,
+           round(len(list_intersect(sa, sb))
+                 / CAST(len(list_distinct(sa || sb)) AS DOUBLE), 6) AS jac
+    FROM cand
+    WHERE round(len(list_intersect(sa, sb))
+                / CAST(len(list_distinct(sa || sb)) AS DOUBLE), 6) >= 0.3
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood (Hernández–Stolfo) near-dup blocking — the
+    third blocking family next to hash buckets (MinHash-LSH) and prefix
+    filtering: sort by a content key (first 40 chars), compare each record
+    only against its ±2 rank neighbors, verify with exact shingle Jaccard
+    (≥ 0.3). Near-identical texts sort adjacent, so a window of w
+    neighbors finds them with O(n·w) comparisons instead of O(n²).
+
+    This is the BLOCKED variant (2-char prefix blocks), which is what
+    scales: ranks come from a per-block window — Spark plans one exchange
+    on blk and sorts within partitions, never a global single-partition
+    sort — and the neighbor join is an equi-join on (blk, rank+δ),
+    δ∈{1,2}, made equi by exploding δ. The verify step reuses the exact
+    dedup_jaccard_pairs discipline (round-6 both engines)."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    base = d.select(
+        "doc_id",
+        shingles(tokens("text")).alias("sh"),
+        F.substring(F.lower("text"), 1, 40).alias("k"),
+        F.substring(F.lower("text"), 1, 2).alias("blk"),
+    )
+    ranked = base.withColumn(
+        "rn", F.row_number().over(W.partitionBy("blk").orderBy("k", "doc_id"))
+    )
+    a = ranked.select(
+        "blk",
+        F.col("rn").alias("rn_a"),
+        F.col("doc_id").alias("da"),
+        F.col("sh").alias("sa"),
+    )
+    b = ranked.select(
+        "blk",
+        F.col("rn").alias("rn_b"),
+        F.col("doc_id").alias("db"),
+        F.col("sh").alias("sb"),
+    )
+    cand = (
+        a.withColumn("delta", F.explode(F.array(F.lit(1), F.lit(2))))
+        .withColumn("rn_b", F.col("rn_a") + F.col("delta"))
+        .join(b, ["blk", "rn_b"])
+    )
+    jac = r6(jaccard(F.col("sa"), F.col("sb")))
+    return (
+        cand.withColumn("jac", jac)
+        .filter(F.col("jac") >= 0.3)
+        .select(
+            F.least("da", "db").alias("id_a"),
+            F.greatest("da", "db").alias("id_b"),
+            "jac",
+        )
+    )
+
+
+@register(
     "dedup_semantic_semdedup",
     oracle="""
     WITH cent AS (

@@ -1061,6 +1061,95 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_table_diff",
+    oracle="""
+    WITH target AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer
+    ), source AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 10 = 0
+                  THEN concat('SEG2_', c_mktsegment)
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer WHERE c_custkey % 97 <> 3
+      UNION ALL
+      SELECT -1, 'NEW_CUSTOMER', 0, 'BUILDING'
+    ), j AS (
+      SELECT t.c_custkey AS tk, s.c_custkey AS sk,
+             md5(concat_ws('|', t.c_name, t.c_nationkey, t.c_mktsegment)) AS th,
+             md5(concat_ws('|', s.c_name, s.c_nationkey, s.c_mktsegment)) AS sh
+      FROM target t FULL OUTER JOIN source s ON t.c_custkey = s.c_custkey
+    )
+    SELECT status, COUNT(*) AS n FROM (
+      SELECT CASE WHEN tk IS NULL THEN 'added'
+                  WHEN sk IS NULL THEN 'removed'
+                  WHEN th <> sh THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM j
+    ) GROUP BY status
+    """,
+    tags=("dq", "join"),
+)
+def dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table reconciliation (anti-entropy diff): classify every key of
+    old-vs-new relation as added / removed / changed / unchanged via ONE
+    key-partitioned full outer join comparing md5 row fingerprints — the
+    migration-validation and replica-consistency primitive (how you prove
+    a backfill or a MERGE produced exactly the intended delta; here the
+    'new' side is a deterministic mutation of customer: every 10th
+    segment rewritten, one key inserted, every 97th≡3 key deleted).
+
+    Scale: rows hash to fixed-width fingerprints at the scan (map-only),
+    the diff is one shuffle on the key, and the report aggregates to
+    |statuses| rows — no row data ever moves except the key + 32-byte
+    hash, which is why this works on billion-row tables."""
+    c = load(spark, sf_dir, "customer")
+    target = c.select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    source = (
+        c.filter(F.col("c_custkey") % 97 != 3)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.when(
+                F.col("c_custkey") % 10 == 0,
+                F.concat(F.lit("SEG2_"), F.col("c_mktsegment")),
+            )
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+        )
+        .unionByName(
+            spark.sql(
+                "SELECT -1L AS c_custkey, 'NEW_CUSTOMER' AS c_name, "
+                "0 AS c_nationkey, 'BUILDING' AS c_mktsegment"
+            )
+        )
+    )
+
+    def fp(df, key, hname):
+        return df.select(
+            F.col("c_custkey").alias(key),
+            F.md5(
+                F.concat_ws(
+                    "|", "c_name", "c_nationkey", "c_mktsegment"
+                ).cast("binary")
+            ).alias(hname),
+        )
+
+    j = fp(target, "tk", "th").join(
+        fp(source, "sk", "sh"), F.col("tk") == F.col("sk"), "full_outer"
+    )
+    status = (
+        F.when(F.col("tk").isNull(), "added")
+        .when(F.col("sk").isNull(), "removed")
+        .when(F.col("th") != F.col("sh"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(status.alias("status")).groupBy("status").agg(
+        F.count("*").alias("n")
+    )
+
+
+@register(
     "scan_parquet_codec_zstd",
     oracle="SELECT p_partkey, p_name, round(p_retailprice, 6) AS p_retailprice FROM part",
     tags=("scan", "parquet", "codec"),
