@@ -775,6 +775,71 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_keep_best",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             md5(array_to_string(
+               list_sort(list_distinct(string_split(lower(text), ' '))), ' '
+             )) AS group_key
+      FROM documents
+    ), ranked AS (
+      SELECT group_key, doc_id, n_chars,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY group_key
+               ORDER BY n_chars DESC, doc_id) AS INT) AS rk,
+             COUNT(*) OVER (PARTITION BY group_key) AS n_members
+      FROM keyed
+    )
+    SELECT group_key, CAST(n_members AS BIGINT) AS n_members,
+           doc_id AS survivor_doc_id, n_chars AS survivor_n_chars
+    FROM ranked WHERE rk = 1 AND n_members >= 2
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship policy for dedup groups — production dedup does NOT
+    keep an arbitrary (min-id) member: it keeps the BEST one (the
+    Gopher-style 'richest document wins' rule). Groups here are
+    bag-of-words duplicates (md5 of the sorted distinct token set — same
+    vocabulary, any order/repetition); the survivor is the member with
+    max n_chars, ties to the lowest doc_id. Output: every multi-member
+    group with its survivor — exactly the keep-list a curation pipeline
+    feeds downstream (swap the group key for MinHash cluster ids or the
+    connected-components labels and the same window applies unchanged).
+
+    Scale: the group key is a map-side projection; one shuffle on
+    group_key drives both the rank and the member count in a single
+    window pass; output is group-cardinality-sized."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    key = F.md5(
+        F.concat_ws(
+            " ", F.array_sort(F.array_distinct(tokens("text")))
+        ).cast("binary")
+    )
+    keyed = d.select("doc_id", "n_chars", key.alias("group_key"))
+    w = W.partitionBy("group_key").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ranked = keyed.select(
+        "group_key",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(W.partitionBy("group_key")).alias("n_members"),
+    )
+    return (
+        ranked.filter((F.col("rk") == 1) & (F.col("n_members") >= 2))
+        .select(
+            "group_key",
+            "n_members",
+            F.col("doc_id").alias("survivor_doc_id"),
+            F.col("n_chars").alias("survivor_n_chars"),
+        )
+    )
+
+
+@register(
     "dedup_sorted_neighborhood",
     oracle="""
     WITH sub AS (

@@ -792,6 +792,110 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_temporal_scd2_lookup",
+    oracle="""
+    WITH cur AS (
+      SELECT c_custkey, c_mktsegment,
+             TIMESTAMP '1995-01-01' AS valid_from
+      FROM customer
+    ), upd AS (
+      SELECT c_custkey, concat('SEG2_', c_mktsegment) AS c_mktsegment,
+             TIMESTAMP '1997-06-01' AS eff
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT -1 AS c_custkey, 'NEW_SEGMENT' AS c_mktsegment,
+             TIMESTAMP '1997-06-01' AS eff
+    ), dim AS (
+      SELECT c.c_custkey, c.c_mktsegment, c.valid_from,
+             u.eff AS valid_to
+      FROM cur c JOIN upd u USING (c_custkey)
+      WHERE u.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+      UNION ALL
+      SELECT c.c_custkey, c.c_mktsegment, c.valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM cur c LEFT JOIN upd u USING (c_custkey)
+      WHERE u.eff IS NULL OR u.c_mktsegment IS NOT DISTINCT FROM c.c_mktsegment
+      UNION ALL
+      SELECT u.c_custkey, u.c_mktsegment, u.eff AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM upd u LEFT JOIN cur c USING (c_custkey)
+      WHERE c.c_custkey IS NULL
+         OR u.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+    )
+    SELECT d.c_mktsegment AS segment_at_order_time,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN dim d ON o.o_custkey = d.c_custkey
+             AND o.o_orderdate >= d.valid_from
+             AND o.o_orderdate < coalesce(d.valid_to, TIMESTAMP '9999-12-31')
+    GROUP BY d.c_mktsegment
+    """,
+    tags=("join", "merge", "temporal"),
+)
+def join_temporal_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension lookup over an SCD2 history — THE warehouse
+    pattern the SCD2 MERGE exists to serve: each fact joins the dimension
+    VERSION that was valid at the fact's own timestamp
+    (``valid_from ≤ ts < valid_to``), so a 1996 order sees the customer's
+    pre-change segment and a 1998 order the re-segmented one. The
+    versioned dim is merge_scd2's own output (operators/merge.scd2_apply,
+    same CDC scenario), closing the loop: maintain history with the
+    MERGE, query it with this join.
+
+    Scale: the join is equi on the dimension key plus a validity band;
+    versions partition each key's timeline, so every fact matches exactly
+    once and per-key fan-out equals the (small) version count. Dim
+    broadcast here; at warehouse scale the same plan shuffles on custkey
+    once."""
+    from lagom_kinesis_spark.operators.merge import scd2_apply
+
+    cust = load(spark, sf_dir, "customer")
+    target = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1995-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            F.concat(F.lit("SEG2_"), F.col("c_mktsegment")).alias(
+                "c_mktsegment"
+            ),
+            F.lit("1997-06-01 00:00:00").cast("timestamp").alias("eff"),
+        )
+        .unionByName(
+            spark.sql(
+                "SELECT -1L AS c_custkey, 'NEW_SEGMENT' AS c_mktsegment, "
+                "TIMESTAMP '1997-06-01' AS eff"
+            )
+        )
+    )
+    dim = scd2_apply(
+        target, updates, keys=["c_custkey"], attrs=["c_mktsegment"]
+    )
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    return (
+        o.join(
+            F.broadcast(dim),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderdate") >= F.col("valid_from"))
+            & (
+                F.col("o_orderdate")
+                < F.coalesce(
+                    F.col("valid_to"),
+                    F.lit("9999-12-31 00:00:00").cast("timestamp"),
+                )
+            ),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment_at_order_time"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
     "flagship_bucketed",
     oracle=f"""
     SELECT n_name AS nation,
