@@ -348,3 +348,70 @@ def graph_reachability_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT dst AS nation, MIN(hops) AS min_hops FROM step GROUP BY dst
         """
     )
+
+
+@register(
+    "graph_jaccard_link_prediction",
+    oracle="""
+    WITH pe AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    deg AS (SELECT l_suppkey, COUNT(*) AS d FROM pe GROUP BY l_suppkey),
+    common AS (
+      SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, COUNT(*) AS n_common
+      FROM pe a JOIN pe b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+    )
+    SELECT s1, s2, n_common,
+           round(CAST(n_common AS DOUBLE) / (d1.d + d2.d - n_common), 6)
+             AS jaccard
+    FROM common
+    JOIN deg d1 ON s1 = d1.l_suppkey
+    JOIN deg d2 ON s2 = d2.l_suppkey
+    ORDER BY jaccard DESC, s1, s2 LIMIT 20
+    """,
+    tags=("graph", "similarity"),
+)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard link prediction on the supplier co-supply graph: two
+    suppliers are 'close' when the part sets they ship overlap; the
+    top-20 non-adjacent-pair scores are the predicted links. This is the
+    common-neighbors family of graph ML features, expressed relationally:
+    candidate pairs come from co-occurrence on a shared part (an
+    equi-join), never from a supplier x supplier cartesian.
+
+    Scale: the distinct edge list is one shuffle; pair generation
+    fans out per part as degree^2, so a hot part (celebrity node) is the
+    skew risk — the mitigation at 100 TB is degree-capping or salting the
+    handful of super-nodes (joins.py's salted-skew pattern), which
+    changes candidate recall, not this plan's shape. Degrees broadcast;
+    the top-20 is TakeOrderedAndProject (per-partition partial top-k)."""
+    pe = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    a = pe.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s1"))
+    b = pe.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s2"))
+    common = (
+        a.join(b, (a.pk == b.pk) & (a.s1 < b.s2))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    deg = pe.groupBy("l_suppkey").agg(F.count("*").alias("d"))
+    d1 = deg.select(F.col("l_suppkey").alias("s1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("l_suppkey").alias("s2"), F.col("d").alias("d2"))
+    jac = (
+        common.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("d1") + F.col("d2") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.orderBy(F.col("jaccard").desc(), "s1", "s2").limit(20)

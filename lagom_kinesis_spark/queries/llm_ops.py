@@ -2148,3 +2148,198 @@ def quality_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_share.alias("top_bigram_share"),
         ((dup_frac <= 0.7) & (top_share <= 0.2)).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval & embedding audits
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bm25_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(lower(text), ' ')) AS dl,
+             unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, ANY_VALUE(dl) AS dl, COUNT(*) AS tf
+      FROM toks WHERE tok IN ('vector', 'join', 'stream')
+      GROUP BY doc_id, tok
+    ), stats AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), g AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(lower(text), ' '))) AS DOUBLE)
+               / COUNT(*) AS avgdl
+      FROM documents
+    )
+    SELECT doc_id, round(SUM(
+      ln(1.0 + (g.n_docs - s.df + 0.5) / (s.df + 0.5)) *
+      (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / g.avgdl))
+    ), 6) AS bm25
+    FROM tf JOIN stats s USING (tok) CROSS JOIN g
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 15
+    """,
+    # "scalar": the only NLJ is the broadcast of the 1-row (N, avgdl)
+    # global-statistics frame — bounded by construction.
+    tags=("llm", "text", "retrieval", "scalar"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text retrieval (k1=1.2, b=0.75): top-15 documents for a
+    3-term query — the lexical-retrieval half of a RAG / data-curation
+    stack next to the embedding ANN family. All corpus statistics (df,
+    N, avgdl) come from the data; no pre-built index is assumed.
+
+    Scale: tokenize+explode is map-side; tf is one shuffle on
+    (doc_id, tok) restricted to the query terms (the filter pushes below
+    the explode's generator output, so non-query tokens never shuffle);
+    the df/N/avgdl statistics are term- and scalar-cardinality and
+    broadcast back; the final top-15 is TakeOrderedAndProject (per-
+    partition partial top-k, no global sort). On a real deployment the
+    per-term postings (tf) would be written once and reused per query —
+    the plan after `tf` is exactly that reuse."""
+    terms = ["vector", "join", "stream"]
+    d = fan_out(load(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        F.size(tokens("text")).alias("dl"),
+        F.explode(tokens("text")).alias("tok"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.first("dl").alias("dl"), F.count("*").alias("tf"))
+    )
+    stats = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    g = d.agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(F.size(tokens("text"))).cast("double") / F.count("*")
+        ).alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    score = idf * (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(stats), "tok")
+        .crossJoin(F.broadcast(g))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(15)
+    )
+
+
+@register(
+    "embed_dim_stats",
+    oracle="""
+    WITH ex AS (
+      SELECT unnest(embedding)::DOUBLE AS x,
+             unnest(range(len(embedding))) AS dim
+      FROM embeddings
+    )
+    SELECT dim, COUNT(*) AS n,
+           round(AVG(x), 6) AS mean_x,
+           MIN(x) AS min_x, MAX(x) AS max_x,
+           round(sqrt(SUM(x * x) / COUNT(*)), 6) AS rms_x
+    FROM ex GROUP BY dim
+    """,
+    tags=("llm", "similarity", "dq"),
+)
+def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding-quality audit: count, mean, min/max, and
+    RMS for every coordinate of the embedding column. Collapsed or
+    dead dimensions (rms ≈ 0), mean drift, and outlier coordinates are
+    the standard checks before trusting an embedding table for ANN /
+    dedup — this is the profiling pass that catches a bad encoder batch.
+
+    Scale: posexplode is map-side (dim-fold fan-out, no shuffle of the
+    vectors themselves); the single shuffle is on the 64 dim keys with
+    map-side partial aggregation, so reduce-side traffic is
+    #partitions x #dims regardless of corpus size. min/max of the
+    float->double cast are exact; mean/rms are round-6 (float error
+    orders below the quantum)."""
+    e = fan_out(load(spark, sf_dir, "embeddings"))
+    ex = e.select(F.posexplode("embedding").alias("dim", "xf")).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    return ex.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("x"), 6).alias("mean_x"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.round(F.sqrt(F.sum(F.col("x") * F.col("x")) / F.count("*")), 6).alias(
+            "rms_x"
+        ),
+    )
+
+
+@register(
+    "sim_hard_negative_mining",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS q_id, label AS q_label, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+      SELECT q.q_id, q.q_label, e.vec_id, e.label,
+             round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6)
+               AS cos_sim
+      FROM q JOIN embeddings e ON e.label <> q.q_label
+    )
+    SELECT q_id, q_label, vec_id AS neg_id, label AS neg_label, cos_sim
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the single most-similar vector with a DIFFERENT label — the
+    negatives that actually move a contrastive loss (easy negatives are
+    free; hard ones must be mined). Anchors here are a bounded query set
+    (vec_id < 8, documented); the corpus side is never self-joined.
+
+    Scale: the anchor set broadcasts; scoring is one map-side pass over
+    the corpus (Arrow-batched float64 cosine), and the per-anchor top-1
+    reduces map-side before the |anchors|-key window. Swapping the
+    brute-force scorer for the IVF/PQ candidate path (sim_ann_*) keeps
+    the same downstream shape when the corpus is 100 TB."""
+    e = fan_out(load(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = e.join(
+        F.broadcast(q), F.col("label") != F.col("q_label")
+    ).select(
+        "q_id",
+        "q_label",
+        "vec_id",
+        "label",
+        F.round(cosine_pandas(F.col("qv"), F.col("embedding")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "q_id",
+            "q_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            "cos_sim",
+        )
+    )

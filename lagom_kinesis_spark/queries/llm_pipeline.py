@@ -1534,3 +1534,52 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("s_int") > 0).cast("long")).alias("n_pass"),
         r6(F.avg(F.col("s_int") / (1000.0 * F.col("n_tok")))).alias("avg_score"),
     )
+
+
+@register(
+    "split_train_val_test",
+    oracle="""
+    WITH assigned AS (
+      SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b, lang, n_chars
+      FROM documents
+    )
+    SELECT CASE WHEN b < 'cc' THEN 'train'
+                WHEN b < 'e6' THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+    FROM assigned GROUP BY 1
+    """,
+    tags=("llm", "pipeline", "sample"),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (~80/10/10 by md5(doc_id)
+    prefix: <0xcc train, <0xe6 val, else test) with per-split corpus
+    stats. The assignment is a pure function of the row — stable across
+    engines, reruns, repartitions, and incremental appends (a new doc
+    never moves an old one between splits), which rand()-based splits
+    cannot guarantee. The stats (doc count, char volume, language
+    coverage) are the split-balance report a training run signs off on.
+
+    Scale: map-only assignment; one 3-key shuffle with map-side partial
+    aggregation; count-distinct lang is a two-level expand on a
+    low-cardinality column."""
+    d = load(spark, sf_dir, "documents")
+    b = _md5_prefix(F.col("doc_id"), 2)
+    split = (
+        F.when(b < "cc", "train").when(b < "e6", "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            r6(F.sum("n_chars").cast("double") / F.count("*")).alias(
+                "avg_chars"
+            ),
+        )
+    )

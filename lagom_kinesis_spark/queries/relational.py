@@ -1363,3 +1363,32 @@ def sink_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         money(F.sum(dec("l_quantity"))).alias("total_qty"),
     )
+
+
+@register(
+    "dq_k_anonymity",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    HAVING COUNT(*) < 10
+    """,
+    tags=("dq", "privacy"),
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=10) over the quasi-identifier pair
+    (nation, market segment): every QI combination shared by fewer than
+    k individuals is a re-identification risk and must be generalized or
+    suppressed before the table leaves the privacy boundary — the
+    standard pre-release check on training data containing person-level
+    rows. Output is the violating groups with their sizes (the
+    suppression worklist), not the individuals.
+
+    Scale: one shuffle on the QI key with map-side partial counts;
+    output is bounded by QI-combination cardinality, never row count."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("group_size"))
+        .filter(F.col("group_size") < 10)
+    )
