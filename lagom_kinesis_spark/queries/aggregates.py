@@ -1134,3 +1134,62 @@ def agg_listagg_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM supplier GROUP BY s_nationkey
         """
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH ordered AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             CAST(l_quantity AS BIGINT) AS w,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag) AS total_w
+      FROM lineitem
+    )
+    SELECT l_returnflag, CAST(ANY_VALUE(total_w) AS BIGINT) AS total_weight,
+           MIN(v) AS weighted_median
+    FROM ordered
+    WHERE 2 * cumw >= total_w
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "window"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per group: the smallest value whose cumulative
+    weight (quantity) reaches half the group's total — the
+    volume-weighted 'typical price' that an unweighted percentile
+    misreports whenever weights correlate with value. No built-in
+    computes this on either engine; it is expressed as a cumulative-sum
+    window + crossing filter, identically on both.
+
+    Determinism: weights are exact int64 cumsums; the crossing VALUE is
+    invariant to tie order inside equal-value runs (cum weight at run
+    boundaries is permutation-invariant), and ordering is pinned anyway.
+    Scale: one shuffle on the group key drives both windows; the filter
+    + min collapse map-side after the window pass."""
+    li = load(spark, sf_dir, "lineitem")
+    w_cum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("l_returnflag")
+    wq = F.col("l_quantity").cast("long")
+    ordered = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.sum(wq).over(w_cum).alias("cumw"),
+        F.sum(wq).over(w_all).alias("total_w"),
+    )
+    return (
+        ordered.filter(2 * F.col("cumw") >= F.col("total_w"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("total_w").alias("total_weight"),
+            F.min("v").alias("weighted_median"),
+        )
+    )

@@ -1392,3 +1392,72 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("group_size"))
         .filter(F.col("group_size") < 10)
     )
+
+
+@register(
+    "dq_profile_columns",
+    oracle="""
+    SELECT 'l_quantity' AS col, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(l_quantity) AS n_null,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v,
+           round(SUM(l_quantity) / COUNT(l_quantity), 6) AS mean_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+           COUNT(DISTINCT l_extendedprice),
+           MIN(l_extendedprice), MAX(l_extendedprice),
+           round(SUM(l_extendedprice) / COUNT(l_extendedprice), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+           COUNT(DISTINCT l_discount),
+           MIN(l_discount), MAX(l_discount),
+           round(SUM(l_discount) / COUNT(l_discount), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', COUNT(*), COUNT(*) - COUNT(l_tax),
+           COUNT(DISTINCT l_tax),
+           MIN(l_tax), MAX(l_tax),
+           round(SUM(l_tax) / COUNT(l_tax), 6)
+    FROM lineitem
+    """,
+    tags=("dq",),
+)
+def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling pass (ANALYZE TABLE / data-catalog statistics):
+    per numeric column, row count, null count, exact distinct count,
+    min/max, and mean — the statistics a catalog publishes and a CBO or
+    data-quality monitor consumes. Computed in ONE scan: all per-column
+    aggregates evaluate in a single global agg, then unpivot to the
+    (column, stats) long form driver-side-free via stack().
+
+    Determinism: the mean divides the double sum by the non-null count
+    on both engines (round-6 absorbs summation-order ulps); min/max and
+    exact distinct counts are value-exact on identical doubles.
+    Scale: one pass, no shuffle beyond the 1-row global agg; distinct
+    counts are the only memory-bearing state (per-column hash sets in
+    partial aggregation, spillable; swap for approx_count_distinct when
+    exactness is not contractual)."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = load(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count("*").alias(f"{c}__n_rows"),
+            (F.count("*") - F.count(c)).alias(f"{c}__n_null"),
+            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            F.min(c).alias(f"{c}__min_v"),
+            F.max(c).alias(f"{c}__max_v"),
+            F.round(F.sum(c) / F.count(c), 6).alias(f"{c}__mean_v"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n_rows, {c}__n_null, {c}__n_distinct, "
+        f"{c}__min_v, {c}__max_v, {c}__mean_v"
+        for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col, n_rows, n_null, n_distinct, min_v, max_v, mean_v)"
+    )
