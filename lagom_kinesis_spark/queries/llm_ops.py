@@ -1020,14 +1020,12 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_ivf_oracle(k_lists: int = 8, n_probe: int = 2, k: int = 10) -> str:
-    """DuckDB SQL replaying the IVF pipeline exactly: the same md5-ordered
-    centroid sample, the same round-6 argmax list assignment (ties to the
-    lowest centroid id), the same n_probe nearest lists per query, the same
-    rounded-cosine re-rank. Fully SQL-expressible because the quantizer is
-    a deterministic data sample, not a trained model."""
-    return f"""
-    WITH cent AS (
+def _ann_ivf_ctes(k_lists: int = 8, n_probe: int = 2) -> str:
+    """Shared WITH-body replaying the IVF pipeline in DuckDB (used by the
+    sim_ann_ivf oracle and the recall audit): md5-ordered centroid
+    sample, round-6 argmax list assignment, n_probe nearest lists per
+    query, rounded-cosine scoring within probed lists."""
+    return f"""cent AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS INT) - 1 AS cid, cv
       FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h,
                    embedding::DOUBLE[] AS cv
@@ -1057,7 +1055,15 @@ def _ann_ivf_oracle(k_lists: int = 8, n_probe: int = 2, k: int = 10) -> str:
       SELECT p.q_id, a.vec_id,
              round(list_cosine_similarity(p.qv, a.v), 6) AS cos_sim
       FROM probes p JOIN assigned a USING (cluster)
-    )
+    )"""
+
+
+def _ann_ivf_oracle(k_lists: int = 8, n_probe: int = 2, k: int = 10) -> str:
+    """DuckDB SQL replaying the IVF pipeline exactly (see _ann_ivf_ctes);
+    fully SQL-expressible because the quantizer is a deterministic data
+    sample, not a trained model."""
+    return f"""
+    WITH {_ann_ivf_ctes(k_lists, n_probe)}
     SELECT * FROM (
       SELECT q_id, vec_id, cos_sim,
              CAST(ROW_NUMBER() OVER (PARTITION BY q_id
@@ -2341,5 +2347,89 @@ def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neg_id"),
             F.col("label").alias("neg_label"),
             "cos_sim",
+        )
+    )
+
+
+@register(
+    "sim_ann_recall_audit",
+    oracle=f"""
+    WITH {_ann_ivf_ctes(8, 2)},
+    ann AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= 10
+    ), exact AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC,
+                          e.vec_id) AS rn
+        FROM (SELECT vec_id AS q_id, v AS qv FROM corpus WHERE vec_id < 5) q
+        CROSS JOIN corpus e
+      ) WHERE rn <= 10
+    )
+    SELECT x.q_id, COUNT(a.vec_id) AS n_hits,
+           round(COUNT(a.vec_id) / 10.0, 6) AS recall_at_10
+    FROM exact x
+    LEFT JOIN ann a ON x.q_id = a.q_id AND x.vec_id = a.vec_id
+    GROUP BY x.q_id
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 evaluation of the IVF index against exact brute force,
+    computed IN the engine as one plan — the measurement loop every ANN
+    deployment needs before trusting an index (tune n_probe/k_lists
+    against this number, not intuition). Per query: how many of the true
+    top-10 the probed lists actually surfaced.
+
+    Scale: the exact arm is the bounded-anchor brute-force pass
+    (broadcast query matrix, Arrow-batched matmul, per-batch partial
+    top-k); the ANN arm is the cluster-id equi-join path; the audit join
+    is |queries|x10 rows on both sides. In production the exact arm runs
+    over a sampled query panel — same plan, sampled predicate."""
+    import numpy as np
+
+    from lagom_kinesis_spark.operators.similarity import (
+        batch_topk_cosine,
+        ivf_topk,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    cent_rows = (
+        e.select("vec_id", "embedding")
+        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(8)
+        .collect()
+    )  # 8 x dim quantizer — model-sized, the documented driver-safe collect
+    C = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    ann = ivf_topk(e, C, F.col("vec_id") < 5, k=10, n_probe=2).select(
+        "q_id", "vec_id", F.lit(1).alias("hit")
+    )
+    qrows = (
+        e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    )  # |Q| = 5 — bounded query panel
+    q_ids = [r["vec_id"] for r in qrows]
+    q_vecs = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    scored = batch_topk_cosine(e, "vec_id", "embedding", q_ids, q_vecs, k=10)
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    exact = (
+        scored.select("q_id", "vec_id", r6(F.col("cos_sim")).alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "vec_id")
+    )
+    return (
+        exact.join(F.broadcast(ann), ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") / 10.0, 6).alias("recall_at_10"),
         )
     )
