@@ -2433,3 +2433,67 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("hit") / 10.0, 6).alias("recall_at_10"),
         )
     )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_sort(list_distinct(string_split(lower(text), ' '))), ' '
+             )) AS group_key
+      FROM documents
+    ), groups AS (
+      SELECT group_key, COUNT(*) AS cluster_size FROM keyed GROUP BY group_key
+    ), total AS (SELECT COUNT(*) AS n_docs_total FROM keyed)
+    SELECT cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+           round(cluster_size * COUNT(*) / CAST(t.n_docs_total AS DOUBLE), 6)
+             AS corpus_share
+    FROM groups CROSS JOIN total t
+    GROUP BY cluster_size, t.n_docs_total
+    """,
+    # "scalar": the only NLJ is the broadcast 1-row corpus total.
+    tags=("llm", "dedup", "scalar"),
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE headline dedup statistic: the duplicate-cluster size
+    distribution — how many clusters of each size exist and what share
+    of the corpus they hold (size 1 = unique docs; the tail is the
+    near-identical boilerplate a web crawl accumulates). This is the
+    report that justifies (or kills) a dedup pass before anyone runs it:
+    corpus_share above size 1 IS the removable fraction.
+
+    Scale: two cascaded count-aggregations (doc-key, then size) — the
+    second input is cluster-cardinality, tiny; the 1-row total
+    broadcasts. Works unchanged over MinHash cluster ids or connected-
+    component labels."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    key = F.md5(
+        F.concat_ws(
+            " ", F.array_sort(F.array_distinct(tokens("text")))
+        ).cast("binary")
+    )
+    groups = (
+        d.select(key.alias("group_key"))
+        .groupBy("group_key")
+        .agg(F.count("*").alias("cluster_size"))
+    )
+    total = d.agg(F.count("*").alias("n_docs_total"))
+    return (
+        groups.crossJoin(F.broadcast(total))
+        .groupBy("cluster_size", "n_docs_total")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            F.round(
+                (F.col("cluster_size") * F.col("n_clusters"))
+                / F.col("n_docs_total").cast("double"),
+                6,
+            ).alias("corpus_share"),
+        )
+    )

@@ -1461,3 +1461,57 @@ def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(cols)}, {stack_args}) AS "
         "(col, n_rows, n_null, n_distinct, min_v, max_v, mean_v)"
     )
+
+
+@register(
+    "scan_csv_permissive_corrupt",
+    oracle="""
+    SELECT (c_custkey % 97 = 0) AS is_corrupt,
+           COUNT(*) AS n,
+           MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key,
+           CAST(CAST(SUM(CASE WHEN c_custkey % 97 = 0 THEN NULL
+                         ELSE CAST(c_acctbal AS DECIMAL(18,2)) END)
+                AS VARCHAR) AS DOUBLE) AS sum_bal
+    FROM customer GROUP BY 1
+    """,
+    tags=("scan", "csv", "dq"),
+)
+def scan_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling on ingest: a CSV feed with a
+    deterministically corrupted numeric field (every custkey % 97 == 0
+    row carries a non-numeric balance) read back in PERMISSIVE mode with
+    a corrupt-record column — the production posture where one bad row
+    must quarantine, not kill the job (DROPMALFORMED silently loses
+    data; FAILFAST turns one upstream typo into an outage). Spark's
+    field-level semantics: the malformed column parses to NULL, the raw
+    line lands in the corrupt column, intact fields still parse — the
+    output proves it by keying on custkey (parsed on BOTH sides of the
+    split) and summing only clean balances.
+
+    Scale: the quarantine flag is map-side; one 2-key rollup. The
+    corrupt-line column is the reprocessing queue a real pipeline writes
+    to a dead-letter sink."""
+    from lagom_kinesis_spark.functions import dec, money
+
+    tmp = f"/tmp/lagom_kinesis_spark/io/customer_csvbad_{stable_tag(sf_dir)}"
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    bal = F.when(
+        F.col("c_custkey") % 97 == 0, F.lit("oops")
+    ).otherwise(F.col("c_acctbal").cast("string"))
+    c.select(
+        F.concat_ws(",", F.col("c_custkey"), bal).alias("value")
+    ).write.mode("overwrite").text(tmp)
+    back = (
+        spark.read.schema("c_custkey long, c_acctbal double, _corrupt string")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(tmp)
+    )
+    return (
+        back.groupBy(F.col("_corrupt").isNotNull().alias("is_corrupt"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+            money(F.sum(dec("c_acctbal"))).alias("sum_bal"),
+        )
+    )
