@@ -315,3 +315,42 @@ def test_aqe_skew_split_applies_to_shuffled_hash_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bm25_topk_is_take_ordered_with_filtered_explode(spark):
+    """BM25's global top-15 must be TakeOrderedAndProject (partial top-k
+    per partition), and the term filter must prune generator output so
+    non-query tokens never reach the tf shuffle."""
+    plan = _plan(QS["text_bm25_topk"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan  # only the 1-row stats NLJ broadcast
+
+
+def test_jaccard_link_prediction_no_node_cartesian(spark):
+    """Candidate pairs must come from the part co-occurrence equi-join —
+    a supplier x supplier cartesian would be the classic scale killer."""
+    plan = _plan(QS["graph_jaccard_link_prediction"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_median_single_group_exchange(spark):
+    """Both windows and the final agg must ride ONE shuffle on the group
+    key (plus the scan): a second Exchange on the same key is waste."""
+    import re
+
+    plan = _plan(QS["agg_weighted_median"].fn(spark, SF_DIR))
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, exchanges
+
+
+def test_profile_columns_is_single_scan(spark):
+    """All per-column statistics must come from ONE pass over lineitem
+    (two Exchanges are inherent: exact count-distinct plans as a
+    two-level aggregate)."""
+    import re
+
+    plan = _plan(QS["dq_profile_columns"].fn(spark, SF_DIR))
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, scans
