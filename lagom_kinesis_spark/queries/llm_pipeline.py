@@ -1583,3 +1583,93 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "pipeline_filter_funnel",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id, md5(text) AS h,
+             len(string_split(lower(text), ' ')) AS n_tokens,
+             len(list_distinct(string_split(lower(text), ' ')))
+               / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS ttr,
+             CASE WHEN len(list_intersect(string_split(lower(text), ' '),
+                          ['the','and','of'])) > 0 THEN 'en'
+                  ELSE 'other' END AS lang_guess
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rk
+      FROM feats
+      WHERE n_tokens >= 20 AND ttr >= 0.2 AND lang_guess = 'en'
+    ), staged AS (
+      SELECT CASE WHEN f.n_tokens < 20 THEN '1_too_short'
+                  WHEN f.ttr < 0.2 THEN '2_low_ttr'
+                  WHEN f.lang_guess <> 'en' THEN '3_non_english'
+                  WHEN r.rk > 1 THEN '4_duplicate'
+                  ELSE '5_kept' END AS stage
+      FROM feats f LEFT JOIN ranked r ON f.doc_id = r.doc_id
+    )
+    SELECT stage, COUNT(*) AS n_docs,
+           round(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS corpus_share
+    FROM staged GROUP BY stage
+    """,
+    tags=("llm", "pipeline"),
+)
+def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel attribution: every document is charged to the FIRST
+    curation stage that kills it (length gate → type-token-ratio gate →
+    language gate → exact dedup) or to '5_kept'. This is the report that
+    tells you WHERE the corpus dies — whether a mix change should relax
+    the quality gate or fix the dedup key — and shares must sum to 1 by
+    construction (each doc counted exactly once, unlike running each
+    filter independently).
+
+    Scale: features are map-side; the dedup rank is one shuffle over
+    stage-3 survivors only; the stage rollup is a 5-key agg and the
+    share window runs on 5 rows. Adding a stage = one more WHEN branch,
+    same plan shape."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    toks = F.split(F.lower(F.col("text")), " ")
+    en = F.array([F.lit(m) for m in ["the", "and", "of"]])
+    feats = d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks).cast("double")).alias(
+            "ttr"
+        ),
+        F.when(F.arrays_overlap(toks, en), "en").otherwise("other").alias(
+            "lang_guess"
+        ),
+    )
+    surv = feats.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("ttr") >= 0.2)
+        & (F.col("lang_guess") == "en")
+    )
+    ranked = surv.select(
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy("h").orderBy("doc_id"))
+        .alias("rk"),
+    )
+    stage = (
+        F.when(F.col("n_tokens") < 20, "1_too_short")
+        .when(F.col("ttr") < 0.2, "2_low_ttr")
+        .when(F.col("lang_guess") != "en", "3_non_english")
+        .when(F.col("rk") > 1, "4_duplicate")
+        .otherwise("5_kept")
+    )
+    staged = feats.join(ranked, "doc_id", "left").select(stage.alias("stage"))
+    counts = staged.groupBy("stage").agg(F.count("*").alias("n_docs"))
+    return counts.select(
+        "stage",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(W.partitionBy()).cast("double"),
+            6,
+        ).alias("corpus_share"),
+    )
