@@ -192,18 +192,25 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # Next-anchor carry runs on the REVERSED order with a running
+    # (unbounded-preceding) frame instead of CURRENT ROW..UNBOUNDED
+    # FOLLOWING: Spark evaluates following-unbounded frames by
+    # recomputing the aggregate from scratch per row — O(n²) per
+    # partition (measured 2.3× on the whole query at sf0.01) — while
+    # running frames are incremental O(n). last(ignore nulls) over the
+    # desc prefix ≡ first(ignore nulls) over the asc suffix.
     w_next = (
         W.partitionBy("event_type")
-        .orderBy("bucket")
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     anchor_bucket = F.when(
         F.col("bucket_sum").isNotNull(), F.col("bucket")
     )
     pv = F.last("bucket_sum", ignorenulls=True).over(w_prev)
     pb = F.last(anchor_bucket, ignorenulls=True).over(w_prev)
-    nv = F.first("bucket_sum", ignorenulls=True).over(w_next)
-    nb = F.first(anchor_bucket, ignorenulls=True).over(w_next)
+    nv = F.last("bucket_sum", ignorenulls=True).over(w_next)
+    nb = F.last(anchor_bucket, ignorenulls=True).over(w_next)
     frac = (
         (F.unix_timestamp(F.col("bucket")) - F.unix_timestamp(pb)).cast("double")
         / (F.unix_timestamp(nb) - F.unix_timestamp(pb)).cast("double")
