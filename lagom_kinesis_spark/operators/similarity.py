@@ -352,6 +352,25 @@ def hyperplane_bucket(vec: Column, dim: int, num_planes: int = 16) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def md5_sample_matrix(
+    corpus: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> "np.ndarray":
+    """k × dim float64 matrix of the md5-ordered deterministic sample —
+    THE quantizer/codebook sampling contract shared by the whole IVF/PQ
+    family and replayed verbatim by their DuckDB oracles (order by
+    md5(id-as-string), ties to id, take k). One definition so a drive-by
+    edit cannot desync some queries from the oracle replay. Model-sized
+    driver collect (k ≤ 256): the documented safe collect."""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h", id_col)
+        .limit(k)
+        .collect()
+    )
+    return np.array([r[vec_col] for r in rows], dtype=np.float64)
+
+
 def centroid_rank(centroids: "np.ndarray") -> Column:
     """Array of (−round(cos, 6), cid) structs over ``embedding``, ascending
     sorted — element 0 is the vector's nearest centroid, the first
@@ -456,14 +475,7 @@ def train_pq_codebooks(
     indexes train."""
     import numpy as np
 
-    rows = (
-        corpus.select("vec_id", "embedding")
-        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("h", "vec_id")
-        .limit(n_train)
-        .collect()
-    )
-    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    X = md5_sample_matrix(corpus, n_train)
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     books = np.empty((m, n_codes, sub_dim), dtype=np.float64)
     for s in range(m):

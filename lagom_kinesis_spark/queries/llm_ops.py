@@ -20,6 +20,7 @@ from lagom_kinesis_spark.operators.similarity import (
     cosine_pandas,
     hyperplane_bucket,
     lsh_candidate_pairs,
+    md5_sample_matrix,
     simhash_signatures,
 )
 from lagom_kinesis_spark.operators import sketches
@@ -812,12 +813,9 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     group_key drives both the rank and the member count in a single
     window pass; output is group-cardinality-sized."""
     d = fan_out(load(spark, sf_dir, "documents"))
-    key = F.md5(
-        F.concat_ws(
-            " ", F.array_sort(F.array_distinct(tokens("text")))
-        ).cast("binary")
+    keyed = d.select(
+        "doc_id", "n_chars", fingerprint("text").alias("group_key")
     )
-    keyed = d.select("doc_id", "n_chars", key.alias("group_key"))
     w = W.partitionBy("group_key").orderBy(
         F.col("n_chars").desc(), F.col("doc_id")
     )
@@ -980,14 +978,7 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lagom_kinesis_spark.operators.similarity import centroid_rank
 
     e = fan_out(load(spark, sf_dir, "embeddings"))
-    cent_rows = (
-        e.select("vec_id", "embedding")
-        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("h", "vec_id")
-        .limit(8)
-        .collect()
-    )  # 8 × dim — model-sized, the documented driver-safe collect
-    C = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    C = md5_sample_matrix(e, 8)  # 8 × dim — model-sized driver-safe collect
     # Assignment scores every vector once; persist so the pairs join's two
     # sides and the final rollup don't re-run the Arrow scoring pass.
     assigned = e.select(
@@ -1097,16 +1088,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lagom_kinesis_spark.operators.similarity import ivf_topk
 
     e = load(spark, sf_dir, "embeddings")
-    cent_rows = (
-        e.select("vec_id", "embedding")
-        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("h", "vec_id")
-        .limit(8)
-        .collect()
-    )  # 8 × dim — model-sized, the documented driver-safe collect
-    import numpy as np
-
-    C = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    C = md5_sample_matrix(e, 8)  # 8 × dim — model-sized driver-safe collect
     return ivf_topk(e, C, F.col("vec_id") < 5, k=10, n_probe=2)
 
 
@@ -1675,14 +1657,7 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     e = load(spark, sf_dir, "embeddings")
-    samp_rows = (
-        e.select("vec_id", "embedding")
-        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("h", "vec_id")
-        .limit(8)
-        .collect()
-    )  # 8 × dim — model-sized, the documented driver-safe collect
-    S = np.array([r["embedding"] for r in samp_rows], dtype=np.float64)
+    S = md5_sample_matrix(e, 8)  # 8 × dim — model-sized driver-safe collect
     Sn = S / np.linalg.norm(S, axis=1, keepdims=True)  # unit sphere, as corpus
     codebooks = Sn.reshape(8, 4, 16).transpose(1, 0, 2)  # (m, n_codes, sub_dim)
     qrows = e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
@@ -1782,14 +1757,7 @@ def sim_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # In-sample quantization MSE of a codebook over the SAME md5-ordered
     # 256-vector training sample Lloyd's used (model-sized driver compute).
-    srows = (
-        e.select("vec_id", "embedding")
-        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("h", "vec_id")
-        .limit(256)
-        .collect()
-    )
-    X = np.array([r["embedding"] for r in srows], dtype=np.float64)
+    X = md5_sample_matrix(e, 256)
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     sampled_books = Xn[:8].reshape(8, 4, 16).transpose(1, 0, 2)
 
@@ -1920,14 +1888,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lagom_kinesis_spark.operators.similarity import ivfpq_topk
 
     e = load(spark, sf_dir, "embeddings")
-    samp_rows = (
-        e.select("vec_id", "embedding")
-        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("h", "vec_id")
-        .limit(8)
-        .collect()
-    )  # 8 × dim — model-sized, the documented driver-safe collect
-    S = np.array([r["embedding"] for r in samp_rows], dtype=np.float64)
+    S = md5_sample_matrix(e, 8)  # 8 × dim — model-sized driver-safe collect
     Sn = S / np.linalg.norm(S, axis=1, keepdims=True)
     codebooks = Sn.reshape(8, 4, 16).transpose(1, 0, 2)
     qrows = e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
@@ -2401,14 +2362,7 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load(spark, sf_dir, "embeddings")
-    cent_rows = (
-        e.select("vec_id", "embedding")
-        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("h", "vec_id")
-        .limit(8)
-        .collect()
-    )  # 8 x dim quantizer — model-sized, the documented driver-safe collect
-    C = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    C = md5_sample_matrix(e, 8)  # 8 × dim quantizer — model-sized collect
     ann = ivf_topk(e, C, F.col("vec_id") < 5, k=10, n_probe=2).select(
         "q_id", "vec_id", F.lit(1).alias("hit")
     )
@@ -2471,13 +2425,8 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts. Works unchanged over MinHash cluster ids or connected-
     component labels."""
     d = fan_out(load(spark, sf_dir, "documents"))
-    key = F.md5(
-        F.concat_ws(
-            " ", F.array_sort(F.array_distinct(tokens("text")))
-        ).cast("binary")
-    )
     groups = (
-        d.select(key.alias("group_key"))
+        d.select(fingerprint("text").alias("group_key"))
         .groupBy("group_key")
         .agg(F.count("*").alias("cluster_size"))
     )

@@ -1630,8 +1630,10 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage-3 survivors only; the stage rollup is a 5-key agg and the
     share window runs on 5 rows. Adding a stage = one more WHEN branch,
     same plan shape."""
+    from lagom_kinesis_spark.operators.text import tokens
+
     d = fan_out(load(spark, sf_dir, "documents"))
-    toks = F.split(F.lower(F.col("text")), " ")
+    toks = tokens("text")
     en = F.array([F.lit(m) for m in ["the", "and", "of"]])
     feats = d.select(
         "doc_id",

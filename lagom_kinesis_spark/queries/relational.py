@@ -720,12 +720,15 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "merge_scd2",
-    oracle="""
-    WITH cur AS (
+#: Shared oracle CTEs for the SCD2 CDC scenario (merge_scd2 and
+#: join_temporal_scd2_lookup must stay in lockstep): base version
+#: effective 1992-01-01 — at or before the first o_orderdate, so the
+#: version timeline covers EVERY fact and the temporal lookup's
+#: "each fact matches exactly once" contract holds — every 10th
+#: customer re-segmented effective 1997-06-01, plus one new key.
+_SCD2_CDC_SQL = """cur AS (
       SELECT c_custkey, c_mktsegment,
-             TIMESTAMP '1995-01-01' AS valid_from
+             TIMESTAMP '1992-01-01' AS valid_from
       FROM customer
     ), upd AS (
       SELECT c_custkey, concat('SEG2_', c_mktsegment) AS c_mktsegment,
@@ -734,7 +737,44 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT -1 AS c_custkey, 'NEW_SEGMENT' AS c_mktsegment,
              TIMESTAMP '1997-06-01' AS eff
+    )"""
+
+
+def _scd2_cdc_frames(spark: SparkSession, sf_dir: str):
+    """(target, updates) DataFrames mirroring :data:`_SCD2_CDC_SQL` —
+    the single Python construction of the CDC scenario both SCD2
+    queries feed through operators/merge.scd2_apply."""
+    cust = load(spark, sf_dir, "customer")
+    target = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1992-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
     )
+    updates = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            F.concat(F.lit("SEG2_"), F.col("c_mktsegment")).alias(
+                "c_mktsegment"
+            ),
+            F.lit("1997-06-01 00:00:00").cast("timestamp").alias("eff"),
+        )
+        .unionByName(
+            spark.sql(
+                "SELECT -1L AS c_custkey, 'NEW_SEGMENT' AS c_mktsegment, "
+                "TIMESTAMP '1997-06-01' AS eff"
+            )
+        )
+    )
+    return target, updates
+
+
+@register(
+    "merge_scd2",
+    oracle=f"""
+    WITH {_SCD2_CDC_SQL}
     SELECT c.c_custkey, c.c_mktsegment, c.valid_from,
            u.eff AS valid_to, FALSE AS is_current
     FROM cur c JOIN upd u USING (c_custkey)
@@ -762,30 +802,7 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Updates broadcast — two map-side joins, zero dimension shuffles."""
     from lagom_kinesis_spark.operators.merge import scd2_apply
 
-    cust = load(spark, sf_dir, "customer")
-    target = cust.select(
-        "c_custkey",
-        "c_mktsegment",
-        F.lit("1995-01-01 00:00:00").cast("timestamp").alias("valid_from"),
-        F.lit(None).cast("timestamp").alias("valid_to"),
-        F.lit(True).alias("is_current"),
-    )
-    updates = (
-        cust.filter(F.col("c_custkey") % 10 == 0)
-        .select(
-            "c_custkey",
-            F.concat(F.lit("SEG2_"), F.col("c_mktsegment")).alias(
-                "c_mktsegment"
-            ),
-            F.lit("1997-06-01 00:00:00").cast("timestamp").alias("eff"),
-        )
-        .unionByName(
-            spark.sql(
-                "SELECT -1L AS c_custkey, 'NEW_SEGMENT' AS c_mktsegment, "
-                "TIMESTAMP '1997-06-01' AS eff"
-            )
-        )
-    )
+    target, updates = _scd2_cdc_frames(spark, sf_dir)
     return scd2_apply(
         target, updates, keys=["c_custkey"], attrs=["c_mktsegment"]
     )
@@ -793,19 +810,8 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_temporal_scd2_lookup",
-    oracle="""
-    WITH cur AS (
-      SELECT c_custkey, c_mktsegment,
-             TIMESTAMP '1995-01-01' AS valid_from
-      FROM customer
-    ), upd AS (
-      SELECT c_custkey, concat('SEG2_', c_mktsegment) AS c_mktsegment,
-             TIMESTAMP '1997-06-01' AS eff
-      FROM customer WHERE c_custkey % 10 = 0
-      UNION ALL
-      SELECT -1 AS c_custkey, 'NEW_SEGMENT' AS c_mktsegment,
-             TIMESTAMP '1997-06-01' AS eff
-    ), dim AS (
+    oracle=f"""
+    WITH {_SCD2_CDC_SQL}, dim AS (
       SELECT c.c_custkey, c.c_mktsegment, c.valid_from,
              u.eff AS valid_to
       FROM cur c JOIN upd u USING (c_custkey)
@@ -846,33 +852,11 @@ def join_temporal_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     versions partition each key's timeline, so every fact matches exactly
     once and per-key fan-out equals the (small) version count. Dim
     broadcast here; at warehouse scale the same plan shuffles on custkey
-    once."""
+    once (the base version is effective 1992-01-01, at or before the
+    first o_orderdate, so the timeline covers the whole fact range)."""
     from lagom_kinesis_spark.operators.merge import scd2_apply
 
-    cust = load(spark, sf_dir, "customer")
-    target = cust.select(
-        "c_custkey",
-        "c_mktsegment",
-        F.lit("1995-01-01 00:00:00").cast("timestamp").alias("valid_from"),
-        F.lit(None).cast("timestamp").alias("valid_to"),
-        F.lit(True).alias("is_current"),
-    )
-    updates = (
-        cust.filter(F.col("c_custkey") % 10 == 0)
-        .select(
-            "c_custkey",
-            F.concat(F.lit("SEG2_"), F.col("c_mktsegment")).alias(
-                "c_mktsegment"
-            ),
-            F.lit("1997-06-01 00:00:00").cast("timestamp").alias("eff"),
-        )
-        .unionByName(
-            spark.sql(
-                "SELECT -1L AS c_custkey, 'NEW_SEGMENT' AS c_mktsegment, "
-                "TIMESTAMP '1997-06-01' AS eff"
-            )
-        )
-    )
+    target, updates = _scd2_cdc_frames(spark, sf_dir)
     dim = scd2_apply(
         target, updates, keys=["c_custkey"], attrs=["c_mktsegment"]
     )
@@ -1368,27 +1352,36 @@ def sink_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dq_k_anonymity",
     oracle="""
-    SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 100) AS BIGINT) AS acctbal_band,
+           COUNT(*) AS group_size
     FROM customer
-    GROUP BY c_nationkey, c_mktsegment
+    GROUP BY 1, 2, 3
     HAVING COUNT(*) < 10
     """,
     tags=("dq", "privacy"),
 )
 def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-anonymity audit (k=10) over the quasi-identifier pair
-    (nation, market segment): every QI combination shared by fewer than
-    k individuals is a re-identification risk and must be generalized or
-    suppressed before the table leaves the privacy boundary — the
-    standard pre-release check on training data containing person-level
-    rows. Output is the violating groups with their sizes (the
-    suppression worklist), not the individuals.
+    """k-anonymity audit (k=10) over the quasi-identifier triple
+    (nation, market segment, account-balance band): every QI combination
+    shared by fewer than k individuals is a re-identification risk and
+    must be generalized or suppressed before the table leaves the
+    privacy boundary — the standard pre-release check on training data
+    containing person-level rows. Output is the violating groups with
+    their sizes (the suppression worklist), not the individuals. The
+    width-100 balance band is the numeric quasi-identifier that makes
+    the audit bite at EVERY fixture scale (a 2-column QI saturates to
+    all-groups-safe by sf1, which would make the scaled differential
+    check vacuous — the 0-row-oracle trap).
 
     Scale: one shuffle on the QI key with map-side partial counts;
     output is bounded by QI-combination cardinality, never row count."""
     c = load(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 100).cast("long")
     return (
-        c.groupBy("c_nationkey", "c_mktsegment")
+        c.groupBy(
+            "c_nationkey", "c_mktsegment", band.alias("acctbal_band")
+        )
         .agg(F.count("*").alias("group_size"))
         .filter(F.col("group_size") < 10)
     )

@@ -165,9 +165,10 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     every gap has both anchors by construction (no edge extrapolation).
 
     Scale shape: identical to the locf query — per-series bounds generate
-    a time-range-bound grid; the anchor carry is two window passes over
-    the same (event_type, bucket) sort, which Spark evaluates in one
-    exchange + sort. The interpolated value is emitted UNROUNDED: both
+    a time-range-bound grid; the anchor carry is two RUNNING window
+    passes over opposite sort directions of the same partitioning (one
+    exchange, two in-partition sorts — see the w_next comment for why a
+    following-unbounded frame is avoided). The value is emitted UNROUNDED: both
     engines evaluate the bit-identical IEEE expression tree over exact
     inputs (decimal-sum anchors via the VARCHAR hop, whole-second epoch
     integers), so the raw doubles hash-match — while round(x, 6) would

@@ -321,9 +321,27 @@ def test_bm25_topk_is_take_ordered_with_filtered_explode(spark):
     """BM25's global top-15 must be TakeOrderedAndProject (partial top-k
     per partition), and the term filter must prune generator output so
     non-query tokens never reach the tf shuffle."""
+    import re
+
     plan = _plan(QS["text_bm25_topk"].fn(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan  # only the 1-row stats NLJ broadcast
+    # The term filter must sit IMMEDIATELY above the explode's Generate
+    # (i.e. below the tf Exchange): Generate node id N followed by Filter
+    # node id N+1 whose condition is the query-term IN list.
+    gen_ids = [int(m) for m in re.findall(r"\((\d+)\) Generate", plan)]
+    filt_ids = [
+        int(m.group(1))
+        for m in re.finditer(
+            r"\((\d+)\) Filter[^(]*?Condition : \S+ IN \(vector,join,stream\)",
+            plan,
+            re.S,
+        )
+    ]
+    assert any(f == g + 1 for g in gen_ids for f in filt_ids), (
+        gen_ids,
+        filt_ids,
+    )
 
 
 def test_jaccard_link_prediction_no_node_cartesian(spark):
