@@ -57,6 +57,44 @@ def path_of(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+_IO_GC_DONE = False
+
+
+def io_scratch(name: str, sf_dir: str) -> str:
+    """Per-process scratch dir for io-format roundtrip fixtures.
+
+    The ``_p<pid>`` suffix keeps concurrent processes — the round-end
+    runbook runs pytest and gate_sim side by side — from racing each
+    other: ``write.mode('overwrite')`` DELETES files a sibling may be
+    mid-scan on, yielding FileNotFound or a partial read. io fixtures
+    are cheap to rebuild per process, so unlike the flock-guarded
+    bucketed warehouse they are deliberately NOT shared; the
+    predictable ``<name>_<tag>_p<pid>`` shape lets dead siblings be
+    GC'd (once per process) instead of orphaning like the old salted
+    ``hash()`` names did."""
+    import os
+    import re
+    import shutil
+
+    base = "/tmp/lagom_kinesis_spark/io"
+    os.makedirs(base, exist_ok=True)
+    global _IO_GC_DONE
+    if not _IO_GC_DONE:
+        _IO_GC_DONE = True
+        for entry in os.listdir(base):
+            m = re.search(r"_p(\d+)$", entry)
+            if not m:
+                continue
+            pid = int(m.group(1))
+            try:
+                os.kill(pid, 0)  # signal 0: liveness probe only
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+            except Exception:
+                pass  # permission/other: leave it
+    return f"{base}/{name}_{stable_tag(sf_dir)}_p{os.getpid()}"
+
+
 def normalize_event_ts(df: DataFrame) -> DataFrame:
     """Canonicalize ``events.ts`` to TimestampType µs, whatever the file held.
 
@@ -85,31 +123,29 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
 #: against a different session's state; fixture files are immutable for the
 #: life of a session (scaled fixtures are built in a separate process before
 #: any session reads them), so the cached file listing cannot go stale.
-_LOAD_CACHE: dict[tuple, DataFrame] = {}
-
-
-def _session_key(spark: SparkSession) -> tuple:
-    try:
-        return (
-            spark.sparkContext.applicationId,
-            spark._jsparkSession.hashCode(),  # noqa: SLF001
-        )
-    except Exception:  # pragma: no cover — exotic session wrapper
-        return (id(spark),)
+#: Values pin the session object alongside the DataFrame: the cache key
+#: uses id(session), which is only meaningful while that exact object is
+#: alive — the identity comparison on lookup makes a recycled id (or the
+#: earlier non-unique JVM hashCode scheme's collision) unable to serve a
+#: plan bound to a DIFFERENT session's state.
+_LOAD_CACHE: dict[tuple, tuple[SparkSession, DataFrame]] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; canonicalizes events.ts (normalize_event_ts).
 
     Memoized per (session, sf_dir, table) — see _LOAD_CACHE."""
-    key = (_session_key(spark), sf_dir, name)
-    df = _LOAD_CACHE.get(key)
-    if df is None:
-        tune(spark)
-        df = spark.read.parquet(path_of(sf_dir, name))
-        if name == "events":
-            df = normalize_event_ts(df)
-        _LOAD_CACHE[key] = df
+    key = (id(spark), sf_dir, name)
+    hit = _LOAD_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    tune(spark)
+    df = spark.read.parquet(path_of(sf_dir, name))
+    if name == "events":
+        df = normalize_event_ts(df)
+    if len(_LOAD_CACHE) > 4096:  # bound growth across many sessions
+        _LOAD_CACHE.clear()
+    _LOAD_CACHE[key] = (spark, df)
     return df
 
 

@@ -74,6 +74,8 @@ def fan_out(df, min_factor: int = 1):
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism * min_factor
     out = df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    if len(_FAN_CACHE) > 4096:  # bound growth across many sessions
+        _FAN_CACHE.clear()
     _FAN_CACHE[key] = (df, out)
     return out
 

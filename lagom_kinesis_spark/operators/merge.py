@@ -61,7 +61,10 @@ def scd2_apply(
     ``target`` carries ``keys + attrs + valid_from + valid_to +
     is_current`` (history rows have is_current = false); ``updates``
     carries ``keys + attrs + eff_col`` and must be unique per key (the
-    MERGE precondition, as in :func:`upsert`). For a matching CURRENT row
+    MERGE precondition, as in :func:`upsert`); update rows with a NULL
+    effective timestamp are ignored — they cannot close a version, and
+    processing them on only one leg would fork a second current version.
+    For a matching CURRENT row
     whose attrs changed (null-safe comparison): the old version closes
     (valid_to = effective ts, is_current = false) and the new version
     appends; identical attrs are a no-op; unknown keys insert as new
@@ -76,10 +79,16 @@ def scd2_apply(
     from functools import reduce
 
     keys, attrs = list(keys), list(attrs)
-    u = updates.select(
+    # A NULL effective timestamp is invalid CDC input: it cannot close a
+    # version (valid_to would be NULL = "current") and previously slipped
+    # through the close leg while still inserting on the fresh leg —
+    # forking TWO current versions for one key. Such rows are dropped
+    # here so both legs see the same update set.
+    u = updates.filter(F.col(eff_col).isNotNull()).select(
         *[F.col(k) for k in keys],
         *[F.col(a).alias(f"__u_{a}") for a in attrs],
         F.col(eff_col).alias("__eff"),
+        F.lit(True).alias("__u_hit"),  # join-presence marker (see __t_hit)
     )
     if broadcast_updates:
         u = F.broadcast(u)
@@ -87,10 +96,11 @@ def scd2_apply(
     hist = target.filter(~F.col(is_current))
     out_cols = target.columns
     j = cur.join(u, keys, "left")
-    changed = F.col("__eff").isNotNull() & reduce(
+    differs = reduce(
         lambda a, b: a | b,
         [~F.col(a).eqNullSafe(F.col(f"__u_{a}")) for a in attrs],
     )
+    changed = F.col("__u_hit").isNotNull() & differs
     closed = j.filter(changed).select(
         *keys,
         *attrs,
@@ -98,7 +108,7 @@ def scd2_apply(
         F.col("__eff").alias(valid_to),
         F.lit(False).alias(is_current),
     )
-    kept = j.filter(~changed | F.col("__eff").isNull()).select(*out_cols)
+    kept = j.filter(~changed | F.col("__u_hit").isNull()).select(*out_cols)
     cur_attrs = cur.select(
         *[F.col(k) for k in keys],
         *[F.col(a).alias(f"__t_{a}") for a in attrs],

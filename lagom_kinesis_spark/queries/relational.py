@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from lagom_kinesis_spark.catalog import load, stable_tag
+from lagom_kinesis_spark.catalog import io_scratch, load, stable_tag
 from lagom_kinesis_spark.functions import (
     dec,
     hash_build,
@@ -414,7 +414,7 @@ def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the roundtrip identity. Scale: text scans split by line like any file
     source; the explicit parse projection keeps schema derivation out of
     the reader (no inference pass)."""
-    tmp = f"/tmp/lagom_kinesis_spark/io/nation_txt_{stable_tag(sf_dir)}"
+    tmp = io_scratch("nation_txt", sf_dir)
     load(spark, sf_dir, "nation").select(
         F.concat_ws("|", F.col("n_nationkey"), F.col("n_name")).alias("value")
     ).write.mode("overwrite").text(tmp)
@@ -433,7 +433,7 @@ def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink + schema'd CSV scan (no inferSchema — explicit schema is the
     only scale-safe option: inference re-reads the data)."""
-    tmp = f"/tmp/lagom_kinesis_spark/io/nation_csv_{stable_tag(sf_dir)}"
+    tmp = io_scratch("nation_csv", sf_dir)
     load(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(tmp)
     return spark.read.schema("n_nationkey int, n_name string, n_regionkey int").option(
         "header", True
@@ -447,7 +447,7 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON lines sink + schema'd JSON scan."""
-    tmp = f"/tmp/lagom_kinesis_spark/io/supplier_json_{stable_tag(sf_dir)}"
+    tmp = io_scratch("supplier_json", sf_dir)
     load(spark, sf_dir, "supplier").write.mode("overwrite").json(tmp)
     return spark.read.schema(
         "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
@@ -469,7 +469,7 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     enabling partition pruning on read."""
     from lagom_kinesis_spark.functions import dec, money
 
-    tmp = f"/tmp/lagom_kinesis_spark/io/orders_part_{stable_tag(sf_dir)}"
+    tmp = io_scratch("orders_part", sf_dir)
     load(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
         "o_orderpriority"
     ).parquet(tmp)
@@ -508,7 +508,7 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     prove nothing). Oracle: same join over the unpartitioned source."""
     from lagom_kinesis_spark.functions import dec, money
 
-    tmp = f"/tmp/lagom_kinesis_spark/io/cust_nat_{stable_tag(sf_dir)}"
+    tmp = io_scratch("cust_nat", sf_dir)
     load(spark, sf_dir, "customer").select(
         "c_custkey", "c_acctbal", "c_nationkey"
     ).write.mode("overwrite").partitionBy("c_nationkey").parquet(tmp)
@@ -619,7 +619,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink + scan (Spark's second built-in columnar format — same
     pushdown/pruning machinery as parquet). The oracle reads the original
     parquet: a lossless roundtrip through ORC must reproduce it."""
-    tmp = f"/tmp/lagom_kinesis_spark/io/part_orc_{stable_tag(sf_dir)}"
+    tmp = io_scratch("part_orc", sf_dir)
     load(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_brand", "p_retailprice"
     ).write.mode("overwrite").orc(tmp)
@@ -634,10 +634,10 @@ def _ensure_bucketed(
     cols: list,
     key: str,
     n_buckets: int,
-) -> None:
+) -> str:
     """Make ``table`` — ``src``'s ``cols`` bucketed+sorted by ``key`` — exist
     in this session's catalog, reusing a layout a sibling process already
-    wrote.
+    wrote. Returns the spec-versioned table name callers must read.
 
     The warehouse directory is SHARED across processes (stable_tag paths)
     while the session catalog is per-process, so a fresh process must not
@@ -645,9 +645,17 @@ def _ensure_bucketed(
     mid-scan FileNotFound). The ensure-phase is flock-serialized per table;
     a completed layout (``_SUCCESS`` present) is ADOPTED by registering an
     external bucketed table over it (plans identically: Bucketed scan, no
-    Exchange); only a partial/corrupt directory is rebuilt."""
+    Exchange); only a partial/corrupt directory is rebuilt.
+
+    The bucket count is baked into the table/path name: adoption trusts
+    on-disk files, and declaring N buckets over a layout written with a
+    different count would silently pair bucket i with the wrong (or an
+    empty) bucket on the other side — rows dropped, no error. A spec
+    change therefore lands at a NEW path instead of reinterpreting the
+    old one (the bucket-count formula changed exactly this way mid-r6)."""
+    table = f"{table}_b{n_buckets}"
     if spark.catalog.tableExists(table):
-        return
+        return table
     import fcntl
     import os
     import shutil
@@ -668,12 +676,13 @@ def _ensure_bucketed(
                 f"CLUSTERED BY ({key}) SORTED BY ({key}) "
                 f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
             )
-            return
+            return table
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(path, ignore_errors=True)
         sel.repartition(n_buckets, key).write.bucketBy(n_buckets, key).sortBy(
             key
         ).saveAsTable(table)
+    return table
 
 
 @register(
@@ -700,14 +709,13 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing de-shuffles (a broadcast would mask the point at test
     scale; at 100 TB neither fact side fits a broadcast anyway)."""
     tag = stable_tag(sf_dir)
-    bo, bl = f"bq_orders_{tag}", f"bq_lineitem_{tag}"
-    _ensure_bucketed(
-        spark, sf_dir, bo, "orders", ["o_orderkey", "o_orderpriority"],
-        "o_orderkey", 8,
+    bo = _ensure_bucketed(
+        spark, sf_dir, f"bq_orders_{tag}", "orders",
+        ["o_orderkey", "o_orderpriority"], "o_orderkey", 8,
     )
-    _ensure_bucketed(
-        spark, sf_dir, bl, "lineitem", ["l_orderkey", "l_quantity"],
-        "l_orderkey", 8,
+    bl = _ensure_bucketed(
+        spark, sf_dir, f"bq_lineitem_{tag}", "lineitem",
+        ["l_orderkey", "l_quantity"], "l_orderkey", 8,
     )
     li, o = spark.table(bl), spark.table(bo)
     return (
@@ -919,13 +927,12 @@ def flagship_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         min(64, os.path.getsize(f"{sf_dir}/lineitem.parquet") >> 26),
     )
     tag = stable_tag(sf_dir)
-    bo, bl = f"bq_fl_orders_{tag}", f"bq_fl_lineitem_{tag}"
-    _ensure_bucketed(
-        spark, sf_dir, bo, "orders",
+    bo = _ensure_bucketed(
+        spark, sf_dir, f"bq_fl_orders_{tag}", "orders",
         ["o_orderkey", "o_custkey", "o_orderdate"], "o_orderkey", n_buckets,
     )
-    _ensure_bucketed(
-        spark, sf_dir, bl, "lineitem",
+    bl = _ensure_bucketed(
+        spark, sf_dir, f"bq_fl_lineitem_{tag}", "lineitem",
         ["l_orderkey", "l_extendedprice", "l_discount"], "l_orderkey", n_buckets,
     )
     li, orders = spark.table(bl), spark.table(bo).filter(
@@ -977,7 +984,7 @@ def scan_binaryfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    tmp = f"/tmp/lagom_kinesis_spark/io/docs_bin_{stable_tag(sf_dir)}"
+    tmp = io_scratch("docs_bin", sf_dir)
     sub = (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 25 == 0)
@@ -1025,7 +1032,7 @@ def sink_clustered_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from lagom_kinesis_spark.functions import dec, money
 
-    tmp = f"/tmp/lagom_kinesis_spark/io/lineitem_clustered_{stable_tag(sf_dir)}"
+    tmp = io_scratch("lineitem_clustered", sf_dir)
     li = load(spark, sf_dir, "lineitem").select(
         "l_shipdate", "l_orderkey", "l_returnflag", "l_extendedprice"
     )
@@ -1064,7 +1071,7 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY.md §1.1)."""
     from lagom_kinesis_spark.functions import dec, money
 
-    tmp = f"/tmp/lagom_kinesis_spark/io/orders_pruned_{stable_tag(sf_dir)}"
+    tmp = io_scratch("orders_pruned", sf_dir)
     load(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
         "o_orderpriority"
     ).parquet(tmp)
@@ -1091,7 +1098,7 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the added column. The append-only topic-at-rest layout
     (SURVEY.md §1.1) evolves exactly this way; readers must never
     require a rewrite of historical files."""
-    tmp = f"/tmp/lagom_kinesis_spark/io/docs_evolve_{stable_tag(sf_dir)}"
+    tmp = io_scratch("docs_evolve", sf_dir)
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
@@ -1163,8 +1170,14 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT -1, 'NEW_CUSTOMER', 0, 'BUILDING'
     ), j AS (
       SELECT t.c_custkey AS tk, s.c_custkey AS sk,
-             md5(concat_ws('|', t.c_name, t.c_nationkey, t.c_mktsegment)) AS th,
-             md5(concat_ws('|', s.c_name, s.c_nationkey, s.c_mktsegment)) AS sh
+             md5(concat_ws(chr(2),
+                 coalesce(CAST(t.c_name AS VARCHAR), chr(1)),
+                 coalesce(CAST(t.c_nationkey AS VARCHAR), chr(1)),
+                 coalesce(CAST(t.c_mktsegment AS VARCHAR), chr(1)))) AS th,
+             md5(concat_ws(chr(2),
+                 coalesce(CAST(s.c_name AS VARCHAR), chr(1)),
+                 coalesce(CAST(s.c_nationkey AS VARCHAR), chr(1)),
+                 coalesce(CAST(s.c_mktsegment AS VARCHAR), chr(1)))) AS sh
       FROM target t FULL OUTER JOIN source s ON t.c_custkey = s.c_custkey
     )
     SELECT status, COUNT(*) AS n FROM (
@@ -1214,13 +1227,20 @@ def dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fp(df, key, hname):
+        # NULL-unambiguous fingerprint: concat_ws SKIPS null arguments, so
+        # (NULL,'a') and ('a',NULL) — or values shifted across columns by
+        # an embedded delimiter — would collide under a bare '|' join and
+        # misreport a changed row as 'unchanged'. Each field therefore
+        # gets an explicit NULL sentinel (\x01) and a control-char field
+        # separator (\x02) that cannot appear in this data. Mirrored
+        # chr(1)/chr(2) in the oracle.
+        cells = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x01"))
+            for c in ("c_name", "c_nationkey", "c_mktsegment")
+        ]
         return df.select(
             F.col("c_custkey").alias(key),
-            F.md5(
-                F.concat_ws(
-                    "|", "c_name", "c_nationkey", "c_mktsegment"
-                ).cast("binary")
-            ).alias(hname),
+            F.md5(F.concat_ws("\x02", *cells).cast("binary")).alias(hname),
         )
 
     j = fp(target, "tk", "th").join(
@@ -1247,7 +1267,7 @@ def scan_parquet_codec_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage/CPU codec tradeoff is a first-class knob — zstd typically
     halves footprint vs snappy for ~equal scan speed; correctness must
     be codec-invariant, which the identity oracle checks."""
-    tmp = f"/tmp/lagom_kinesis_spark/io/part_zstd_{stable_tag(sf_dir)}"
+    tmp = io_scratch("part_zstd", sf_dir)
     load(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_retailprice"
     ).write.mode("overwrite").option("compression", "zstd").parquet(tmp)
@@ -1322,7 +1342,7 @@ def sink_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     results)."""
     from lagom_kinesis_spark.functions import dec, money
 
-    tmp = f"/tmp/lagom_kinesis_spark/io/lineitem_zorder_{stable_tag(sf_dir)}"
+    tmp = io_scratch("lineitem_zorder", sf_dir)
     # 16-bit × 2 Morton interleave: bit i of partkey -> bit 2i, bit i of
     # suppkey -> bit 2i+1. One SQL string (one py4j call), pure codegen.
     z = " + ".join(
@@ -1486,7 +1506,7 @@ def scan_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a dead-letter sink."""
     from lagom_kinesis_spark.functions import dec, money
 
-    tmp = f"/tmp/lagom_kinesis_spark/io/customer_csvbad_{stable_tag(sf_dir)}"
+    tmp = io_scratch("customer_csvbad", sf_dir)
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     bal = F.when(
         F.col("c_custkey") % 97 == 0, F.lit("oops")

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lagom_kinesis_spark.catalog import (
+    io_scratch,
     normalize_event_ts,
     path_of,
     stable_tag,
@@ -70,8 +71,6 @@ def _events_dir_with_sentinel(sf_dir: str) -> str:
         stale = pq.read_schema(sentinel).field("ts").type != pq.read_schema(
             path_of(sf_dir, "events")
         ).field("ts").type
-        if stale:
-            os.remove(sentinel)
     if stale or not (os.path.islink(link) and os.path.exists(sentinel)):
         os.makedirs(d, exist_ok=True)
         if not os.path.islink(link):
@@ -104,7 +103,13 @@ def _events_dir_with_sentinel(sf_dir: str) -> str:
                 "props": pa.array(["{}", "{}"], pa.string()),
             }
         )
-        pq.write_table(table, sentinel)
+        # Atomic publish: write a dot-prefixed temp (hidden from Spark's
+        # directory scan) and rename over the sentinel — this dir is a
+        # SHARED cross-process cache, and a concurrent reader must see
+        # either the old or the new sentinel, never a partial file.
+        tmp = os.path.join(d, f".zz_sentinel.tmp{os.getpid()}")
+        pq.write_table(table, tmp)
+        os.replace(tmp, sentinel)
     return d
 
 
@@ -733,7 +738,7 @@ def kinesis_sim_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.dataSource.register(KinesisSimDataSource)
     except Exception:
         pass  # already registered in this session
-    d = f"/tmp/lagom_kinesis_spark/ksim/{stable_tag(sf_dir)}_docs"
+    d = io_scratch("ksim_docs", sf_dir)  # per-process: no sibling races
     _shutil.rmtree(d, ignore_errors=True)
     tbl = _pq.read_table(path_of(sf_dir, "documents"), columns=["doc_id", "lang"])
     put_records(
@@ -847,7 +852,7 @@ def kinesis_sim_produce_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         spark.dataSource.register(KinesisSimDataSource)
     except Exception:
         pass  # already registered in this session
-    d = f"/tmp/lagom_kinesis_spark/ksim/{stable_tag(sf_dir)}_produce"
+    d = io_scratch("ksim_produce", sf_dir)  # per-process: no sibling races
     _shutil.rmtree(d, ignore_errors=True)
     records = load(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("data"),
@@ -941,7 +946,7 @@ def stream_relay_to_kinesis(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.dataSource.register(KinesisSimDataSource)
     except Exception:
         pass  # already registered in this session
-    d = f"/tmp/lagom_kinesis_spark/ksim/{stable_tag(sf_dir)}_relay"
+    d = io_scratch("ksim_relay", sf_dir)  # per-process: no sibling races
     _shutil.rmtree(d, ignore_errors=True)
 
     def flow(batch_df: DataFrame, epoch_id: int) -> None:
@@ -1011,7 +1016,7 @@ def kinesis_sim_reshard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         spark.dataSource.register(KinesisSimDataSource)
     except Exception:
         pass  # already registered in this session
-    d = f"/tmp/lagom_kinesis_spark/ksim/{stable_tag(sf_dir)}_reshard"
+    d = io_scratch("ksim_reshard", sf_dir)  # per-process: no sibling races
     _shutil.rmtree(d, ignore_errors=True)
     create_stream(d, n_shards=1)
     import pyarrow.parquet as _pq
@@ -1189,10 +1194,10 @@ def stream_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from lagom_kinesis_spark.catalog import load, stable_tag
+    from lagom_kinesis_spark.catalog import io_scratch, load
     from lagom_kinesis_spark.operators.merge import scd2_apply
 
-    base = f"/tmp/lagom_kinesis_spark/io/cdc_scd2_{stable_tag(sf_dir)}"
+    base = io_scratch("cdc_scd2", sf_dir)  # per-process: no sibling races
     shutil.rmtree(base, ignore_errors=True)  # fresh replay per invocation
     src = f"{base}/src"
     os.makedirs(src, exist_ok=True)
@@ -1232,11 +1237,21 @@ def stream_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def apply_batch(bdf: DataFrame, batch_id: int) -> None:
         sp = bdf.sparkSession
+        old = f"{target}_old"
+        if not os.path.exists(target) and os.path.exists(old):
+            os.rename(old, target)  # recover a crash between the renames
         tgt = sp.read.parquet(target)
         out = scd2_apply(tgt, bdf, keys=["c_custkey"], attrs=["c_mktsegment"])
         out.write.mode("overwrite").parquet(f"{target}_new")
-        shutil.rmtree(target)
+        # Crash-safe snapshot swap: rename the live dir ASIDE, promote the
+        # new one, drop the old. The previous rmtree-then-rename had a
+        # window where a kill left NO target at all, breaking the
+        # restartable contract; now every window leaves a readable
+        # snapshot (target or target_old).
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(target, old)
         os.rename(f"{target}_new", target)
+        shutil.rmtree(old, ignore_errors=True)
 
     stream = (
         spark.readStream.schema(

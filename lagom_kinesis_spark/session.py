@@ -46,25 +46,30 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
-#: Sessions already tuned (by JVM identity): tune() is called on every
-#: catalog.load and from many query entry points — ~13 py4j conf roundtrips
-#: each time adds tens of ms of pure fixed cost per query. Confs set once on
-#: a session stay set (the only in-repo mutation, memory_sink_table's
-#: shuffle-partition override, restores its previous value), so re-applying
-#: per call buys nothing.
-_TUNED: set = set()
+#: Sessions already tuned: tune() is called on every catalog.load and from
+#: many query entry points — ~13 py4j conf roundtrips each time adds tens
+#: of ms of pure fixed cost per query. Confs set once on a session stay set
+#: (the only in-repo mutation, memory_sink_table's shuffle-partition
+#: override, restores its previous value), so re-applying per call buys
+#: nothing. Keyed on id(session) with the session object PINNED in the
+#: value: the earlier JVM identity hashCode() is NOT unique across
+#: sessions, and a collision would silently skip correctness-critical
+#: confs (UTC timezone, nanosAsLong) on the colliding session. The pin
+#: makes id() reuse safe (a recycled id can't alias — the stored object
+#: comparison fails); worst case for a re-wrapped JVM session is one
+#: redundant idempotent re-tune.
+_TUNED: dict[int, SparkSession] = {}
 
 
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an existing session (idempotent, cheap;
-    memoized per JVM session identity)."""
-    try:
-        key = spark._jsparkSession.hashCode()  # noqa: SLF001
-    except Exception:  # pragma: no cover
-        key = id(spark)
-    if key in _TUNED:
+    memoized per live session object)."""
+    key = id(spark)
+    if _TUNED.get(key) is spark:
         return spark
-    _TUNED.add(key)
+    if len(_TUNED) > 64:  # bound growth across many short-lived sessions
+        _TUNED.clear()
+    _TUNED[key] = spark
     for k, v in RUNTIME_CONFS.items():
         try:
             if spark.conf.get(k, None) != v:

@@ -519,6 +519,10 @@ def test_scd2_apply_edge_semantics(spark):
             (2, "b", eff),
             (3, None, eff),
             (5, None, eff),  # new key with NULL attr
+            # NULL eff = invalid CDC input: must be IGNORED entirely.
+            # (Previously it slipped past the close leg but inserted on
+            # the fresh leg, forking a second current version for k=4.)
+            (4, "d2", None),
         ],
         "k int, seg string, eff timestamp",
     )
