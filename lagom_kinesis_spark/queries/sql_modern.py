@@ -378,3 +378,25 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM chain WHERE anc = 0 GROUP BY depth
         """
     )
+
+
+@register(
+    "sql_star_except",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer WHERE c_custkey <= 200
+    """,
+    tags=("sql",),
+)
+def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT * EXCEPT (cols)`` — projection by exclusion (Spark 4 /
+    BigQuery / DuckDB-EXCLUDE style): keep everything but the named
+    columns, the ergonomic front door for wide tables where enumerating
+    80 survivors to drop 2 is unmaintainable. The oracle enumerates the
+    surviving columns explicitly, proving EXCEPT resolves to exactly
+    that projection (and column pruning still reaches the scan)."""
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(
+        "SELECT * EXCEPT (c_nationkey, c_acctbal) FROM customer "
+        "WHERE c_custkey <= 200"
+    )

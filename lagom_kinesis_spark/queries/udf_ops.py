@@ -332,3 +332,34 @@ def udtf_polymorphic_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __udtf_docs d, LATERAL lks_prefix_tokens(d.text, 3) t
         """
     )
+
+
+@register(
+    "udf_arrow_optimized",
+    oracle="""
+    SELECT o_orderkey,
+           concat(o_orderpriority, ':',
+                  CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR))
+             AS tagged
+    FROM orders
+    """,
+    tags=("udf",),
+)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (``useArrow=True``, Spark 4): same
+    row-at-a-time author experience as udf_python_scalar but the
+    batch transport is Arrow (plans as ArrowEvalPython, not
+    BatchEvalPython) — the zero-rewrite upgrade path for legacy pickle
+    UDFs, sitting between them and fully vectorized pandas UDFs. Logic
+    (floor, not round) is chosen to be rounding-mode-unambiguous across
+    engines."""
+    import math
+
+    @F.udf("string", useArrow=True)
+    def tag(prio: str, price: float) -> str:
+        return f"{prio}:{math.floor(price)}"
+
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", tag("o_orderpriority", "o_totalprice").alias("tagged")
+    )
