@@ -312,11 +312,46 @@ class _Writer(DataSourceWriter):
         self.stream_dir = options["path"]
         self.n_shards = int(options.get("n_shards", "4"))
         self.overwrite = overwrite
+        # A ranged stream (shards.json present — create_stream/split/merge
+        # model) routes by hash RANGE over the OPEN shards, exactly like
+        # put_records_ranged. Without this, writing to a resharded stream
+        # would mod-route records into CLOSED parents (breaking the
+        # drain-parents-first ordering contract) and into shard indices
+        # outside the descriptor entirely.
+        meta = os.path.join(self.stream_dir, _META)
+        self.open_ranges: list[tuple[int, int, int]] | None = None
+        if os.path.exists(meta):
+            self.open_ranges = [
+                (int(s["id"].rsplit("-", 1)[1]), s["lo"], s["hi"])
+                for s in _load_meta(self.stream_dir)
+                if s["status"] == "OPEN"
+            ]
+
+    def _route(self, pk: str, ehk) -> int:
+        if self.open_ranges is None:
+            return shard_for(pk, self.n_shards, ehk)
+        h = hash32(ehk if ehk is not None else pk)
+        for i, lo, hi in self.open_ranges:
+            if lo <= h < hi:
+                return i
+        raise ValueError(f"no OPEN shard covers hash {h}")  # corrupt meta
 
     def write(self, iterator) -> _StagedParts:
         import uuid as _uuid
 
-        stage_dir = os.path.join(self.stream_dir, "_staging", _uuid.uuid4().hex)
+        from pyspark import TaskContext
+
+        # Partition id leads the staging path so commit()'s path sort is a
+        # DETERMINISTIC (input partition, shard) order — a bare uuid made
+        # same-key records from different tasks land in uuid order. Per-key
+        # order through the distributed writer holds when a key lives in
+        # one partition (TaggedProducer repartitions by key for exactly
+        # this); cross-partition keys are the caller's ordering contract.
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        stage_dir = os.path.join(
+            self.stream_dir, "_staging", f"{pid:05d}_{_uuid.uuid4().hex}"
+        )
         buckets: dict[int, list[str]] = {}
         for row in iterator:
             pk = row.partition_key
@@ -326,7 +361,7 @@ class _Writer(DataSourceWriter):
             payload = {"data": row.data, "partition_key": pk}
             if ehk is not None:
                 payload["explicit_hash_key"] = ehk
-            buckets.setdefault(shard_for(pk, self.n_shards, ehk), []).append(
+            buckets.setdefault(self._route(pk, ehk), []).append(
                 json.dumps(payload)
             )
         os.makedirs(stage_dir, exist_ok=True)
@@ -354,9 +389,15 @@ class _Writer(DataSourceWriter):
             with open(path) as src, open(dst, "a") as out:
                 out.write(src.read())
         # Materialize every shard dir so readers see the full shard ring
-        # even when a shard received no records.
-        for i in range(self.n_shards):
-            os.makedirs(os.path.dirname(_shard_file(self.stream_dir, i)), exist_ok=True)
+        # even when a shard received no records. (Ranged streams already
+        # materialize their dirs in create_stream/split/merge — and their
+        # shard count is the descriptor's, not n_shards.)
+        if self.open_ranges is None:
+            for i in range(self.n_shards):
+                os.makedirs(
+                    os.path.dirname(_shard_file(self.stream_dir, i)),
+                    exist_ok=True,
+                )
         shutil.rmtree(os.path.join(self.stream_dir, "_staging"), ignore_errors=True)
 
     def abort(self, messages) -> None:

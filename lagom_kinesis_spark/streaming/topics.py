@@ -82,13 +82,21 @@ def run_with_backoff(
     return failures
 
 
-_GROUP_ID_BAD = set(' /:*?"<>|\t\n')
+_GROUP_ID_BAD = set(' /\\:*?"<>|\t\n')
 
 
 def _validate_group_id(group_id: str) -> str:
     """Charset validation mirroring the reference's GroupId check
-    (ScaladslKinesisSubscriber.scala:168-182)."""
-    if not group_id or any(ch in _GROUP_ID_BAD for ch in group_id):
+    (ScaladslKinesisSubscriber.scala:168-182) — plus '.'/'..' and
+    backslash, which the charset alone misses: the group id becomes a
+    path segment of the checkpoint namespace, and '..' would escape it
+    (two topics' '..' groups collapse onto the SAME checkpoint, so one
+    query resumes from the other's offsets)."""
+    if (
+        not group_id
+        or group_id in (".", "..")
+        or any(ch in _GROUP_ID_BAD for ch in group_id)
+    ):
         raise ValueError(f"invalid group id: {group_id!r}")
     return group_id
 
@@ -151,7 +159,7 @@ class Subscriber:
     #: owns termination via the backoff wrapper).
     processing_time: str | None = None
 
-    def _run(self, batch_fn, available_now: bool) -> None:
+    def _run(self, batch_fn) -> None:
         writer = (
             self.topic.stream()
             .writeStream.foreachBatch(batch_fn)
@@ -174,7 +182,7 @@ class Subscriber:
         def batch_fn(df: DataFrame, epoch_id: int) -> None:
             flow(df, epoch_id)
 
-        self._run(batch_fn, available_now=True)
+        self._run(batch_fn)
 
     def at_most_once(
         self, flow: Callable[[DataFrame, int], None], staging_dir: str
@@ -194,15 +202,20 @@ class Subscriber:
             # TaggedProducer's exactly_once epoch-keyed sink.
             df.write.mode("overwrite").parquet(f"{staging_dir}/__epoch={epoch_id}")
 
-        self._run(stage, available_now=True)
+        self._run(stage)
 
         errors: list[Exception] = []
-        import os
-
-        if not os.path.isdir(staging_dir):
-            return errors  # nothing was staged (already caught up) — no-op
+        if not os.path.isdir(staging_dir) or not any(
+            e.startswith("__epoch=") for e in os.listdir(staging_dir)
+        ):
+            # Nothing staged (already caught up), or every staged epoch was
+            # already processed AND GC'd — only _DONE_ markers remain.
+            return errors
         try:
+            import shutil
+
             staged = spark.read.parquet(staging_dir)
+            done: list[int] = []
             for row in staged.select("__epoch").distinct().collect():
                 epoch = row["__epoch"]
                 # Each staged epoch gets exactly ONE processing attempt —
@@ -211,6 +224,7 @@ class Subscriber:
                 # (that would silently upgrade the mode to at-least-once).
                 marker = f"{staging_dir}/_DONE_{epoch}"
                 if os.path.exists(marker):
+                    done.append(epoch)  # GC leftover from a prior crash
                     continue
                 try:
                     flow(staged.filter(F.col("__epoch") == epoch).drop("__epoch"), epoch)
@@ -218,6 +232,17 @@ class Subscriber:
                     errors.append(e)
                 finally:
                     open(marker, "w").close()
+                    done.append(epoch)
+            # GC processed epochs AFTER the loop (partition pruning means a
+            # deleted sibling dir is never scanned, but deleting only after
+            # every attempt keeps the read path simple): without this, a
+            # long-lived subscriber re-lists and re-skips the ENTIRE staged
+            # history every call — unbounded disk + O(history) list cost.
+            # The marker (the one-attempt record) stays; only data goes.
+            for epoch in done:
+                shutil.rmtree(
+                    f"{staging_dir}/__epoch={epoch}", ignore_errors=True
+                )
         except Exception as e:  # noqa: BLE001
             errors.append(e)
         return errors
@@ -236,7 +261,7 @@ class Subscriber:
                     f"batch {epoch_id} not committed; will be redelivered"
                 )
 
-        self._run(batch_fn, available_now=True)
+        self._run(batch_fn)
 
 
 @dataclass
@@ -292,12 +317,21 @@ class TaggedProducer:
         )
 
         def publish(df: DataFrame, epoch_id: int) -> None:
-            out = self._serialized(df)
+            # __seq pins each record's position in the journal read order
+            # BEFORE the shuffle: sorting by partition_key alone leaves
+            # same-key rows in arbitrary shuffle-fetch order, which would
+            # silently break the per-key ordering this class promises
+            # (R14). monotonically_increasing_id is (input partition ‖
+            # row-in-partition), and Spark's file listing is sorted, so
+            # the recovered order is the journal's.
+            out = self._serialized(df).withColumn(
+                "__seq", F.monotonically_increasing_id()
+            )
             # Per-key ordering: co-locate each key then write; a real Kinesis
             # sink would putRecords per partition with keys in order.
             ordered = out.repartition(F.col("partition_key")).sortWithinPartitions(
-                "partition_key"
-            )
+                "partition_key", "__seq"
+            ).drop("__seq")
             if self.exactly_once:
                 # Idempotent epoch-keyed write: retrying epoch N overwrites
                 # sink/__epoch=N — no duplicates across crash/retry.
@@ -391,7 +425,6 @@ def fresh_scratch_dir(tag: str) -> str:
     Cleanup is one call behind because callers return DataFrames that read
     the directory LAZILY — it must outlive the call that created it."""
     import shutil
-    import uuid
 
     prev = _scratch_dirs.pop(tag, None)
     if prev:
@@ -423,17 +456,22 @@ def memory_sink_table(df: DataFrame, output_mode: str = "append") -> DataFrame:
     name = f"ms_{uuid.uuid4().hex[:12]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS)
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    q = None
     try:
+        # start() itself can raise (e.g. append mode on an un-watermarked
+        # aggregation) — it must sit INSIDE the try or the session-wide
+        # shuffle-partition override leaks to every later batch query.
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
         q.awaitTermination()
     finally:
-        q.stop()
+        if q is not None:
+            q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         _unload_state_stores(spark)
     _prior_sinks.append(name)

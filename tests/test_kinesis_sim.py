@@ -554,3 +554,75 @@ def test_stream_restart_with_drain_gate_no_duplicates(spark, stream_dir, tmp_pat
     run_once()
     datas = [r["data"] for r in seen]
     assert len(datas) == 24 and len(set(datas)) == 24  # exactly once each
+
+
+def test_distributed_writer_routes_by_ranges_after_reshard(spark, stream_dir):
+    """df.write on a RANGED stream (shards.json present) must route like
+    put_records_ranged: records land only in OPEN shards whose hash range
+    contains hash32(pk) — never in the CLOSED parent (which a
+    drain-parents-first consumer has already drained) and never in mod-N
+    shard indices outside the descriptor."""
+    import os
+
+    from lagom_kinesis_spark.sources.kinesis_sim import (
+        _load_meta,
+        create_stream,
+        hash32,
+        split_shard,
+    )
+
+    _registered(spark)
+    create_stream(stream_dir, 1)
+    split_shard(stream_dir, "shard-00000")  # parent CLOSED, two children
+    rows = [(f"m{i}", f"key{i}") for i in range(30)]
+    (
+        spark.createDataFrame(rows, "data string, partition_key string")
+        .write.format("kinesis_sim")
+        .option("path", stream_dir)
+        .mode("append")
+        .save()
+    )
+    parent_log = os.path.join(stream_dir, "shard-00000", "records.jsonl")
+    assert not os.path.exists(parent_log) or not open(parent_log).read().strip()
+    meta = {s["id"]: s for s in _load_meta(stream_dir)}
+    back = (
+        spark.read.format("kinesis_sim").option("path", stream_dir).load().collect()
+    )
+    assert len(back) == 30
+    for r in back:
+        s = meta[r["shard_id"]]
+        h = hash32(r["partition_key"])
+        assert s["status"] == "OPEN" and s["lo"] <= h < s["hi"]
+
+
+def test_distributed_writer_commit_order_is_partition_deterministic(
+    spark, stream_dir
+):
+    """Staged parts commit in (input partition, shard) order — the uuid-only
+    staging path made same-shard parts from different tasks land in random
+    uuid order. With keys co-located per partition (the TaggedProducer
+    contract), a key's records must appear in its shard log in input order."""
+    _registered(spark)
+    # 2 partitions, keys pinned per partition via repartition on the key.
+    rows = [(f"m{i:03d}", f"k{i % 2}") for i in range(20)]
+    df = spark.createDataFrame(rows, "data string, partition_key string")
+    (
+        df.repartition(2, "partition_key")
+        .sortWithinPartitions("partition_key", "data")
+        .write.format("kinesis_sim")
+        .option("path", stream_dir)
+        .option("n_shards", "2")
+        .mode("append")
+        .save()
+    )
+    back = (
+        spark.read.format("kinesis_sim").option("path", stream_dir).load()
+    )
+    for pk in ("k0", "k1"):
+        got = [
+            r["data"]
+            for r in back.filter(back.partition_key == pk)
+            .orderBy("sequence_number")
+            .collect()
+        ]
+        assert got == sorted(got), (pk, got)
