@@ -1193,3 +1193,51 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("v").alias("weighted_median"),
         )
     )
+
+
+@register(
+    "agg_histogram_equiwidth",
+    oracle="""
+    WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+               FROM orders)
+    SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20)), 19)
+                AS BIGINT) AS bin,
+           round(lo + CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20)), 19)
+                           AS BIGINT) * ((hi - lo) / 20), 6) AS bin_lo,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+                AS DOUBLE) AS bin_sum
+    FROM orders, b
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "histogram"),
+)
+def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (the profiling/EDA staple `histogram_numeric`
+    approximates — this is the exact two-pass form): pass 1 computes the
+    global [min, max], pass 2 bins every row by literal arithmetic and
+    hash-aggregates. The bounds row is broadcast (one row), so at 100 TB
+    this is two scans with map-side partial aggregation and zero row
+    expansion; bin arithmetic is identical double math on both engines,
+    and the top value is clamped into the last bin."""
+    o = load(spark, sf_dir, "orders")
+    bounds = F.broadcast(
+        o.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    )
+    width = (F.col("hi") - F.col("lo")) / 20
+    bin_ = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / width), F.lit(19)
+    ).cast("long")
+    return (
+        o.crossJoin(bounds)
+        .select(
+            bin_.alias("bin"),
+            r6(F.col("lo") + bin_ * width).alias("bin_lo"),
+            "o_totalprice",
+        )
+        .groupBy("bin", "bin_lo")
+        .agg(
+            F.count("*").alias("n"),
+            money(F.sum(dec("o_totalprice"))).alias("bin_sum"),
+        )
+    )

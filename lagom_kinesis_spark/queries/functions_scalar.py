@@ -724,3 +724,30 @@ def fn_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "key").alias("key_str"),
         F.size(m).alias("n_entries"),
     )
+
+
+@register(
+    "fn_aes_roundtrip",
+    oracle="""
+    SELECT p_partkey,
+           p_name AS roundtrip,
+           ((length(p_name) // 16) + 1) * 16 AS cipher_len
+    FROM part WHERE p_partkey % 10 = 0
+    """,
+    tags=("functions", "crypto"),
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``aes_encrypt``/``aes_decrypt`` surface proof via a decrypt∘encrypt
+    identity (ECB mode — deterministic, so the PKCS7 ciphertext length is
+    checkable too: 16·(⌊n/16⌋+1) bytes for an n-byte ASCII input). GCM is
+    the production mode but salts a random IV per call; the identity and
+    length contracts are the mode-independent behavior worth pinning.
+    JVM-side codegen expressions — no Python in the path."""
+    key = F.lit("0123456789abcdef")
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
+    cipher = F.aes_encrypt(F.col("p_name").cast("binary"), key, F.lit("ECB"))
+    return p.select(
+        "p_partkey",
+        F.aes_decrypt(cipher, key, F.lit("ECB")).cast("string").alias("roundtrip"),
+        F.length(cipher).alias("cipher_len"),
+    )

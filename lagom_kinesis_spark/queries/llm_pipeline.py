@@ -1675,3 +1675,114 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corpus_share"),
     )
+
+
+@register(
+    "text_gopher_rules",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+               / len(toks) AS mwl,
+             len(list_filter(toks,
+                 x -> list_contains(['the','and','of','a','in','to'], x)))
+               AS sw_hits,
+             CAST(len(list_filter(toks, x -> regexp_full_match(x, '[0-9]+')))
+                  AS DOUBLE) / len(toks) AS digit_ratio
+      FROM t
+    )
+    SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len, sw_hits,
+           round(digit_ratio, 6) AS digit_ratio,
+           (n_words BETWEEN 5 AND 100000
+            AND mwl BETWEEN 2 AND 12
+            AND sw_hits >= 2
+            AND digit_ratio <= 0.3) AS keep
+    FROM m
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1, the
+    standard pre-filter in pretraining curation): word-count bounds, mean
+    word length in [2, 12], ≥2 stopword hits, and a numeric-token ratio
+    cap, composed into one keep decision.
+
+    All four signals derive from integer counts over the token array, so
+    every ratio is the same two-integer division on both engines and even
+    the boolean is deterministic (no float-accumulation order anywhere).
+    Map-only array expressions in codegen — no shuffle, no UDF; at 100 TB
+    this is a pure scan-side filter that fuses with downstream stages."""
+    from lagom_kinesis_spark.operators.text import STOPWORDS, tokens
+
+    d = load(spark, sf_dir, "documents")
+    sw = F.array([F.lit(s) for s in STOPWORDS])
+    toks = tokens("text")
+    m = d.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        (
+            F.aggregate(
+                F.transform(toks, F.length),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.size(toks)
+        ).alias("mwl"),
+        F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).alias("sw_hits"),
+        (
+            F.size(F.filter(toks, lambda x: x.rlike("^[0-9]+$"))).cast("double")
+            / F.size(toks)
+        ).alias("digit_ratio"),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        r6(F.col("mwl")).alias("mean_word_len"),
+        "sw_hits",
+        r6(F.col("digit_ratio")).alias("digit_ratio"),
+        (
+            F.col("n_words").between(5, 100000)
+            & F.col("mwl").between(2, 12)
+            & (F.col("sw_hits") >= 2)
+            & (F.col("digit_ratio") <= 0.3)
+        ).alias("keep"),
+    )
+
+
+@register(
+    "mix_epoch_upsample",
+    oracle="""
+    SELECT doc_id, source, n_chars, CAST(epoch_idx AS BIGINT) AS epoch_idx
+    FROM documents,
+         LATERAL unnest(generate_series(1,
+           CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 3
+                WHEN source IN ('src5','src6','src7','src8','src9') THEN 2
+                ELSE 1 END)) AS t(epoch_idx)
+    """,
+    tags=("llm", "mixing"),
+)
+def mix_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-based source upsampling (the mixing knob next to quota and
+    temperature sampling: high-quality sources repeat for N epochs in the
+    training stream — cf. Llama/Gopher data recipes). Each doc explodes
+    into `epochs(source)` tagged copies via sequence+explode — map-only
+    row generation, no shuffle, no join; the epoch map is a literal CASE,
+    so at 100 TB the expansion happens executor-local at scan time and
+    fan-out is bounded by max epochs, never data size."""
+    d = load(spark, sf_dir, "documents")
+    epochs = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3", "src4"), 3)
+        .when(F.col("source").isin("src5", "src6", "src7", "src8", "src9"), 2)
+        .otherwise(1)
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.explode(F.sequence(F.lit(1), epochs)).alias("ei"),
+    ).select(
+        "doc_id", "source", "n_chars", F.col("ei").cast("long").alias("epoch_idx")
+    )

@@ -1528,3 +1528,45 @@ def scan_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
             money(F.sum(dec("c_acctbal"))).alias("sum_bal"),
         )
     )
+
+
+@register(
+    "dq_benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit
+      FROM orders
+    ), agged AS (
+      SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+    )
+    SELECT digit, n,
+           round(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS share,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_expected
+    FROM agged
+    """,
+    tags=("dq", "profiling"),
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen (fraud/anomaly profiling staple):
+    distribution of the leading significant digit of o_totalprice vs the
+    log10(1+1/d) expectation. The digit comes from the INTEGER part's
+    string form — never floating log10 of the value, whose last-ulp libm
+    differences across engines could flip floor() at decade boundaries.
+    One hash aggregate over 9 groups + a single-row window for the share;
+    map-side combine makes this a scan-dominated plan at any scale."""
+    o = load(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("long")
+    agged = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    return agged.select(
+        "digit",
+        "n",
+        r6(F.col("n").cast("double") / F.sum("n").over(W.partitionBy())).alias(
+            "share"
+        ),
+        r6(F.log10(1.0 + 1.0 / F.col("digit"))).alias("benford_expected"),
+    )

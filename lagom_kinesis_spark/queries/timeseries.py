@@ -506,3 +506,66 @@ def ts_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_id", "event_type")
         .agg(r6(F.sum(F.col("t_value") * weight)).alias("ewma_32"))
     )
+
+
+@register(
+    "ts_cusum_drift",
+    oracle=events_cte(
+        f"""
+    , b AS (
+      SELECT event_type, {_BUCKET_15M} AS bucket,
+             SUM(CAST(value AS DECIMAL(18,2))) AS bsum_dec
+      FROM events GROUP BY 1, 2
+    ), w AS (
+      SELECT event_type, bucket,
+             CAST(CAST(bsum_dec AS VARCHAR) AS DOUBLE) AS bucket_sum,
+             CAST(CAST(SUM(bsum_dec) OVER (PARTITION BY event_type ORDER BY bucket
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS VARCHAR) AS DOUBLE) AS run_sum,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket)
+                  AS BIGINT) AS t,
+             CAST(CAST(SUM(bsum_dec) OVER (PARTITION BY event_type)
+                       AS VARCHAR) AS DOUBLE) AS total,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM b
+    )
+    SELECT event_type, bucket, bucket_sum,
+           round(run_sum - t * (total / n), 6) + 0.0 AS cusum,
+           (abs(run_sum - t * (total / n)) > 2 * (total / n)) AS drift
+    FROM w
+    """
+    ),
+    tags=("timeseries", "anomaly"),
+)
+def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift chart (Page's cumulative-sum control chart, the
+    non-resetting form): per series, the running sum of bucket deviations
+    from the series mean; |CUSUM| exceeding 2 mean-buckets flags drift.
+
+    Exactness discipline: deviations are never summed as floats — the
+    running quantity is an exact DECIMAL window sum (same addition is
+    exact on both engines), and the mean enters once as ``t·(total/n)``
+    in identical double arithmetic, so even the boolean flag is
+    deterministic. Plan: one (series, bucket) hash aggregate, then
+    windows over the ~1000×-reduced bucket rows partitioned per series —
+    the same shape that spreads millions of series at 100 TB."""
+    e = load(spark, sf_dir, "events")
+    b = e.groupBy(
+        "event_type", F.window("ts", "15 minutes").start.alias("bucket")
+    ).agg(F.sum(dec("value")).alias("bsum_dec"))
+    ws = W.partitionBy("event_type")
+    w_run = ws.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    run_sum = F.sum("bsum_dec").over(w_run).cast("double")
+    t = F.row_number().over(ws.orderBy("bucket")).cast("long")
+    total = F.sum("bsum_dec").over(ws).cast("double")
+    n = F.count("*").over(ws)
+    cusum = run_sum - t * (total / n)
+    return b.select(
+        "event_type",
+        "bucket",
+        money(F.col("bsum_dec")).alias("bucket_sum"),
+        # + 0.0 canonicalizes IEEE -0.0 (the final bucket's CUSUM is exactly
+        # zero by construction; engines may round to differently-signed zero).
+        (r6(cusum) + F.lit(0.0)).alias("cusum"),
+        (F.abs(cusum) > 2 * (total / n)).alias("drift"),
+    )

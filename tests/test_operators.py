@@ -540,3 +540,29 @@ def test_scd2_apply_edge_semantics(spark):
         (4, "d", t0, None, True),  # unmatched kept
         (5, None, eff, None, True),  # new key inserted
     }
+
+
+def test_ann_multiprobe_recall_at_least_single_probe(spark):
+    """Multi-probe LSH's whole point: probing the 12 Hamming-1 neighbor
+    buckets must recall AT LEAST every pair single-probe finds (its exact
+    bucket is probe 0), and recall vs the exact top-10 must be >= the
+    single-probe query's — with correct cosines on every overlapping hit."""
+    exact = {
+        (r["q_id"], r["vec_id"]): r["cos_sim"]
+        for r in QS["sim_topk_cosine"].fn(spark, SF_DIR).collect()
+    }
+    single = {(r["q_id"], r["vec_id"]) for r in QS["sim_ann_lsh"].fn(spark, SF_DIR).collect()}
+    multi_rows = QS["sim_ann_lsh_multiprobe"].fn(spark, SF_DIR).collect()
+    multi = {(r["q_id"], r["vec_id"]) for r in multi_rows}
+    # Top-10 truncation can displace a single-probe hit only by a BETTER
+    # candidate, so recall-vs-exact is the right monotonicity check.
+    r_single = len(single & set(exact)) / max(len(exact), 1)
+    r_multi = len(multi & set(exact)) / max(len(exact), 1)
+    assert r_multi >= r_single, (r_multi, r_single)
+    for r in multi_rows:
+        key = (r["q_id"], r["vec_id"])
+        if key in exact:
+            assert abs(exact[key] - r["cos_sim"]) < 1e-9
+    assert {r["q_id"] for r in multi_rows if r["q_id"] == r["vec_id"]} == {
+        r["q_id"] for r in multi_rows
+    }
