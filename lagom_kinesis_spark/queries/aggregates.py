@@ -1210,7 +1210,10 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders, b
     GROUP BY 1, 2
     """,
-    tags=("agg", "histogram"),
+    # "cross" acknowledges the deliberate 1-row broadcast-bounds crossJoin
+    # (a BroadcastNestedLoopJoin with a single build row — the correct plan;
+    # scripts/audit_plans.py whitelists cross-tagged queries).
+    tags=("agg", "histogram", "cross"),
 )
 def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram (the profiling/EDA staple `histogram_numeric`
