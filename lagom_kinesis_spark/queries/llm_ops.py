@@ -314,22 +314,29 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_lsh_oracle(num_planes: int = 12, dim: int = 64) -> str:
-    """DuckDB SQL replaying SRP-LSH exactly: the ±1 hyperplane matrix is
-    regenerated from the same md5 derivation (operators/similarity.srp_signs)
-    and embedded as literals, the bucket id is the same sign-bit word
-    (projection rounded to 6 decimals before the sign test on both engines,
-    so summation-order ulps cannot flip a bit), candidates are the same
-    bucket equi-join, and the re-rank is the same rounded cosine."""
+def _srp_bucket_sql(num_planes: int, dim: int) -> str:
+    """The SRP bucket word as a DuckDB expression over a DOUBLE[] column
+    ``v``: ±1 hyperplanes regenerated from the same md5 derivation as
+    operators/similarity.srp_signs and embedded as literals; projection
+    rounded to 6 decimals BEFORE the sign test on both engines so
+    summation-order ulps cannot flip a bit. Shared by the single- and
+    multi-probe LSH oracles — one derivation, impossible to desync."""
     from lagom_kinesis_spark.operators.similarity import srp_signs
 
     signs = srp_signs(num_planes, dim)
-    bucket = " + ".join(
+    return " + ".join(
         "(CASE WHEN round(list_inner_product(v, ["
         + ", ".join(str(s) for s in signs[j])
         + f"]::DOUBLE[]), 6) > 0 THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
         for j in range(num_planes)
     )
+
+
+def _ann_lsh_oracle(num_planes: int = 12, dim: int = 64) -> str:
+    """DuckDB SQL replaying SRP-LSH exactly: the bucket id is the shared
+    _srp_bucket_sql sign-bit word, candidates are the same bucket
+    equi-join, and the re-rank is the same rounded cosine."""
+    bucket = _srp_bucket_sql(num_planes, dim)
     return f"""
     WITH bucketed AS (
       SELECT vec_id, embedding::DOUBLE[] AS v, ({bucket}) AS bucket
@@ -383,16 +390,9 @@ def _ann_multiprobe_oracle(num_planes: int = 12, dim: int = 64) -> str:
     """DuckDB replay of multi-probe SRP-LSH: same literal hyperplanes and
     bucket word as _ann_lsh_oracle, but each query probes its exact bucket
     PLUS the `num_planes` single-bit-flip neighbors (xor with each power
-    of two), and candidates are deduplicated before the re-rank."""
-    from lagom_kinesis_spark.operators.similarity import srp_signs
-
-    signs = srp_signs(num_planes, dim)
-    bucket = " + ".join(
-        "(CASE WHEN round(list_inner_product(v, ["
-        + ", ".join(str(s) for s in signs[j])
-        + f"]::DOUBLE[]), 6) > 0 THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
-        for j in range(num_planes)
-    )
+    of two). No dedup is needed: the 13 probe values are pairwise
+    distinct, so a corpus row (one bucket) joins at most one probe."""
+    bucket = _srp_bucket_sql(num_planes, dim)
     flips = ", ".join(["0"] + [str(1 << j) for j in range(num_planes)])
     return f"""
     WITH bucketed AS (
@@ -404,7 +404,7 @@ def _ann_multiprobe_oracle(num_planes: int = 12, dim: int = 64) -> str:
       SELECT q_id, qv, xor(bucket, f) AS bucket
       FROM q, LATERAL unnest([{flips}]::BIGINT[]) AS t(f)
     ), scored AS (
-      SELECT DISTINCT q.q_id, b.vec_id,
+      SELECT q.q_id, b.vec_id,
              round(list_cosine_similarity(q.qv, b.v), 6) AS cos_sim
       FROM probes q JOIN bucketed b USING (bucket)
     )
@@ -428,10 +428,12 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables for the index cost of ONE. The corpus is bucketed exactly once
     (map-only literal projections, same as sim_ann_lsh); only the 5-row
     query side fans out ×13, stays broadcast-sized, and equi-joins on the
-    probe bucket. Candidates dedup per (q_id, vec_id) before the exact
-    cosine re-rank, so at 100 TB the cost model is unchanged from
-    single-probe LSH — bucket join + bounded re-rank — with strictly
-    higher recall (tests/test_operators.py pins ≥ single-probe)."""
+    probe bucket. No candidate dedup is needed — the 13 probe values are
+    pairwise distinct, so a corpus row (exactly one bucket) can join at
+    most one probe — which keeps the plan at one broadcast join + the
+    top-k window: at 100 TB the cost model is unchanged from single-probe
+    LSH with strictly higher recall (tests/test_operators.py pins
+    ≥ single-probe)."""
     e = load(spark, sf_dir, "embeddings")
     bucketed = e.select(
         "vec_id",
@@ -455,7 +457,6 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(probes)
         .join(bucketed, "bucket")
         .select("q_id", "vec_id", "qv", "embedding")
-        .dropDuplicates(["q_id", "vec_id"])
     )
     scored = cand.select(
         "q_id",

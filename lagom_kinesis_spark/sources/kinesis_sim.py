@@ -389,14 +389,20 @@ class _Writer(DataSourceWriter):
             with open(path) as src, open(dst, "a") as out:
                 out.write(src.read())
         # Materialize every shard dir so readers see the full shard ring
-        # even when a shard received no records. (Ranged streams already
-        # materialize their dirs in create_stream/split/merge — and their
-        # shard count is the descriptor's, not n_shards.)
+        # even when a shard received no records — mandatory after the
+        # overwrite rmtree above, which deletes record-less OPEN shards
+        # and CLOSED parents alike (create_stream/split/merge materialized
+        # them once, but that does not survive an overwrite).
         if self.open_ranges is None:
             for i in range(self.n_shards):
                 os.makedirs(
                     os.path.dirname(_shard_file(self.stream_dir, i)),
                     exist_ok=True,
+                )
+        else:
+            for s in _load_meta(self.stream_dir):
+                os.makedirs(
+                    os.path.join(self.stream_dir, s["id"]), exist_ok=True
                 )
         shutil.rmtree(os.path.join(self.stream_dir, "_staging"), ignore_errors=True)
 

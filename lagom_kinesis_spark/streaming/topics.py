@@ -212,33 +212,60 @@ class Subscriber:
             # already processed AND GC'd — only _DONE_ markers remain.
             return errors
         try:
+            import json
             import shutil
+
+            # The one-attempt record is a SINGLE watermark file, not one
+            # marker per epoch: epoch ids are monotonic within a streaming
+            # checkpoint, so "attempted" ⇔ "epoch ≤ watermark". One file
+            # keeps the attempt history O(1) on disk, and binding it to
+            # THIS subscriber's checkpoint makes staging-dir reuse safe —
+            # a different subscriber restarts epoch ids at 0, and honoring
+            # its predecessor's stale markers here would silently skip AND
+            # garbage-collect freshly staged batches as "already done".
+            marker = f"{staging_dir}/_DONE"
+            watermark = -1
+            if os.path.exists(marker):
+                with open(marker) as f:
+                    rec = json.load(f)
+                if rec.get("checkpoint") == self.checkpoint_dir:
+                    watermark = rec["watermark"]
+
+            def save(wm: int) -> None:
+                tmp = marker + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(
+                        {"checkpoint": self.checkpoint_dir, "watermark": wm}, f
+                    )
+                os.replace(tmp, marker)  # atomic: never a torn marker
 
             staged = spark.read.parquet(staging_dir)
             done: list[int] = []
-            for row in staged.select("__epoch").distinct().collect():
-                epoch = row["__epoch"]
+            epochs = sorted(
+                row["__epoch"]
+                for row in staged.select("__epoch").distinct().collect()
+            )
+            for epoch in epochs:
                 # Each staged epoch gets exactly ONE processing attempt —
-                # the done-marker is written regardless of the outcome, so
-                # a re-run over the same staging dir never re-processes
+                # the watermark advances regardless of the outcome, so a
+                # re-run over the same staging dir never re-processes
                 # (that would silently upgrade the mode to at-least-once).
-                marker = f"{staging_dir}/_DONE_{epoch}"
-                if os.path.exists(marker):
-                    done.append(epoch)  # GC leftover from a prior crash
+                if epoch <= watermark:
+                    done.append(epoch)  # attempted before a prior crash
                     continue
                 try:
                     flow(staged.filter(F.col("__epoch") == epoch).drop("__epoch"), epoch)
                 except Exception as e:  # noqa: BLE001 — best-effort by design
                     errors.append(e)
                 finally:
-                    open(marker, "w").close()
+                    watermark = epoch
+                    save(epoch)
                     done.append(epoch)
-            # GC processed epochs AFTER the loop (partition pruning means a
+            # GC attempted epochs AFTER the loop (partition pruning means a
             # deleted sibling dir is never scanned, but deleting only after
             # every attempt keeps the read path simple): without this, a
             # long-lived subscriber re-lists and re-skips the ENTIRE staged
             # history every call — unbounded disk + O(history) list cost.
-            # The marker (the one-attempt record) stays; only data goes.
             for epoch in done:
                 shutil.rmtree(
                     f"{staging_dir}/__epoch={epoch}", ignore_errors=True
@@ -290,11 +317,16 @@ class TaggedProducer:
     #: so crash-between-write-and-commit cannot duplicate).
     exactly_once: bool = False
 
+    #: journal-order recovery columns (selected from the streaming source's
+    #: hidden ``_metadata``, so they survive into the foreachBatch frame).
+    _SEQ_COLS = ("__mt", "__fp", "__ri")
+
     def _serialized(self, df: DataFrame) -> DataFrame:
+        data_cols = [c for c in df.columns if c not in self._SEQ_COLS]
         pk = (
             self.partition_key(df)
             if self.partition_key
-            else F.xxhash64(F.to_json(F.struct(*df.columns))).cast("string")
+            else F.xxhash64(F.to_json(F.struct(*data_cols))).cast("string")
         )
         ehk = (
             self.explicit_hash_key(df)
@@ -302,9 +334,10 @@ class TaggedProducer:
             else F.lit(None).cast("string")
         )
         return df.select(
-            F.to_json(F.struct(*df.columns)).cast("binary").alias("value"),
+            F.to_json(F.struct(*data_cols)).cast("binary").alias("value"),
             pk.alias("partition_key"),
             ehk.alias("explicit_hash_key"),
+            *[c for c in self._SEQ_COLS if c in df.columns],
         )
 
     def run(self) -> None:
@@ -314,24 +347,32 @@ class TaggedProducer:
         stream = (
             self.spark.readStream.schema(self.journal_schema)
             .parquet(self.journal_path)
+            # Journal-position columns, captured at the SOURCE: the file's
+            # mtime, path, and the row's index within it. Sorting same-key
+            # rows by (mtime, path, row_index) recovers journal append order
+            # regardless of how the batch's files were bin-packed into scan
+            # partitions — monotonically_increasing_id (the previous device)
+            # numbers rows in scan-partition order, and FilePartition packs
+            # files by SIZE descending, not append order, so a multi-file
+            # batch could publish a key's newer records first (R14 break).
+            # Appends landing in the same mtime tick fall back to the
+            # deterministic path tie-break (true sub-tick order is not
+            # recoverable from a journal that carries no sequence field).
+            .select(
+                "*",
+                F.col("_metadata.file_modification_time").alias("__mt"),
+                F.col("_metadata.file_path").alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
         )
 
         def publish(df: DataFrame, epoch_id: int) -> None:
-            # __seq pins each record's position in the journal read order
-            # BEFORE the shuffle: sorting by partition_key alone leaves
-            # same-key rows in arbitrary shuffle-fetch order, which would
-            # silently break the per-key ordering this class promises
-            # (R14). monotonically_increasing_id is (input partition ‖
-            # row-in-partition), and Spark's file listing is sorted, so
-            # the recovered order is the journal's.
-            out = self._serialized(df).withColumn(
-                "__seq", F.monotonically_increasing_id()
-            )
+            out = self._serialized(df)
             # Per-key ordering: co-locate each key then write; a real Kinesis
             # sink would putRecords per partition with keys in order.
             ordered = out.repartition(F.col("partition_key")).sortWithinPartitions(
-                "partition_key", "__seq"
-            ).drop("__seq")
+                "partition_key", *self._SEQ_COLS
+            ).drop(*self._SEQ_COLS)
             if self.exactly_once:
                 # Idempotent epoch-keyed write: retrying epoch N overwrites
                 # sink/__epoch=N — no duplicates across crash/retry.

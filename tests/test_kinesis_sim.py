@@ -167,6 +167,32 @@ def test_distributed_writer_append_and_overwrite(spark, stream_dir):
         assert r["shard_id"] == f"shard-{shard_for(r['partition_key'], 4):05d}"
 
 
+def test_ranged_overwrite_keeps_full_shard_ring(spark, stream_dir):
+    """Overwrite on a RANGED stream (shards.json present) rmtree's every
+    shard dir; the writer must re-materialize the descriptor's dirs, or
+    OPEN shards that happened to receive no records in the overwriting
+    batch vanish from the ring (_shards_of/offsets would disagree with
+    shards.json until some later record recreated the dir)."""
+    from lagom_kinesis_spark.sources.kinesis_sim import (
+        _load_meta,
+        _shards_of,
+        create_stream,
+        split_shard,
+    )
+
+    _registered(spark)
+    create_stream(stream_dir, n_shards=4)
+    split_shard(stream_dir, "shard-00001")  # + a CLOSED parent in the ring
+    # A single record hits exactly one hash range — every other OPEN shard
+    # (and the CLOSED parent) receives nothing in the overwriting batch.
+    _write_df(spark, [("only", "k0")], stream_dir, mode="overwrite")
+    assert _shards_of(stream_dir) == sorted(
+        s["id"] for s in _load_meta(stream_dir)
+    )
+    back = spark.read.format("kinesis_sim").option("path", stream_dir).load()
+    assert back.count() == 1
+
+
 def test_distributed_writer_single_producer_preserves_key_order(spark, stream_dir):
     """One writer task (the reference's mapAsync(1) serialized publish,
     Producer.scala:249): a key's records keep their publish order as

@@ -261,7 +261,11 @@ def test_at_most_once_staging_retry_is_idempotent(topic, tmp_path):
     The per-epoch overwrite must rewrite (not append) the staged records —
     otherwise the single processing attempt would deliver every record
     twice, violating commit-before-process 'never dupes'. Also pins the
-    staging GC: processed epochs leave only their _DONE_ marker behind."""
+    staging GC: attempted epochs leave only the single _DONE watermark
+    file behind, and the watermark is bound to the SUBSCRIBER'S checkpoint
+    so a different subscriber reusing the dir cannot be gated (or worse,
+    have its fresh batches GC'd) by a stale predecessor marker."""
+    import json
     import os
 
     staging = str(tmp_path / "staging_retry")
@@ -274,11 +278,13 @@ def test_at_most_once_staging_retry_is_idempotent(topic, tmp_path):
         lambda df, e: processed_a.append(df.count()), staging_dir=staging
     )
     assert sum(processed_a) == n
-    # GC: data gone, the one-attempt marker stays.
-    assert os.path.exists(f"{staging}/_DONE_0")
+    # GC: data gone; ONE watermark file (not a marker per epoch) stays,
+    # recording this subscriber's checkpoint + highest attempted epoch.
+    marker = json.load(open(f"{staging}/_DONE"))
+    assert marker == {"checkpoint": sub.checkpoint_dir, "watermark": 0}
     assert not any(x.startswith("__epoch=") for x in os.listdir(staging))
 
-    # Marker also gates a re-run over the same staging dir: no reprocess.
+    # Watermark also gates a re-run over the same staging dir: no reprocess.
     skipped = []
     assert sub.at_most_once(
         lambda df, e: skipped.append(df.count()), staging_dir=staging
@@ -286,11 +292,14 @@ def test_at_most_once_staging_retry_is_idempotent(topic, tmp_path):
     assert skipped == []
 
     # Simulated crash in the retry window: stale rows sit in the epoch dir
-    # (the landed-but-uncommitted write), no marker, and the epoch is
-    # replayed by a fresh group into the SAME staging dir. The per-epoch
+    # (the landed-but-uncommitted write) and the epoch is replayed by a
+    # FRESH group (epoch ids restart at 0) into the SAME staging dir. Two
+    # contracts at once: the stale _DONE belongs to group a's checkpoint,
+    # so it must NOT gate group b (before the checkpoint binding, group
+    # b's freshly staged epoch 0 was skipped AND garbage-collected as
+    # 'already done' — silent data destruction); and the per-epoch
     # overwrite must REPLACE the stale rows — an append would make the one
     # processing attempt see n + 5 records (dupes).
-    os.remove(f"{staging}/_DONE_0")
     stale = spark.read.schema(topic.schema).parquet(topic.source_path).limit(5)
     stale.write.mode("overwrite").parquet(f"{staging}/__epoch=0")
     processed_b = []
@@ -299,7 +308,7 @@ def test_at_most_once_staging_retry_is_idempotent(topic, tmp_path):
         lambda df, e: processed_b.append(df.count()), staging_dir=staging
     )
     assert errors == []
-    assert sum(processed_b) == n  # rewritten, not doubled
+    assert sum(processed_b) == n  # rewritten, not doubled — and not skipped
 
 
 def test_producer_explicit_hash_key_roundtrip(spark, tmp_path):
@@ -406,10 +415,12 @@ def test_producer_exactly_once_epoch_idempotence(spark, tmp_path):
 
 
 def test_producer_per_key_order_across_journal_files(spark, tmp_path):
-    """Per-key publish order (R14) must follow the journal read order even
+    """Per-key publish order (R14) must follow the journal APPEND order even
     when the key's records span multiple journal files / input partitions:
     sorting the shuffled batch by partition_key ALONE left same-key rows in
-    arbitrary shuffle-fetch order — the __seq column pins them."""
+    arbitrary shuffle-fetch order, and monotonically_increasing_id followed
+    the scan's size-descending file bin-packing — the (_metadata file
+    mtime, path, row_index) sort recovers the journal's own order."""
     journal = str(tmp_path / "jorder")
     sink = str(tmp_path / "sorder")
     for lo, hi in ((0, 5), (5, 10)):
@@ -443,8 +454,10 @@ def test_producer_per_key_order_across_journal_files(spark, tmp_path):
         .collect()
     )
     got = [json.loads(bytes(r["value"]).decode())["i"] for r in out]
-    # The guarantee: each journal file's rows publish as one contiguous
-    # in-order block (the __seq pin); the pre-fix shuffle interleaved
-    # same-key rows from the two files in arbitrary fetch order. Which
-    # file the source schedules first is its own (deterministic) choice.
-    assert got in (seqs[0] + seqs[1], seqs[1] + seqs[0]), (got, seqs)
+    # The guarantee: the key's records publish in journal append order —
+    # file-1's rows, in order, then file-2's. (Appends landing in the same
+    # mtime millisecond would fall back to the deterministic path
+    # tie-break; these two appends are full write jobs, far apart.)
+    first_append = min(zip((os.path.getmtime(f) for f in files), seqs))[1]
+    second_append = seqs[1] if first_append is seqs[0] else seqs[0]
+    assert got == first_append + second_append, (got, seqs)
