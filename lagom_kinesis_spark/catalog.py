@@ -84,6 +84,8 @@ def io_scratch(name: str, sf_dir: str) -> str:
         for entry in os.listdir(base):
             m = re.search(r"_p(\d+)$", entry)
             if not m:
+                # Legacy pre-pid naming: nothing running can still own it.
+                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
                 continue
             pid = int(m.group(1))
             try:

@@ -88,7 +88,9 @@ def scd2_apply(
         *[F.col(k) for k in keys],
         *[F.col(a).alias(f"__u_{a}") for a in attrs],
         F.col(eff_col).alias("__eff"),
-        F.lit(True).alias("__u_hit"),  # join-presence marker (see __t_hit)
+        # __eff doubles as the join-presence marker: the NULL-eff filter
+        # above guarantees it is non-null on every update row (attrs can't
+        # play this role — see __t_hit below).
     )
     if broadcast_updates:
         u = F.broadcast(u)
@@ -100,7 +102,7 @@ def scd2_apply(
         lambda a, b: a | b,
         [~F.col(a).eqNullSafe(F.col(f"__u_{a}")) for a in attrs],
     )
-    changed = F.col("__u_hit").isNotNull() & differs
+    changed = F.col("__eff").isNotNull() & differs
     closed = j.filter(changed).select(
         *keys,
         *attrs,
@@ -108,7 +110,7 @@ def scd2_apply(
         F.col("__eff").alias(valid_to),
         F.lit(False).alias(is_current),
     )
-    kept = j.filter(~changed | F.col("__u_hit").isNull()).select(*out_cols)
+    kept = j.filter(~changed | F.col("__eff").isNull()).select(*out_cols)
     cur_attrs = cur.select(
         *[F.col(k) for k in keys],
         *[F.col(a).alias(f"__t_{a}") for a in attrs],

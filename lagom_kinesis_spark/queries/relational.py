@@ -652,7 +652,11 @@ def _ensure_bucketed(
     different count would silently pair bucket i with the wrong (or an
     empty) bucket on the other side — rows dropped, no error. A spec
     change therefore lands at a NEW path instead of reinterpreting the
-    old one (the bucket-count formula changed exactly this way mid-r6)."""
+    old one (the bucket-count formula changed exactly this way mid-r6).
+    Superseded spec versions are GC'd when the new one is ensured —
+    concurrent processes derive the same count from the same fixture, so
+    a different-suffix sibling dir is always a dead layout."""
+    base_name = table
     table = f"{table}_b{n_buckets}"
     if spark.catalog.tableExists(table):
         return table
@@ -664,6 +668,21 @@ def _ensure_bucketed(
     os.makedirs(wh, exist_ok=True)
     with open(os.path.join(wh, f".lock_{table}"), "w") as lk:
         fcntl.flock(lk, fcntl.LOCK_EX)
+        for entry in os.listdir(wh):
+            stale = entry.removeprefix(".lock_")
+            dead_version = (
+                stale.startswith(f"{base_name}_b")
+                and stale != table
+                and stale[len(base_name) + 2 :].isdigit()
+            )
+            if dead_version or stale == base_name:  # or pre-versioning name
+                target = os.path.join(wh, entry)
+                try:
+                    (shutil.rmtree if os.path.isdir(target) else os.remove)(
+                        target
+                    )
+                except OSError:
+                    pass  # shared /tmp: a sibling may have swept it first
         path = os.path.join(wh, table)
         sel = load(spark, sf_dir, src).select(*cols)
         if os.path.exists(os.path.join(path, "_SUCCESS")):

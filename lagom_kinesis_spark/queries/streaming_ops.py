@@ -1158,6 +1158,35 @@ def stream_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def recover_snapshot(target: str) -> None:
+    """Roll forward a crash between swap_snapshot's two renames: if the
+    live dir is missing but the aside copy exists, restore it. Call
+    before every read of a swap-managed snapshot."""
+    import os
+
+    old = f"{target}_old"
+    if not os.path.exists(target) and os.path.exists(old):
+        os.rename(old, target)
+
+
+def swap_snapshot(target: str, new_dir: str) -> None:
+    """Crash-safe snapshot promotion: rename the live dir ASIDE, promote
+    the new one, drop the aside copy. rmtree-then-rename has a window
+    where a kill leaves NO readable snapshot at all; here every window
+    leaves one (target, or target_old for recover_snapshot to restore).
+    Unit-tested directly in tests/test_streaming.py — the registered
+    query replays from scratch per invocation, so only a mid-batch kill
+    ever exercises recovery in situ."""
+    import os
+    import shutil
+
+    old = f"{target}_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(target, old)
+    os.rename(new_dir, target)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 @register(
     "stream_cdc_scd2_apply",
     oracle="""
@@ -1237,21 +1266,11 @@ def stream_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def apply_batch(bdf: DataFrame, batch_id: int) -> None:
         sp = bdf.sparkSession
-        old = f"{target}_old"
-        if not os.path.exists(target) and os.path.exists(old):
-            os.rename(old, target)  # recover a crash between the renames
+        recover_snapshot(target)
         tgt = sp.read.parquet(target)
         out = scd2_apply(tgt, bdf, keys=["c_custkey"], attrs=["c_mktsegment"])
         out.write.mode("overwrite").parquet(f"{target}_new")
-        # Crash-safe snapshot swap: rename the live dir ASIDE, promote the
-        # new one, drop the old. The previous rmtree-then-rename had a
-        # window where a kill left NO target at all, breaking the
-        # restartable contract; now every window leaves a readable
-        # snapshot (target or target_old).
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(target, old)
-        os.rename(f"{target}_new", target)
-        shutil.rmtree(old, ignore_errors=True)
+        swap_snapshot(target, f"{target}_new")
 
     stream = (
         spark.readStream.schema(
