@@ -321,3 +321,57 @@ def test_asof_join_matches_pandas_reference(spark, left, right):
         cands = [(rt, rid) for (rg, rt, rid) in right if rg == g and rt <= t]
         want = max(cands)[1] if cands else None
         assert got[i] == want, (i, g, t, cands, got[i])
+
+
+@given(data=st.data())
+@SETTINGS
+def test_scd2_apply_matches_reference(spark, data):
+    """scd2_apply vs a direct Python reference over random dimension
+    states and CDC batches: history passes through, a changed current row
+    closes at the update's eff and re-opens, identical attrs are a no-op,
+    unknown keys insert, NULL-eff updates are ignored entirely, and NULL
+    attrs compare null-safely on both the close and insert legs."""
+    from lagom_kinesis_spark.operators.merge import scd2_apply
+
+    attr = st.one_of(st.none(), st.integers(min_value=0, max_value=2))
+    tgt_rows, upd_rows = [], []
+    for k in data.draw(
+        st.lists(st.integers(0, 5), min_size=0, max_size=5, unique=True)
+    ):
+        for i in range(data.draw(st.integers(0, 2))):
+            tgt_rows.append((k, data.draw(attr), 10 + i, 20 + i, False))
+        if data.draw(st.booleans()):
+            tgt_rows.append((k, data.draw(attr), 30, None, True))
+    for k in data.draw(
+        st.lists(st.integers(0, 7), min_size=0, max_size=5, unique=True)
+    ):
+        upd_rows.append(
+            (k, data.draw(attr), data.draw(st.one_of(st.none(), st.just(40))))
+        )
+
+    t_schema = "k int, a int, valid_from int, valid_to int, is_current boolean"
+    target = spark.createDataFrame(
+        tgt_rows or [(0, 0, 0, 0, True)], t_schema
+    ).limit(len(tgt_rows))
+    updates = spark.createDataFrame(
+        upd_rows or [(0, 0, 0)], "k int, a int, eff int"
+    ).limit(len(upd_rows))
+    nsort = lambda rows: sorted(  # noqa: E731 — None-tolerant tuple sort
+        rows, key=lambda t: tuple((v is None, v) for v in t)
+    )
+    got = nsort(
+        map(tuple, scd2_apply(target, updates, keys=["k"], attrs=["a"]).collect())
+    )
+
+    upd = {k: (a, eff) for k, a, eff in upd_rows if eff is not None}
+    cur = {r[0]: r for r in tgt_rows if r[4]}
+    ref = [r for r in tgt_rows if not r[4]]  # history
+    for k, t in cur.items():
+        if k in upd and upd[k][0] != t[1]:  # None != x, None == None: null-safe
+            ref.append((k, t[1], t[2], upd[k][1], False))  # closed
+        else:
+            ref.append(t)  # kept (unchanged or untouched)
+    for k, (a, eff) in upd.items():
+        if k not in cur or a != cur[k][1]:
+            ref.append((k, a, eff, None, True))  # fresh current version
+    assert got == nsort(ref)
