@@ -306,6 +306,15 @@ def scaling_main(out_path: str, skip_sf10: bool = False) -> None:
                 cached = fh.read() == want
         except OSError:
             cached = False
+        if cached:
+            # The marker alone can outlive the data (/tmp reaping, manual
+            # partial cleanup): also require every table file to exist.
+            from make_scaled_fixture import DIMS
+
+            cached = all(
+                os.path.exists(os.path.join(dst, f"{t}.parquet"))
+                for t in (*FACTS, *DIMS)
+            )
         if not cached:
             print(f"# building {label} fixture at {dst} ...", file=sys.stderr)
             subprocess.run(

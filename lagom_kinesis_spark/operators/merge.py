@@ -70,11 +70,13 @@ def scd2_apply(
     appends; identical attrs are a no-op; unknown keys insert as new
     current rows; history rows pass through untouched.
 
-    Scale: the update set is the CDC batch — broadcast both legs (two
-    map-side joins, zero shuffles on the dimension); the returned frame is
-    the full new table state, written back partition-parallel. On Delta /
-    Iceberg the same two legs are the matched/not-matched clauses of one
-    MERGE INTO.
+    Scale: the update set is the CDC batch — one broadcast LEFT OUTER join
+    (dimension probe side, update batch build side) feeds the close, keep,
+    AND changed-reopen legs, plus one broadcast LEFT ANTI join for new
+    keys (anti joins CAN build the hinted left side) — zero shuffles on
+    the dimension; the returned frame is the full new table state, written
+    back partition-parallel. On Delta / Iceberg the same legs are the
+    matched/not-matched clauses of one MERGE INTO.
     """
     from functools import reduce
 
@@ -111,29 +113,29 @@ def scd2_apply(
         F.lit(False).alias(is_current),
     )
     kept = j.filter(~changed | F.col("__eff").isNull()).select(*out_cols)
-    cur_attrs = cur.select(
-        *[F.col(k) for k in keys],
-        *[F.col(a).alias(f"__t_{a}") for a in attrs],
-        F.lit(True).alias("__t_hit"),  # join-presence marker: attr columns
-        # may legitimately be NULL on a matched row, so null-checking an
-        # attr cannot distinguish key-miss from null attr
-    )
-    fresh = (
-        u.join(cur_attrs, keys, "left")
-        .filter(
-            F.col("__t_hit").isNull()  # new key
-            | reduce(
-                lambda a, b: a | b,
-                [~F.col(f"__u_{a}").eqNullSafe(F.col(f"__t_{a}")) for a in attrs],
-            )
-        )
-        .select(
+
+    def open_version(src: DataFrame) -> DataFrame:
+        return src.select(
             *keys,
             *[F.col(f"__u_{a}").alias(a) for a in attrs],
             F.col("__eff").alias(valid_from),
             F.lit(None).cast(target.schema[valid_to].dataType).alias(valid_to),
             F.lit(True).alias(is_current),
         )
+
+    # New versions open for (a) matched keys whose attrs changed — already
+    # sitting in j, the close leg's join, so reuse it rather than joining
+    # the dimension again — and (b) brand-new keys: anti-join the batch
+    # against the MATCHED key set, which is itself derived from j and at
+    # most |updates| rows, so it broadcasts as the anti join's build side.
+    # (The previous spelling — updates LEFT OUTER dimension — broke the
+    # scale contract: neither left-outer nor left-anti can broadcast-build
+    # the LEFT side, so the hinted batch was unusable and the plan
+    # sort-merge-shuffled the entire current dimension a second time per
+    # MERGE. Every probe of the dimension is now map-side.)
+    matched_keys = j.filter(F.col("__eff").isNotNull()).select(*keys)
+    fresh = open_version(j.filter(changed)).unionByName(
+        open_version(u.join(F.broadcast(matched_keys), keys, "left_anti"))
     )
     return (
         hist.select(*out_cols)
