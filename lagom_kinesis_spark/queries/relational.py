@@ -1362,12 +1362,17 @@ def sink_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lagom_kinesis_spark.functions import dec, money
 
     tmp = io_scratch("lineitem_zorder", sf_dir)
-    # 16-bit × 2 Morton interleave: bit i of partkey -> bit 2i, bit i of
-    # suppkey -> bit 2i+1. One SQL string (one py4j call), pure codegen.
+    # 25-bit × 2 Morton interleave: bit i of partkey -> bit 2i, bit i of
+    # suppkey -> bit 2i+1; 50-bit key, fits BIGINT. The width must cover
+    # the KEY DOMAIN, not just the test fixture: TPC-H l_partkey reaches
+    # 200k·SF (18 bits at sf1, 25 bits at sf100) — a 16-bit interleave
+    # aliases high keys onto low z-values from ~sf0.4, silently collapsing
+    # the 2-D locality the clustering exists for (results stay correct;
+    # the pruning doesn't). One SQL string (one py4j call), pure codegen.
     z = " + ".join(
         f"(((l_partkey >> {i}) & 1) << {2 * i}) + "
         f"(((l_suppkey >> {i}) & 1) << {2 * i + 1})"
-        for i in range(16)
+        for i in range(25)
     )
     li = load(spark, sf_dir, "lineitem").selectExpr(
         "l_partkey", "l_suppkey", "l_returnflag", "l_quantity",
