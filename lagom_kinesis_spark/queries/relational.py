@@ -818,7 +818,12 @@ def _scd2_cdc_frames(spark: SparkSession, sf_dir: str):
     WHERE c.c_custkey IS NULL
        OR u.c_mktsegment IS DISTINCT FROM c.c_mktsegment
     """,
-    tags=("merge",),
+    # "cross" acknowledges a bounded constant-folding NLJ: the scenario's
+    # one literal insert row (OneRowRelation) anti-joins a LocalLimit-1
+    # broadcast after the optimizer propagates its constant key — 1x1 by
+    # construction. The scd2_apply plan proper is all BroadcastHashJoin,
+    # zero dimension shuffles (asserted in tests/test_plans.py).
+    tags=("merge", "cross"),
 )
 def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 slowly-changing-dimension MERGE (operators/merge.scd2_apply —
@@ -863,7 +868,9 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
              AND o.o_orderdate < coalesce(d.valid_to, TIMESTAMP '9999-12-31')
     GROUP BY d.c_mktsegment
     """,
-    tags=("join", "merge", "temporal"),
+    # "cross": same bounded constant-folding NLJ as merge_scd2 (the dim is
+    # scd2_apply's output over the same scenario) — 1x1 by construction.
+    tags=("join", "merge", "temporal", "cross"),
 )
 def join_temporal_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal dimension lookup over an SCD2 history — THE warehouse

@@ -372,3 +372,19 @@ def test_profile_columns_is_single_scan(spark):
     plan = _plan(QS["dq_profile_columns"].fn(spark, SF_DIR))
     scans = re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(scans) == 1, scans
+
+
+def test_scd2_merge_is_all_broadcast_zero_dimension_shuffle(spark):
+    """scd2_apply's scale contract: every probe of the dimension is
+    map-side. All five joins (close/keep leg, the two changed-reopen
+    branches, the new-key anti join, and the scenario's own build) must
+    be BroadcastHashJoins with no sort-merge join and no hash exchange —
+    the fresh leg's original 'updates LEFT OUTER dimension' spelling
+    silently sort-merge-shuffled the whole dimension because neither
+    left-outer nor left-anti can broadcast-build the LEFT side. The one
+    BroadcastNestedLoopJoin is the optimizer constant-folding the
+    scenario's single literal insert row (1x1 by construction)."""
+    plan = _plan(QS["merge_scd2"].fn(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5
