@@ -134,8 +134,10 @@ def scd2_apply(
     # sort-merge-shuffled the entire current dimension a second time per
     # MERGE. Every probe of the dimension is now map-side.)
     matched_keys = j.filter(F.col("__eff").isNotNull()).select(*keys)
+    if broadcast_updates:
+        matched_keys = F.broadcast(matched_keys)
     fresh = open_version(j.filter(changed)).unionByName(
-        open_version(u.join(F.broadcast(matched_keys), keys, "left_anti"))
+        open_version(u.join(matched_keys, keys, "left_anti"))
     )
     return (
         hist.select(*out_cols)

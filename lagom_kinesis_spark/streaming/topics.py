@@ -154,6 +154,18 @@ class Subscriber:
         # groupId ⇒ independent progress namespace (R9).
         return f"{self.topic.checkpoint_base}/{self.topic.name}/{self.group_id}"
 
+    def _checkpoint_identity(self) -> str:
+        """The checkpoint's random query id (<checkpoint>/metadata) — the
+        identity that changes when the checkpoint is wiped and recreated,
+        unlike the path. Falls back to the path if unreadable."""
+        import json
+
+        try:
+            with open(os.path.join(self.checkpoint_dir, "metadata")) as f:
+                return json.load(f)["id"]
+        except (OSError, ValueError, KeyError):
+            return self.checkpoint_dir
+
     #: None → bounded replay (Trigger.AvailableNow, the test/backfill mode);
     #: e.g. "5 seconds" → continuous consumption (production mode; caller
     #: owns termination via the backoff wrapper).
@@ -219,25 +231,41 @@ class Subscriber:
             # marker per epoch: epoch ids are monotonic within a streaming
             # checkpoint, so "attempted" ⇔ "epoch ≤ watermark". One file
             # keeps the attempt history O(1) on disk, and binding it to
-            # THIS subscriber's checkpoint makes staging-dir reuse safe —
-            # a different subscriber restarts epoch ids at 0, and honoring
-            # its predecessor's stale markers here would silently skip AND
-            # garbage-collect freshly staged batches as "already done".
+            # THIS checkpoint's IDENTITY (the random query id Structured
+            # Streaming writes to <checkpoint>/metadata — regenerated on a
+            # checkpoint wipe, unlike the path) makes staging-dir reuse
+            # safe: any run whose epoch ids restarted at 0 (a different
+            # group, or the same group after a checkpoint reset) must not
+            # be gated by a predecessor's stale watermark, which would
+            # silently skip AND garbage-collect its freshly staged batches
+            # as "already done".
+            ckpt_id = self._checkpoint_identity()
             marker = f"{staging_dir}/_DONE"
-            watermark = -1
-            if os.path.exists(marker):
-                with open(marker) as f:
-                    rec = json.load(f)
-                if rec.get("checkpoint") == self.checkpoint_dir:
-                    watermark = rec["watermark"]
 
             def save(wm: int) -> None:
                 tmp = marker + ".tmp"
                 with open(tmp, "w") as f:
-                    json.dump(
-                        {"checkpoint": self.checkpoint_dir, "watermark": wm}, f
-                    )
+                    json.dump({"checkpoint": ckpt_id, "watermark": wm}, f)
                 os.replace(tmp, marker)  # atomic: never a torn marker
+
+            watermark = -1
+            if os.path.exists(marker):
+                with open(marker) as f:
+                    rec = json.load(f)
+                if rec.get("checkpoint") == ckpt_id:
+                    watermark = rec["watermark"]
+            else:
+                # Migrate legacy per-epoch _DONE_<n> markers (they carried
+                # no identity, gating by existence alone — preserve that
+                # for dirs written before the watermark scheme).
+                legacy = [
+                    e for e in os.listdir(staging_dir) if e.startswith("_DONE_")
+                ]
+                if legacy:
+                    watermark = max(int(e.rsplit("_", 1)[1]) for e in legacy)
+                    save(watermark)
+                    for e in legacy:
+                        os.remove(os.path.join(staging_dir, e))
 
             staged = spark.read.parquet(staging_dir)
             done: list[int] = []
@@ -344,6 +372,19 @@ class TaggedProducer:
         """Publish all available journal entries; offsets checkpoint after
         each published batch (at-least-once publication, R15)."""
         tune(self.spark)
+        from pyspark.sql.types import _parse_datatype_string
+
+        clash = set(_parse_datatype_string(self.journal_schema).fieldNames()) & set(
+            self._SEQ_COLS
+        )
+        if clash:
+            # The order-recovery columns ride NEXT TO the journal columns
+            # through the shuffle; a name collision would either raise an
+            # ambiguous-reference error mid-sort or silently drop the
+            # user's column from the published payload.
+            raise ValueError(
+                f"journal schema uses reserved column name(s) {sorted(clash)}"
+            )
         stream = (
             self.spark.readStream.schema(self.journal_schema)
             .parquet(self.journal_path)

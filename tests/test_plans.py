@@ -384,7 +384,14 @@ def test_scd2_merge_is_all_broadcast_zero_dimension_shuffle(spark):
     left-outer nor left-anti can broadcast-build the LEFT side. The one
     BroadcastNestedLoopJoin is the optimizer constant-folding the
     scenario's single literal insert row (1x1 by construction)."""
+    import re
+
     plan = _plan(QS["merge_scd2"].fn(spark, SF_DIR))
     assert "SortMergeJoin" not in plan
     assert "Exchange hashpartitioning" not in plan
     assert plan.count("BroadcastHashJoin") >= 5
+    # Exactly ONE NLJ (the whitelisting 'cross' tag disables audit_plans'
+    # NLJ check for this query, so cap it here: a dropped join condition
+    # anywhere else must not hide behind the known bounded one). The
+    # formatted explain prints each node twice — count numbered nodes.
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1

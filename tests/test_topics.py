@@ -281,7 +281,13 @@ def test_at_most_once_staging_retry_is_idempotent(topic, tmp_path):
     # GC: data gone; ONE watermark file (not a marker per epoch) stays,
     # recording this subscriber's checkpoint + highest attempted epoch.
     marker = json.load(open(f"{staging}/_DONE"))
-    assert marker == {"checkpoint": sub.checkpoint_dir, "watermark": 0}
+    assert marker == {
+        "checkpoint": sub._checkpoint_identity(),
+        "watermark": 0,
+    }
+    # ...and the identity is the streaming query id, not the path, so a
+    # checkpoint wipe (epoch ids restart at 0) cannot be gated by it.
+    assert marker["checkpoint"] != sub.checkpoint_dir
     assert not any(x.startswith("__epoch=") for x in os.listdir(staging))
 
     # Watermark also gates a re-run over the same staging dir: no reprocess.
@@ -461,3 +467,44 @@ def test_producer_per_key_order_across_journal_files(spark, tmp_path):
     first_append = min(zip((os.path.getmtime(f) for f in files), seqs))[1]
     second_append = seqs[1] if first_append is seqs[0] else seqs[0]
     assert got == first_append + second_append, (got, seqs)
+
+
+def test_checkpoint_identity_tracks_metadata(spark, tmp_path):
+    """The at-most-once watermark binds to the checkpoint's random query
+    id, not its path: wiping the checkpoint (epoch ids restart at 0)
+    regenerates the id, so a stale watermark can never gate — or GC —
+    the reset subscriber's freshly staged epochs."""
+    t = Topic(
+        name="tid",
+        schema="x long",
+        spark=spark,
+        checkpoint_base=str(tmp_path / "cb"),
+    )
+    sub = t.subscribe("g")
+    # No checkpoint yet → path fallback (still a valid identity).
+    assert sub._checkpoint_identity() == sub.checkpoint_dir
+    os.makedirs(sub.checkpoint_dir, exist_ok=True)
+    with open(f"{sub.checkpoint_dir}/metadata", "w") as f:
+        json.dump({"id": "query-uuid-1"}, f)
+    assert sub._checkpoint_identity() == "query-uuid-1"
+    # Checkpoint wipe + recreate = new id = watermark no longer matches.
+    with open(f"{sub.checkpoint_dir}/metadata", "w") as f:
+        json.dump({"id": "query-uuid-2"}, f)
+    assert sub._checkpoint_identity() == "query-uuid-2"
+
+
+def test_producer_rejects_reserved_seq_columns(spark, tmp_path):
+    """The journal-order recovery columns (__mt/__fp/__ri) ride next to
+    the journal columns through the shuffle — a schema that uses one of
+    those names must fail fast, not ambiguate the sort or silently drop
+    the user's column from the payload."""
+    prod = TaggedProducer(
+        spark=spark,
+        journal_path=str(tmp_path / "jres"),
+        journal_schema="__mt string, i long",
+        topic_name="tres",
+        sink_path=str(tmp_path / "sres"),
+        checkpoint_base=str(tmp_path / "cres"),
+    )
+    with pytest.raises(ValueError, match="reserved column"):
+        prod.run()
