@@ -135,7 +135,32 @@ def _time_duck(qs, names, sf_dir: str) -> dict[str, float]:
     return duck_times
 
 
+def _settle_load(threshold: float = 2.0, max_wait_s: float = 90.0) -> None:
+    """Wait (bounded) for the box's 1-min load average to drop below
+    ``threshold`` before timing anything. A bench launched right after a
+    heavy phase (the driver runs it after its correctness sweep; locally,
+    after gate/pytest) measures residual CPU contention, not the engine —
+    the r5 driver recorded 11.03 s for a suite that reproduces at ~8.4-9.7 s
+    settled, and the same tree reads 10-11 s locally under load. Both
+    engines are timed after the same settle, so the protocol stays fair."""
+    waited = 0.0
+    while waited < max_wait_s:
+        try:
+            with open("/proc/loadavg") as f:
+                load1 = float(f.read().split()[0])
+        except OSError:
+            return
+        if load1 < threshold:
+            return
+        print(
+            f"# load {load1:.2f} >= {threshold}: settling ...", file=sys.stderr
+        )
+        time.sleep(5.0)
+        waited += 5.0
+
+
 def main() -> None:
+    _settle_load()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Optional subset (comma-separated names) for targeted runs — e.g. the
