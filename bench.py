@@ -4,8 +4,9 @@ Runs the headline query suite at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is forced with a full collect-free action (count of the result)
-so we measure execution, not result serialization to the driver.
+Each query is forced with the noop sink (full computation of every output
+column, nothing written or serialized to the driver); DuckDB's mirror is
+the vectorized arrow fetch. See _time_spark for why count() was wrong.
 """
 
 from __future__ import annotations
@@ -59,9 +60,17 @@ TRAJECTORY = [
 
 
 def _time_spark(qs, spark, names, sf_dir: str) -> dict[str, float]:
-    """Warm-to-stable (≤4, stop within 25% of previous) + best-of-2 timed,
+    """Warm-to-stable (≤4, stop within 25% of previous) + best-of-3 timed,
     with an untimed GC nudge between queries — the steady-state protocol
-    documented in main()."""
+    documented in main().
+
+    Forcing action: the noop sink (compute EVERY output column, write
+    nothing). ``count()`` — the pre-r6 force — let Catalyst prune the
+    aggregate/window expressions count doesn't need, so Spark was timed
+    skipping exactly the work DuckDB was timed doing (measured r6:
+    agg_pricing_summary 0.50 s under count vs 1.09 s honest;
+    win_running_total 0.12 vs 0.32). DuckDB's matching force is the
+    vectorized arrow fetch: full computation, near-zero sink either side."""
     def _reset_cache_state() -> None:
         # Queries that persist() intermediates (dedup_minhash_lsh's shingle
         # frame) leave the previous run's cached RDD in executor storage
@@ -76,23 +85,27 @@ def _time_spark(qs, spark, names, sf_dir: str) -> dict[str, float]:
         except Exception:
             pass
 
+    def force(df) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
     times: dict[str, float] = {}
     for name in names:
         fn = qs[name].fn
+        n = fn(spark, sf_dir).count()  # rows probe, untimed
         prev = None
         for _ in range(4):
             _reset_cache_state()
             t0 = time.time()
-            fn(spark, sf_dir).count()
+            force(fn(spark, sf_dir))
             t = time.time() - t0
             if prev is not None and t > prev * 0.75:
                 break
             prev = t
-        best, n = float("inf"), 0
+        best = float("inf")
         for _ in range(3):
             _reset_cache_state()
             t0 = time.time()
-            n = fn(spark, sf_dir).count()
+            force(fn(spark, sf_dir))
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
         print(f"# {name} @ {sf_dir}: {times[name]}s ({n} rows)", file=sys.stderr)
@@ -100,8 +113,10 @@ def _time_spark(qs, spark, names, sf_dir: str) -> dict[str, float]:
 
 
 def _time_duck(qs, names, sf_dir: str) -> dict[str, float]:
-    """Same warm-to-stable + best-of-2 protocol on DuckDB running the
-    matching oracle_sql over the same parquet (BASELINE.md §3)."""
+    """Same warm-to-stable + best-of-3 protocol on DuckDB running the
+    matching oracle_sql over the same parquet (BASELINE.md §3); forced
+    with the vectorized arrow fetch (full computation, near-zero sink —
+    the mirror of Spark's noop sink)."""
     import duckdb
 
     from lagom_kinesis_spark.catalog import TABLES
@@ -119,15 +134,15 @@ def _time_duck(qs, names, sf_dir: str) -> dict[str, float]:
         prev = None
         for _ in range(4):
             t0 = time.time()
-            con.sql(oracle).fetchall()
+            con.sql(oracle).fetch_arrow_table()
             t = time.time() - t0
             if prev is not None and t > prev * 0.75:
                 break
             prev = t
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
-            con.sql(oracle).fetchall()
+            con.sql(oracle).fetch_arrow_table()
             best = min(best, time.time() - t0)
         duck_times[name] = round(best, 3)
         print(f"# duckdb {name} @ {sf_dir}: {duck_times[name]}s", file=sys.stderr)
@@ -162,7 +177,14 @@ def _settle_load(threshold: float = 2.0, max_wait_s: float = 90.0) -> None:
 def main() -> None:
     _settle_load()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Parse the scale factor up front and degrade to the raw string for
+    # fixture dirs that don't end in sf<number> — a ValueError inside the
+    # final json.dumps would throw away the whole measured run.
+    sf_raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf_raw)
+    except ValueError:
+        sf = sf_raw
     # Optional subset (comma-separated names) for targeted runs — e.g. the
     # floor-analysis sweep at a synthetic larger SF (BENCH_NOTES.md). The
     # driver's per-round protocol leaves this unset and times the full suite.
@@ -248,7 +270,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,
-                "sf": float(sf),
+                "sf": sf,
                 "duckdb_queries": duck_times,
                 "spark_over_duckdb_ratio": ratios,
                 "transport": transport,
@@ -261,6 +283,7 @@ def scaling_tier_main(sf_dir: str, tier_out: str) -> None:
     """One tier of the scaling trajectory, in its own process: fresh
     SparkSession + fresh DuckDB, TRAJECTORY queries timed under the
     headline protocol, result JSON to ``tier_out``."""
+    _settle_load()  # tiers launch right after fixture builds / prior JVMs
     from lagom_kinesis_spark.registry import all_queries
     from lagom_kinesis_spark.session import get_spark
 
@@ -453,7 +476,9 @@ if __name__ == "__main__":
         action="store_true",
         help="run the sf0.001/sf0.1/sf1/sf10 ratio-trajectory instead of the headline suite",
     )
-    ap.add_argument("--out", default="BENCH_SCALING_r5.json", help="scaling artifact path")
+    # default is a LOCAL name: an argless rerun must never clobber a
+    # committed per-round BENCH_SCALING_r{N}.json evidence artifact.
+    ap.add_argument("--out", default="BENCH_SCALING_local.json", help="scaling artifact path")
     ap.add_argument("--skip-sf10", action="store_true", help="trajectory without the sf10 tier")
     ap.add_argument(
         "--scaling-tier",

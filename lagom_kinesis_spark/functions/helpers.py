@@ -149,3 +149,38 @@ revenue_sql = (
     "CAST(l_extendedprice AS DECIMAL(18,2)) * "
     "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 )
+
+
+def units(c: Column | str, scale: int = 2) -> Column:
+    """Exact int64 fixed-point view of a ≤``scale``-decimal double column
+    (money columns are 2-decimal by fixture contract, FIXTURES.md): the
+    stored double is within ~1e-11 of its decimal value, so round-to-
+    nearest lands on the exact integer unit count. Equivalent to
+    ``dec(c, scale)`` scaled by 10^scale — but sums/products of LONGS
+    stay in whole-stage codegen's primitive path, ~2x the decimal hash
+    aggregate (BENCH_NOTES r6)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.round(col * F.lit(10**scale)).cast("long")
+
+
+def revenue_units() -> Column:
+    """:func:`revenue_expr` on the int64 fast path: 1e-4 units of
+    l_extendedprice*(1-l_discount), exact (both factors are 2-decimal).
+    int64 bound: |group sum| < 9.2e18 holds through sf100 for the
+    headline shapes (~2e16 at sf100)."""
+    return units("l_extendedprice") * (F.lit(100) - units("l_discount"))
+
+
+def money_sum_units(units_col: Column, frac_digits: int) -> Column:
+    """Finalize an int64-units sum under the exact money contract: the
+    long sum is exact (codegen'd primitive addition), the long→decimal
+    cast is exact, the division by 10^frac_digits is exact at the
+    result's ≥6-digit scale, and the final decimal→double cast is
+    Spark's correctly-rounded BigDecimal.doubleValue — bit-identical to
+    ``money(F.sum(dec(...)))`` and to the oracle's VARCHAR hop
+    (money_sum_sql) at every magnitude. Never finalize through plain
+    double division: double(sum)/10^k double-rounds once the sum
+    exceeds 2^53 units."""
+    return (
+        F.sum(units_col).cast("decimal(38,6)") / F.lit(10**frac_digits)
+    ).cast("double")

@@ -12,7 +12,16 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from lagom_kinesis_spark.catalog import load, register_views
-from lagom_kinesis_spark.functions import dec, money, r6, revenue_expr, revenue_sql
+from lagom_kinesis_spark.functions import (
+    dec,
+    money,
+    money_sum_units,
+    r6,
+    revenue_expr,
+    revenue_sql,
+    revenue_units,
+    units,
+)
 from lagom_kinesis_spark.operators import sketches
 from lagom_kinesis_spark.registry import register
 
@@ -36,19 +45,28 @@ from lagom_kinesis_spark.registry import register
     tags=("agg",),
 )
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-shaped pricing summary: 8 aggregates over 2 group keys."""
+    """TPC-H Q1-shaped pricing summary: 8 aggregates over 2 group keys.
+
+    Money sums run on the int64 fast path (helpers.units /
+    money_sum_units): exact fixed-point products summed as longs in
+    whole-stage codegen, finalized through decimal — bit-identical to
+    the decimal path and the oracle's VARCHAR hop, ~2x faster (the
+    decimal hash aggregate was this query's whole cost, BENCH_NOTES r6).
+    int64 bound: sum_charge accumulates 1e-6 units, ~2e17 at sf10."""
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-09-02")
-    one = F.lit(1).cast("decimal(18,2)")
     cnt = F.count("*")
-    sum_qty = F.sum(dec("l_quantity"))
-    sum_price = F.sum(dec("l_extendedprice"))
+    qty_u, price_u = units("l_quantity"), units("l_extendedprice")
+    disc_u = revenue_units()  # 1e-4 units
+    charge_u = disc_u * (F.lit(100) + units("l_tax"))  # 1e-6 units
+    sum_qty = money_sum_units(qty_u, 2)
+    sum_price = money_sum_units(price_u, 2)
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        money(sum_qty).alias("sum_qty"),
-        money(sum_price).alias("sum_base_price"),
-        money(F.sum(revenue_expr())).alias("sum_disc_price"),
-        money(F.sum(revenue_expr() * (one + dec("l_tax")))).alias("sum_charge"),
-        F.round(sum_qty.cast("double") / cnt, 6).alias("avg_qty"),
-        F.round(sum_price.cast("double") / cnt, 6).alias("avg_price"),
+        sum_qty.alias("sum_qty"),
+        sum_price.alias("sum_base_price"),
+        money_sum_units(disc_u, 4).alias("sum_disc_price"),
+        money_sum_units(charge_u, 6).alias("sum_charge"),
+        F.round(sum_qty / cnt, 6).alias("avg_qty"),
+        F.round(sum_price / cnt, 6).alias("avg_price"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
         cnt.alias("count_order"),

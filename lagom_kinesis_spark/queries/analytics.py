@@ -30,9 +30,11 @@ from lagom_kinesis_spark.functions import (
     dec,
     hash_build,
     money,
+    money_sum_units,
     r6,
     revenue_expr,
     revenue_sql,
+    revenue_units,
 )
 from lagom_kinesis_spark.registry import register
 

@@ -17,7 +17,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lagom_kinesis_spark.catalog import load
-from lagom_kinesis_spark.functions import hash_build, money, revenue_expr, revenue_sql
+from lagom_kinesis_spark.functions import (
+    hash_build,
+    money,
+    money_sum_units,
+    revenue_expr,
+    revenue_sql,
+    revenue_units,
+)
 from lagom_kinesis_spark.registry import register
 
 
@@ -66,7 +73,7 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region"))
         .agg(
             F.count("*").alias("n_items"),
-            money(F.sum(revenue_expr())).alias("revenue"),
+            money_sum_units(revenue_units(), 4).alias("revenue"),
         )
     )
 
@@ -283,7 +290,7 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", F.col("n_name").alias("supp_nation"))
         .agg(
             F.count("*").alias("n_items"),
-            money(F.sum(revenue_expr())).alias("revenue"),
+            money_sum_units(revenue_units(), 4).alias("revenue"),
         )
     )
 
@@ -321,7 +328,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(money(F.sum(revenue_expr())).alias("revenue"))
+        .agg(money_sum_units(revenue_units(), 4).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)

@@ -17,9 +17,11 @@ from lagom_kinesis_spark.functions import (
     dec,
     hash_build,
     money,
+    money_sum_units,
     r6,
     revenue_expr,
     revenue_sql,
+    revenue_units,
 )
 from lagom_kinesis_spark.registry import register
 
@@ -65,7 +67,7 @@ def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            money(F.sum(revenue_expr())).alias("revenue"),
+            money_sum_units(revenue_units(), 4).alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .orderBy(F.col("revenue").desc())
@@ -975,7 +977,7 @@ def flagship_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            money(F.sum(revenue_expr())).alias("revenue"),
+            money_sum_units(revenue_units(), 4).alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .orderBy(F.col("revenue").desc())
