@@ -102,7 +102,9 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE len(list_intersect(a.sh, b.sh))
           / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.3
     """,
-    tags=("llm", "dedup", "oracle_heavy"),
+    # "theta": the Spark side IS a deliberate sampled all-pairs theta
+    # join (id_a < id_b) — the exactness oracle for the banded paths.
+    tags=("llm", "dedup", "oracle_heavy", "theta"),
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard pairs (≥0.3) over a 1/2 sample — the
@@ -842,7 +844,8 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sub a JOIN sub b ON a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.25
     """,
-    tags=("llm", "dedup", "similarity", "oracle_heavy"),
+    # "theta": deliberate sampled all-pairs (id_a < id_b) verify step.
+    tags=("llm", "dedup", "similarity", "oracle_heavy", "theta"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (mandate row): exact pairwise over a
@@ -1722,7 +1725,9 @@ def _ann_pq_ctes(m: int = 4, n_codes: int = 8, sub_dim: int = 16) -> str:
 @register(
     "sim_ann_pq",
     oracle=_ann_pq_oracle(),
-    tags=("llm", "similarity", "scale"),
+    # "cross": the ADC table is a crossJoin against a broadcast frame of
+    # bounded size (5 queries x 8-codeword codebooks) — 1:40, never n x n.
+    tags=("llm", "similarity", "scale", "cross"),
 )
 def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/similarity.pq_encode/pq_adc_topk):
@@ -1809,7 +1814,8 @@ def _ann_pq_trained_oracle(k: int = 10) -> str:
 @register(
     "sim_ann_pq_trained",
     oracle=_ann_pq_trained_oracle(),
-    tags=("llm", "similarity", "scale"),
+    # "cross": same bounded broadcast ADC crossJoin as sim_ann_pq.
+    tags=("llm", "similarity", "scale", "cross"),
 )
 def sim_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-codebook PQ (VERDICT r5 ask #7): Lloyd's k-means codebooks
@@ -2355,7 +2361,9 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored
     ) WHERE rn = 1
     """,
-    tags=("llm", "similarity"),
+    # "cross": label-inequality join against an 8-row broadcast anchor
+    # set — a bounded broadcast NLJ by construction, never corpus x corpus.
+    tags=("llm", "similarity", "cross"),
 )
 def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: for each anchor

@@ -47,7 +47,11 @@ def main() -> int:
             findings.append(f"{name}: PLAN FAILED: {e}")
             continue
         audited += 1
-        allow_nlj = any(t in q.tags for t in ("theta", "cross", "scalar")) or "sim_" in name or "dedup_" in name
+        # Exemptions are EXPLICIT per-query tags only — a name-prefix
+        # blanket ("sim_"/"dedup_") would hide an accidental cartesian in
+        # the two families where candidate generation exists precisely to
+        # avoid one.
+        allow_nlj = any(t in q.tags for t in ("theta", "cross", "scalar"))
         if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan) and not allow_nlj:
             findings.append(f"{name}: unexpected nested-loop/cartesian join")
         if "filter" in q.tags and "PushedFilters: []" in plan:

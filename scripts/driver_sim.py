@@ -49,7 +49,11 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    names = [n for n in sorted(qs) if not args or any(a in n for a in args)]
+    # PRESERVE queries() order — it IS registry.driver_order, and the whole
+    # point of an argless/truncated run is to simulate the driver's first-N
+    # sample slots (alphabetical order would front-load agg_*/dedup_* and
+    # skip the re-row + never-sampled tiers the driver actually checks).
+    names = [n for n in qs if not args or any(a in n for a in args)]
     failed = []
     for name in names:
         t0 = time.time()

@@ -42,7 +42,11 @@ def value_hash(pdf) -> str:
     for row in pdf.itertuples(index=False):
         for v in row:
             if isinstance(v, float):
-                v = repr(round(v, 9))
+                # EXACT repr — no rounding tolerance. The engine contract is
+                # bit-identical doubles (r6 on floats, the money VARCHAR-hop
+                # on sums); a lenient local hash would green-light sub-1e-9
+                # divergences the driver's exact compare then reds.
+                v = repr(v)
             elif isinstance(v, (np.integer, int)) and not isinstance(v, bool):
                 v = str(int(v))
             elif isinstance(v, (pd.Timestamp, _dt.datetime, _dt.date)):
@@ -52,6 +56,7 @@ def value_hash(pdf) -> str:
             else:
                 v = repr(v)
             h.update(v.encode())
+            h.update(b"\x1f")  # value delimiter: (12,3) must not hash as (1,23)
         h.update(b"\n")
     return h.hexdigest()
 

@@ -29,6 +29,20 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
 DONE_PATH = "/tmp/sf1_sweep_done.txt"
 
 
+def _done_path(sf_dir: str) -> str:
+    """Resume file, keyed by fixture dir: a sweep against a different
+    scale (or any non-default dir) must not inherit the default sf1
+    sweep's done-set and silently skip everything. The default dir keeps
+    the historical un-suffixed path so existing resume state survives."""
+    default = "/tmp/lagom_kinesis_spark/scale/sf1"
+    if os.path.abspath(sf_dir) == default:
+        return DONE_PATH
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return f"/tmp/sf1_sweep_done_{tag}.txt"
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/lagom_kinesis_spark/scale/sf1"
 
@@ -48,9 +62,10 @@ def main() -> int:
         )
 
     done: set[str] = set()
-    if os.path.exists(DONE_PATH):
-        done = set(open(DONE_PATH).read().split())
-    done_f = open(DONE_PATH, "a")
+    done_path = _done_path(sf_dir)
+    if os.path.exists(done_path):
+        done = set(open(done_path).read().split())
+    done_f = open(done_path, "a")
 
     def cost_key(n: str):
         heavy = (
