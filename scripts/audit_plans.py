@@ -15,6 +15,7 @@ shape is covered by the batch-equivalence oracles).
 
 from __future__ import annotations
 
+import re
 import sys
 
 sys.path.insert(0, ".")
@@ -54,8 +55,22 @@ def main() -> int:
         allow_nlj = any(t in q.tags for t in ("theta", "cross", "scalar"))
         if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan) and not allow_nlj:
             findings.append(f"{name}: unexpected nested-loop/cartesian join")
-        if "filter" in q.tags and "PushedFilters: []" in plan:
-            findings.append(f"{name}: filter not pushed to scan")
+        if (
+            "filter" in q.tags
+            and "PushedFilters: [" in plan
+            and not re.search(r"PushedFilters: \[[^\]]", plan)
+        ):
+            # Flag only when NO scan carries a pushed filter — a dimension
+            # scanned unfiltered next to a pushed fact filter is fine.
+            findings.append(f"{name}: no filter pushed to any scan")
+        if (
+            "agg" in q.tags
+            and "Exchange hashpartitioning" in plan
+            and re.search(r"(Hash|Sort|ObjectHash)Aggregate", plan)
+            and "partial_" not in plan
+            and "Expand" not in plan  # exact-distinct plans expand instead
+        ):
+            findings.append(f"{name}: missing partial (map-side) aggregation")
     print(f"audited {audited} query plans")
     for f in findings:
         print("  FLAG", f)
