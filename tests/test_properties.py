@@ -375,3 +375,31 @@ def test_scd2_apply_matches_reference(spark, data):
         if k not in cur or a != cur[k][1]:
             ref.append((k, a, eff, None, True))  # fresh current version
     assert got == nsort(ref)
+
+
+@given(
+    cents_vals=st.lists(
+        st.integers(min_value=0, max_value=10**13),  # up to ~1e11 dollars
+        min_size=1,
+        max_size=12,
+    )
+)
+@SETTINGS
+def test_money_fast_path_matches_decimal_path(spark, cents_vals):
+    """helpers.units/money_sum_units (the int64 money fast path) must be
+    bit-identical to money(F.sum(dec(...))) — long sum -> exact decimal
+    rescale -> correctly-rounded double cast, at every magnitude
+    including sums far beyond 2^53 where a double-division finalize
+    would double-round."""
+    from lagom_kinesis_spark.functions import (
+        dec,
+        money,
+        money_sum_units,
+        units,
+    )
+
+    rows = [(c / 100.0,) for c in cents_vals]
+    df = spark.createDataFrame(rows, "v double")
+    slow = df.agg(money(F.sum(dec("v"))).alias("s")).collect()[0]["s"]
+    fast = df.agg(money_sum_units(units("v"), 2).alias("s")).collect()[0]["s"]
+    assert slow == fast and isinstance(fast, float)
