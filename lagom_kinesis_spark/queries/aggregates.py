@@ -451,7 +451,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(money(F.sum(dec("l_quantity"))))
+        .agg(money_sum_units(units("l_quantity"), 2))
         .withColumnRenamed("O", "qty_O")
         .withColumnRenamed("F", "qty_F")
     )
@@ -1259,6 +1259,6 @@ def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin", "bin_lo")
         .agg(
             F.count("*").alias("n"),
-            money(F.sum(dec("o_totalprice"))).alias("bin_sum"),
+            money_sum_units(units("o_totalprice"), 2).alias("bin_sum"),
         )
     )

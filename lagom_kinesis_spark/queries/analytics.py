@@ -35,6 +35,7 @@ from lagom_kinesis_spark.functions import (
     revenue_expr,
     revenue_sql,
     revenue_units,
+    units,
 )
 from lagom_kinesis_spark.registry import register
 
@@ -67,7 +68,7 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            money(F.sum(dec("l_extendedprice") * dec("l_discount"))).alias("revenue"),
+            money_sum_units(units("l_extendedprice") * units("l_discount"), 4).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -152,7 +153,7 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("o_orderdate").alias("o_year"))
-        .agg(money(F.sum(revenue_expr())).alias("revenue"))
+        .agg(money_sum_units(revenue_units(), 4).alias("revenue"))
     )
 
 
@@ -480,7 +481,7 @@ def q_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 30)
     )
     return joined.filter(cond).agg(
-        money(F.sum(revenue_expr())).alias("revenue"),
+        money_sum_units(revenue_units(), 4).alias("revenue"),
         F.count("*").alias("n_items"),
     )
 
@@ -585,7 +586,7 @@ def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count("*").alias("numcust"),
-            money(F.sum(dec("c_acctbal"))).alias("totacctbal"),
+            money_sum_units(units("c_acctbal"), 2).alias("totacctbal"),
         )
     )
 

@@ -32,7 +32,14 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from lagom_kinesis_spark.catalog import load
-from lagom_kinesis_spark.functions import dec, events_cte, money, r6
+from lagom_kinesis_spark.functions import (
+    dec,
+    events_cte,
+    money,
+    money_sum_units,
+    r6,
+    units,
+)
 from lagom_kinesis_spark.registry import register
 
 
@@ -190,7 +197,7 @@ def behavior_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     b = e.groupBy(
         "event_type", F.window("ts", "1 hour").start.alias("bucket")
-    ).agg(money(F.sum(dec("value"))).alias("bucket_sum"))
+    ).agg(money_sum_units(units("value"), 2).alias("bucket_sum"))
     w = W.partitionBy("event_type")
     s = b.withColumn("mu", F.avg("bucket_sum").over(w)).withColumn(
         "sd", F.stddev_samp("bucket_sum").over(w)
@@ -344,7 +351,7 @@ def behavior_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
-        money(F.sum(dec("o_totalprice"))).alias("monetary"),
+        money_sum_units(units("o_totalprice"), 2).alias("monetary"),
     )
     return base.select(
         "o_custkey",

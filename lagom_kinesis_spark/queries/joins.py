@@ -24,6 +24,7 @@ from lagom_kinesis_spark.functions import (
     revenue_expr,
     revenue_sql,
     revenue_units,
+    units,
 )
 from lagom_kinesis_spark.registry import register
 
@@ -367,7 +368,7 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
-        .agg(money(F.sum(revenue_expr())).alias("lost_revenue"))
+        .agg(money_sum_units(revenue_units(), 4).alias("lost_revenue"))
         .select("c_custkey", "c_name", "lost_revenue", "nation")
         .orderBy(F.col("lost_revenue").desc(), "c_custkey")
         .limit(20)

@@ -22,6 +22,7 @@ from lagom_kinesis_spark.functions import (
     revenue_expr,
     revenue_sql,
     revenue_units,
+    units,
 )
 from lagom_kinesis_spark.registry import register
 
@@ -477,7 +478,7 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(tmp)
     back = spark.read.parquet(tmp)
     return back.groupBy("o_orderpriority").agg(
-        F.count("*").alias("n"), money(F.sum(dec("o_totalprice"))).alias("total")
+        F.count("*").alias("n"), money_sum_units(units("o_totalprice"), 2).alias("total")
     )
 
 
@@ -530,7 +531,7 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count("*").alias("n_customers"),
-            money(F.sum(dec("c_acctbal"))).alias("total_acctbal"),
+            money_sum_units(units("c_acctbal"), 2).alias("total_acctbal"),
         )
     )
 
@@ -744,7 +745,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_items"),
-            money(F.sum(dec("l_quantity"))).alias("total_qty"),
+            money_sum_units(units("l_quantity"), 2).alias("total_qty"),
         )
     )
 
@@ -1075,7 +1076,7 @@ def sink_clustered_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        money(F.sum(dec("l_extendedprice"))).alias("total_price"),
+        money_sum_units(units("l_extendedprice"), 2).alias("total_price"),
     )
 
 
@@ -1106,7 +1107,7 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(tmp).filter(F.col("o_orderpriority") == "1-URGENT")
     return back.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
-        money(F.sum(dec("o_totalprice"))).alias("total"),
+        money_sum_units(units("o_totalprice"), 2).alias("total"),
     )
 
 
@@ -1334,7 +1335,7 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed = li.observe(
         obs,
         F.count(F.lit(1)).alias("n_rows"),
-        money(F.sum(dec("l_extendedprice"))).alias("gross"),
+        money_sum_units(units("l_extendedprice"), 2).alias("gross"),
         F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
     )
     observed.write.format("noop").mode("overwrite").save()
@@ -1398,7 +1399,7 @@ def sink_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        money(F.sum(dec("l_quantity"))).alias("total_qty"),
+        money_sum_units(units("l_quantity"), 2).alias("total_qty"),
     )
 
 
@@ -1558,7 +1559,7 @@ def scan_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.min("c_custkey").alias("min_key"),
             F.max("c_custkey").alias("max_key"),
-            money(F.sum(dec("c_acctbal"))).alias("sum_bal"),
+            money_sum_units(units("c_acctbal"), 2).alias("sum_bal"),
         )
     )
 

@@ -35,7 +35,14 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from lagom_kinesis_spark.catalog import load
-from lagom_kinesis_spark.functions import dec, events_cte, money, r6
+from lagom_kinesis_spark.functions import (
+    dec,
+    events_cte,
+    money,
+    money_sum_units,
+    r6,
+    units,
+)
 from lagom_kinesis_spark.registry import register
 
 #: 5-minute bucket — Spark `window(ts, '5 minutes').start` and DuckDB
@@ -86,7 +93,7 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     agg = e.groupBy(
         "event_type", F.window("ts", "5 minutes").start.alias("bucket")
-    ).agg(money(F.sum(dec("value"))).alias("bucket_sum"))
+    ).agg(money_sum_units(units("value"), 2).alias("bucket_sum"))
     bounds = agg.groupBy("event_type").agg(
         F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
     )
@@ -177,7 +184,7 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     agg = e.groupBy(
         "event_type", F.window("ts", "5 minutes").start.alias("bucket")
-    ).agg(money(F.sum(dec("value"))).alias("bucket_sum"))
+    ).agg(money_sum_units(units("value"), 2).alias("bucket_sum"))
     bounds = agg.groupBy("event_type").agg(
         F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
     )
@@ -277,7 +284,7 @@ def ts_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("low"),
         F.max_by("value", order_key).alias("close"),
         F.count("*").alias("n_ticks"),
-        money(F.sum(dec("value"))).alias("volume"),
+        money_sum_units(units("value"), 2).alias("volume"),
     )
 
 
@@ -337,7 +344,7 @@ def ts_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1_000_000)
         .cast("bigint")
         .alias("duration_sec"),
-        money(F.sum(dec("value"))).alias("session_value"),
+        money_sum_units(units("value"), 2).alias("session_value"),
     )
 
 

@@ -13,7 +13,14 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from lagom_kinesis_spark.catalog import load
-from lagom_kinesis_spark.functions import dec, events_cte, money, r6
+from lagom_kinesis_spark.functions import (
+    dec,
+    events_cte,
+    money,
+    money_sum_units,
+    r6,
+    units,
+)
 from lagom_kinesis_spark.operators import asof_join
 from lagom_kinesis_spark.registry import register
 
@@ -403,7 +410,7 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_regionkey").alias("regionkey"),
             F.col("c_nationkey").alias("nationkey"),
         )
-        .agg(money(F.sum(dec("o_totalprice"))).alias("nation_rev"))
+        .agg(money_sum_units(units("o_totalprice"), 2).alias("nation_rev"))
     )
     w = W.partitionBy("regionkey")
     return nat.select(
