@@ -652,3 +652,58 @@ def test_distributed_writer_commit_order_is_partition_deterministic(
             .collect()
         ]
         assert got == sorted(got), (pk, got)
+
+
+def test_reshard_ring_invariants_under_random_split_merge(tmp_path):
+    """Property: under ANY sequence of valid splits and adjacent merges,
+    the OPEN shards' hash ranges always partition [0, 2^32) exactly
+    (no gap, no overlap — a gap would make _route raise for a live key;
+    an overlap would double-deliver), children's ranges cover their
+    parents' exactly, and every descriptor shard has a materialized
+    dir. Pure-metadata property (no Spark session), so a deep random
+    walk is cheap."""
+    import random
+
+    from lagom_kinesis_spark.sources.kinesis_sim import (
+        _RANGE_SPACE,
+        _load_meta,
+        _shards_of,
+        create_stream,
+        merge_shards,
+        split_shard,
+    )
+
+    rng = random.Random(6)  # deterministic walk
+    d = str(tmp_path / "ring")
+    create_stream(d, n_shards=3)
+    for step in range(40):
+        shards = _load_meta(d)
+        open_sorted = sorted(
+            (s for s in shards if s["status"] == "OPEN"), key=lambda s: s["lo"]
+        )
+        # Invariant 1: OPEN ranges partition the full hash space.
+        assert open_sorted[0]["lo"] == 0
+        assert open_sorted[-1]["hi"] == _RANGE_SPACE
+        for a, b in zip(open_sorted, open_sorted[1:]):
+            assert a["hi"] == b["lo"], (step, a, b)
+        # Invariant 2: each CLOSED parent's range equals the union of the
+        # ranges of the shards naming it as parent.
+        kids: dict[str, list[dict]] = {}
+        for s in shards:
+            for p in s["parents"]:
+                kids.setdefault(p, []).append(s)
+        for s in shards:
+            if s["status"] == "CLOSED":
+                ks = sorted(kids[s["id"]], key=lambda k: k["lo"])
+                covered = [(k["lo"], k["hi"]) for k in ks if s["id"] in k["parents"]]
+                assert covered[0][0] <= s["lo"] and covered[-1][1] >= s["hi"]
+        # Invariant 3: every descriptor shard has a dir on disk.
+        assert set(_shards_of(d)) == {s["id"] for s in shards}
+        # Random valid action.
+        if len(open_sorted) > 1 and rng.random() < 0.45:
+            i = rng.randrange(len(open_sorted) - 1)
+            merge_shards(d, open_sorted[i]["id"], open_sorted[i + 1]["id"])
+        else:
+            victim = rng.choice(open_sorted)
+            if victim["hi"] - victim["lo"] >= 2:  # splittable
+                split_shard(d, victim["id"])
