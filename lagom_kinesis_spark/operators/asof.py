@@ -48,6 +48,12 @@ def asof_join(
     by = list(by)
     left_cols = left.columns
     r_tie = [tie] if tie and tie not in right_payload else []
+    # A NULL right timestamp matches nothing (DuckDB ASOF: l.ts >= r.ts is
+    # NULL → no match); unfiltered it would sort nulls-first and its
+    # payload would fill every left row. NULL LEFT timestamps still
+    # null-extend: they sort before all (filtered) right rows, so the
+    # running frame holds no payload there.
+    right = right.filter(F.col(ts).isNotNull())
     r = right.select(
         *by,
         ts,

@@ -69,4 +69,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exhausting max_iter without a fixpoint means some component's
+        # diameter exceeds the iteration budget — returning the partial
+        # labels would silently split one logical cluster into several
+        # (duplicate documents surviving dedup with no signal). Fail loud.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing); raise max_iter"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))

@@ -132,13 +132,15 @@ def batch_range_cosine(
     search over the corpus against a broadcast query matrix.
 
     Same map-only matmul shape as :func:`batch_topk_cosine`, but the
-    per-batch prune is the threshold itself (emitted with a small epsilon
-    so the final Spark-side round(...,6) ≥ tau comparison owns the
-    boundary). Output is |matches|, not |corpus|·|Q|."""
+    per-batch prune is the threshold itself, emitted with an epsilon
+    STRICTLY WIDER than the round-6 half-quantum (5e-7) so the final
+    Spark-side round(...,6) ≥ tau comparison owns the boundary — a raw
+    cosine of tau−4e-7 rounds UP to tau and must survive the prune.
+    Output is |matches|, not |corpus|·|Q|."""
     qm = np.asarray(q_vecs, dtype=np.float64)
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
     qid_arr = np.asarray(q_ids, dtype=np.int64)
-    cutoff = tau - 1e-9
+    cutoff = tau - 1e-6
 
     def score(batches):
         for pdf in batches:
@@ -231,7 +233,9 @@ def lsh_candidate_pairs(
     )
     buckets = sigs.selectExpr(
         id_col, f"explode(array({band_keys})) AS bucket"
-    ).persist()  # tiny: bands × docs rows of (id, long)
+    ).persist()  # bands × docs rows of (id, long); released by the
+    # registry wrapper's per-query clearCache — at true corpus scale,
+    # checkpoint to storage and unpersist explicitly instead
     a = buckets.select(F.col(id_col).alias("id_a"), "bucket")
     b_ = buckets.select(F.col(id_col).alias("id_b"), "bucket")
     return (
@@ -641,7 +645,22 @@ def ivfpq_topk(
     rows = []
     for qi, qid in enumerate(q_ids):
         qv = qm[qi]
-        cos = np.round(cn @ qv, 6)
+        # HALF_UP at 6 decimals via shortest-repr Decimal — the EXACT
+        # float→round rule Spark's F.round applies corpus-side
+        # (BigDecimal.valueOf(double).setScale(6, HALF_UP)); np.round is
+        # half-to-even and diverges on representable midpoints.
+        import decimal
+
+        cos = np.array(
+            [
+                float(
+                    decimal.Decimal(repr(float(x))).quantize(
+                        decimal.Decimal("1e-6"), decimal.ROUND_HALF_UP
+                    )
+                )
+                for x in cn @ qv
+            ]
+        )
         # n_probe nearest lists by (round-6 cosine desc, cid asc) — the
         # same deterministic rule centroid_rank applies corpus-side.
         order = np.lexsort((np.arange(len(cos)), -cos))[:n_probe]

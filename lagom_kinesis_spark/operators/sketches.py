@@ -56,10 +56,13 @@ HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
 def portable_key_hash(col: Column) -> Column:
     """60-bit md5 portable hash of any key, via its canonical string form.
     Integer-to-string rendering is identical across engines for integral
-    types; pass strings through unchanged."""
-    return F.conv(
-        F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    types; pass strings through unchanged. Delegates to
+    similarity.portable_token_hash — ONE definition of the load-bearing
+    cross-engine hash, so the two can never desync from the oracle
+    renderings (portable_hash_sql)."""
+    from lagom_kinesis_spark.operators.similarity import portable_token_hash
+
+    return portable_token_hash(col.cast("string"))
 
 
 def hll_registers(
@@ -74,6 +77,11 @@ def hll_registers(
     rho = F.when(F.col("__hll_w") == 0, F.lit(HLL_W_BITS + 1)).otherwise(
         F.lit(HLL_W_BITS + 1) - F.length(F.expr("ltrim('0', bin(__hll_w))"))
     )
+    # NULL keys are not values: like COUNT(DISTINCT), they must not mint
+    # a register (md5(NULL)=NULL would survive as a bogus NULL-idx row
+    # that skews the estimate). Unreachable on the NOT NULL fixture keys,
+    # so oracle parity is unaffected.
+    df = df.filter(key.isNotNull())
     hashed = df.select(
         *group_cols,
         F.shiftright(h, HLL_W_BITS).alias("__hll_idx"),
@@ -190,8 +198,16 @@ def cms_estimate(queries: DataFrame, key: Column, counters: DataFrame) -> DataFr
     qcells = queries.select(
         "*", F.explode(_cms_cells(key)).alias("__c")
     ).select("*", F.col("__c.j").alias("j"), F.col("__c.pos").alias("pos"))
+    # LEFT join + zero-fill: a counter cell with count 0 has no row in
+    # cms_counters' output, and an inner join would (a) drop an absent
+    # key entirely instead of answering 0 and (b) take the min over only
+    # its NON-zero cells, overestimating where the canonical sketch
+    # proves absence. Unreachable for present-key probes (every cell a
+    # present key touches counts at least itself), so oracle parity for
+    # the heavy-hitter query is unaffected.
     return (
-        qcells.join(F.broadcast(counters), ["j", "pos"])
+        qcells.join(F.broadcast(counters), ["j", "pos"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
         .groupBy(*queries.columns)
         .agg(F.min("c").alias("cms_est"))
     )
@@ -297,6 +313,12 @@ def kmv_sketch(
     distinct = df.select(
         *group_cols, h.alias("__kmv_h")
     ).dropDuplicates([*group_cols, "__kmv_h"])
+    if not group_cols:
+        # Global sketch: an empty partitionBy would move EVERY distinct
+        # hash into one window task. orderBy+limit plans as TakeOrdered
+        # (per-partition heaps + driver merge) — same bottom-k, no
+        # single-task sort.
+        return distinct.orderBy("__kmv_h").limit(k)
     w = Window.partitionBy(*group_cols).orderBy("__kmv_h")
     return (
         distinct.withColumn("__kmv_rn", F.row_number().over(w))

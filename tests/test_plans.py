@@ -395,3 +395,19 @@ def test_scd2_merge_is_all_broadcast_zero_dimension_shuffle(spark):
     # anywhere else must not hide behind the known bounded one). The
     # formatted explain prints each node twice — count numbered nodes.
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+
+
+def test_ann_topk_windows_get_partial_group_limit(spark):
+    """The ANN re-rank pattern (row_number over q_id, filter rn <= k)
+    must plan a PARTIAL WindowGroupLimit below the exchange — each map
+    task pre-limits to k rows per query, so the shuffle carries at most
+    k rows per (task, query) instead of the full candidate stream into
+    one reducer per q_id. This is the property that makes the window
+    form scale-safe; pin it so a regression (e.g. an expression that
+    defeats the rewrite) can't silently reintroduce the skew."""
+    import re
+
+    for name in ("sim_ann_pq", "sim_ann_ivf", "sim_ann_lsh_multiprobe"):
+        plan = _plan(QS[name].fn(spark, SF_DIR))
+        n_wgl = len(re.findall(r"\(\d+\) WindowGroupLimit", plan))
+        assert n_wgl >= 2, (name, n_wgl)  # partial (map-side) + final
