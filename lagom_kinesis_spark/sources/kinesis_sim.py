@@ -64,7 +64,10 @@ def shard_for(
     (the producer's tool for spreading a hot key or pinning related keys
     to one shard)."""
     key = explicit_hash_key if explicit_hash_key is not None else partition_key
-    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % n_shards
+    # Same 32-bit md5-prefix hash as range routing (hash32, defined with
+    # the ranged-stream helpers below): ONE hash definition for both the
+    # modulo ring and the range ring, so they cannot desync.
+    return hash32(key) % n_shards
 
 
 def _shard_name(i: int) -> str:
@@ -193,6 +196,13 @@ class _StreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self.stream_dir = options["path"]
         self.starting = options.get("startingposition", "TRIM_HORIZON").upper()
+        if self.starting not in ("TRIM_HORIZON", "LATEST"):
+            # Fail fast: a typo silently becoming TRIM_HORIZON would
+            # full-replay the stream (mass redelivery from a config slip).
+            raise ValueError(
+                f"unsupported startingposition: {self.starting!r} "
+                "(TRIM_HORIZON or LATEST)"
+            )
         self.drain_parents_first = (
             options.get("drain_parents_first", "false").lower() == "true"
         )
@@ -202,8 +212,14 @@ class _StreamReader(DataSourceStreamReader):
         self._scheduled: dict[str, int] = {}
 
     def _floor_scheduled(self, offsets: dict) -> None:
+        # Zero offsets MUST be recorded too: `_scheduled` non-emptiness is
+        # the fresh-vs-seen sentinel for the LATEST fast path below, and a
+        # query whose only known offsets are zeros (LATEST start on an
+        # empty stream, or a restart re-planning an all-zero batch) has
+        # been seen — skipping zeros would re-take the ungated fresh
+        # branch after a reshard and break parent-first ordering.
         for shard, off in offsets.items():
-            if int(off) > self._scheduled.get(shard, 0):
+            if shard not in self._scheduled or int(off) > self._scheduled[shard]:
                 self._scheduled[shard] = int(off)
 
     def _tips(self) -> dict[str, int]:
@@ -319,22 +335,17 @@ class _Writer(DataSourceWriter):
         # drain-parents-first ordering contract) and into shard indices
         # outside the descriptor entirely.
         meta = os.path.join(self.stream_dir, _META)
-        self.open_ranges: list[tuple[int, int, int]] | None = None
+        self.open_ranges: list[dict] | None = None
         if os.path.exists(meta):
             self.open_ranges = [
-                (int(s["id"].rsplit("-", 1)[1]), s["lo"], s["hi"])
-                for s in _load_meta(self.stream_dir)
-                if s["status"] == "OPEN"
+                s for s in _load_meta(self.stream_dir) if s["status"] == "OPEN"
             ]
 
     def _route(self, pk: str, ehk) -> int:
         if self.open_ranges is None:
             return shard_for(pk, self.n_shards, ehk)
-        h = hash32(ehk if ehk is not None else pk)
-        for i, lo, hi in self.open_ranges:
-            if lo <= h < hi:
-                return i
-        raise ValueError(f"no OPEN shard covers hash {h}")  # corrupt meta
+        s = covering_open_shard(self.open_ranges, pk, ehk)
+        return int(s["id"].rsplit("-", 1)[1])
 
     def write(self, iterator) -> _StagedParts:
         import uuid as _uuid
@@ -379,6 +390,12 @@ class _Writer(DataSourceWriter):
         if self.overwrite:
             for s in _shards_of(self.stream_dir):
                 shutil.rmtree(os.path.join(self.stream_dir, s), ignore_errors=True)
+        # NOTE on retry semantics: the stage/commit split makes SPECULATIVE
+        # and DEAD TASK attempts harmless (their parts are never appended).
+        # A driver-side failure mid-append followed by a whole-job retry
+        # re-publishes the already-appended parts — at-least-once, exactly
+        # like a real Kinesis putRecords retry; exactly-once belongs to the
+        # epoch-keyed sink (TaggedProducer.exactly_once), not this layer.
         staged = sorted(
             (part for m in messages if m is not None for part in m.parts),
             key=lambda x: x[1],
@@ -404,12 +421,31 @@ class _Writer(DataSourceWriter):
                 os.makedirs(
                     os.path.join(self.stream_dir, s["id"]), exist_ok=True
                 )
-        shutil.rmtree(os.path.join(self.stream_dir, "_staging"), ignore_errors=True)
+        self._sweep_own_staging(messages)
 
     def abort(self, messages) -> None:
+        self._sweep_own_staging(messages)
+
+    def _sweep_own_staging(self, messages) -> None:
+        """Remove ONLY this job's staged part dirs — a concurrent writer to
+        the same stream has its own staging dirs in flight, and sweeping
+        the whole _staging tree would destroy its uncommitted parts
+        mid-commit (partial publish + lost records)."""
         import shutil
 
-        shutil.rmtree(os.path.join(self.stream_dir, "_staging"), ignore_errors=True)
+        own = {
+            os.path.dirname(path)
+            for m in (messages or [])
+            if m is not None
+            for _i, path, _n in m.parts
+        }
+        for d in own:
+            shutil.rmtree(d, ignore_errors=True)
+        staging = os.path.join(self.stream_dir, "_staging")
+        try:
+            os.rmdir(staging)  # only if empty — siblings may be mid-flight
+        except OSError:
+            pass
 
 
 class KinesisSimDataSource(DataSource):
@@ -455,6 +491,17 @@ def hash32(partition_key: str) -> int:
     """First 8 md5 hex chars as uint32 — the range-routing hash (oracle
     mirror: CAST(('0x' || substr(md5(pk), 1, 8)) AS BIGINT))."""
     return int(hashlib.md5(partition_key.encode()).hexdigest()[:8], 16)
+
+
+def covering_open_shard(open_shards: list[dict], pk: str, ehk=None) -> dict:
+    """The OPEN shard whose hash range contains hash32(ehk or pk) — the
+    single definition of range routing, shared by the producer helper
+    (put_records_ranged) and the distributed writer (_Writer._route)."""
+    h = hash32(ehk if ehk is not None else pk)
+    for s in open_shards:
+        if s["lo"] <= h < s["hi"]:
+            return s
+    raise ValueError(f"no OPEN shard covers hash {h}")  # corrupt meta
 
 
 def _load_meta(stream_dir: str) -> list[dict]:
@@ -526,8 +573,7 @@ def put_records_ranged(
     for rec in records:
         data, pk = rec[0], rec[1]
         ehk = rec[2] if len(rec) > 2 else None
-        h = hash32(ehk if ehk is not None else pk)
-        target = next(s["id"] for s in shards if s["lo"] <= h < s["hi"])
+        target = covering_open_shard(shards, pk, ehk)["id"]
         payload = {"data": data, "partition_key": pk}
         if ehk is not None:
             payload["explicit_hash_key"] = ehk

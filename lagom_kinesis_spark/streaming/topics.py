@@ -120,6 +120,13 @@ class Topic:
     #: optional column-level normalization applied after the raw read
     normalize: Callable[[DataFrame], DataFrame] | None = None
 
+    def __post_init__(self) -> None:
+        # The topic name is a checkpoint-namespace path segment exactly
+        # like the group id — an unvalidated 'x/../y' would collide two
+        # topics' consumer-group checkpoints (one subscriber resuming
+        # from the other's offsets). Same charset rule, same reason.
+        _validate_group_id(self.name)
+
     def stream(self) -> DataFrame:
         tune(self.spark)
         reader = self.spark.readStream.format(self.source_format)
@@ -153,6 +160,49 @@ class Subscriber:
     def checkpoint_dir(self) -> str:
         # groupId ⇒ independent progress namespace (R9).
         return f"{self.topic.checkpoint_base}/{self.topic.name}/{self.group_id}"
+
+    def _purge_foreign_staging(self, staging_dir: str) -> None:
+        """Remove a DEAD incarnation's staged epochs and markers before
+        staging fresh ones. Epoch ids are only meaningful within one
+        checkpoint identity: leftovers from another identity would (a)
+        deliver a dead run's records to this subscriber's flow and (b)
+        poison the watermark with unrelated (possibly higher) epoch ids,
+        after which this run's own lower-numbered epochs are skipped AND
+        garbage-collected as 'already attempted' — steady-state loss. A
+        brand-new checkpoint (no metadata yet) cannot own ANY existing
+        staging content, so everything there is foreign by definition."""
+        import json
+        import shutil
+
+        if not os.path.isdir(staging_dir):
+            return
+        entries = os.listdir(staging_dir)
+        fresh = not os.path.exists(os.path.join(self.checkpoint_dir, "metadata"))
+        marker = os.path.join(staging_dir, "_DONE")
+        foreign = False
+        if os.path.exists(marker):
+            try:
+                with open(marker) as f:
+                    rec = json.load(f)
+                foreign = fresh or rec.get("checkpoint") != self._checkpoint_identity()
+            except (OSError, ValueError):
+                foreign = True  # torn/unreadable marker: not ours
+        elif fresh and any(
+            e.startswith("__epoch=") or e.startswith("_DONE_") for e in entries
+        ):
+            foreign = True
+        if not foreign:
+            return
+        for e in entries:
+            if e == "_DONE" or e.startswith(("__epoch=", "_DONE_")):
+                p = os.path.join(staging_dir, e)
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
 
     def _checkpoint_identity(self) -> str:
         """The checkpoint's random query id (<checkpoint>/metadata) — the
@@ -203,6 +253,7 @@ class Subscriber:
         batches — that write IS the commit; phase 2 processes staged data
         best-effort. A crash between the phases loses data, never dupes."""
         spark = self.topic.spark
+        self._purge_foreign_staging(staging_dir)
 
         def stage(df: DataFrame, epoch_id: int) -> None:
             # Idempotent per-epoch staging: a crash between this write and
@@ -281,14 +332,19 @@ class Subscriber:
                 if epoch <= watermark:
                     done.append(epoch)  # attempted before a prior crash
                     continue
+                # Commit the attempt BEFORE processing: this save IS phase
+                # 2's at-most-once commit point. Saving after the flow —
+                # even in a finally — only covers in-process exceptions; a
+                # hard crash mid-flow (SIGKILL/OOM) would leave the
+                # watermark behind and the restart would deliver the epoch
+                # a second time.
+                watermark = epoch
+                save(epoch)
                 try:
                     flow(staged.filter(F.col("__epoch") == epoch).drop("__epoch"), epoch)
                 except Exception as e:  # noqa: BLE001 — best-effort by design
                     errors.append(e)
-                finally:
-                    watermark = epoch
-                    save(epoch)
-                    done.append(epoch)
+                done.append(epoch)
             # GC attempted epochs AFTER the loop (partition pruning means a
             # deleted sibling dir is never scanned, but deleting only after
             # every attempt keeps the read path simple): without this, a
@@ -306,11 +362,22 @@ class Subscriber:
         self, flow: Callable[[DataFrame, int, CommitHandle], None]
     ) -> None:
         """Manual commit (R8): the flow must call ``handle.commit()`` or the
-        batch fails and is redelivered on the next run."""
+        batch fails and is redelivered on the next run. Conversely, once
+        the flow HAS committed, a later in-flow failure must NOT bring the
+        batch back (the reference's commit saves the offset immediately —
+        ScaladslKinesisSubscriber semantics): the error is swallowed so
+        Spark's checkpoint can advance past the committed batch."""
 
         def batch_fn(df: DataFrame, epoch_id: int) -> None:
             handle = CommitHandle()
-            flow(df, epoch_id, handle)
+            try:
+                flow(df, epoch_id, handle)
+            except Exception:
+                if not handle.committed:
+                    raise  # uncommitted: fail the batch → redelivery
+                # Committed-then-failed: post-commit work is best-effort;
+                # redelivering records whose offsets the user explicitly
+                # committed would violate the manual-commit contract.
             if not handle.committed:
                 raise RuntimeError(
                     f"batch {epoch_id} not committed; will be redelivered"

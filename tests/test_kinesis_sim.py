@@ -707,3 +707,25 @@ def test_reshard_ring_invariants_under_random_split_merge(tmp_path):
             victim = rng.choice(open_sorted)
             if victim["hi"] - victim["lo"] >= 2:  # splittable
                 split_shard(d, victim["id"])
+
+
+def test_unknown_starting_position_rejected(spark, stream_dir, tmp_path):
+    """A typo'd startingposition must fail fast, not silently become
+    TRIM_HORIZON and full-replay the stream."""
+    _registered(spark)
+    put_records(stream_dir, [("m", "k")], n_shards=1)
+    q = None
+    with pytest.raises(Exception, match="startingposition"):
+        q = (
+            spark.readStream.format("kinesis_sim")
+            .option("path", stream_dir)
+            .option("startingposition", "AT_TIMESTAMP")
+            .load()
+            .writeStream.foreachBatch(lambda b, e: None)
+            .option("checkpointLocation", str(tmp_path / "ckbad"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    if q is not None:
+        q.stop()

@@ -508,3 +508,71 @@ def test_producer_rejects_reserved_seq_columns(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="reserved column"):
         prod.run()
+
+
+def test_at_most_once_commits_attempt_before_processing(topic, tmp_path):
+    """Phase 2's commit point must precede the flow: the watermark is on
+    disk BEFORE the first record is delivered, so even a hard crash
+    (SIGKILL — no finally runs) mid-flow cannot lead to a second
+    delivery on restart."""
+    staging = str(tmp_path / "s_pre")
+    seen = {}
+
+    def flow(df, epoch):
+        with open(f"{staging}/_DONE") as f:
+            seen[epoch] = json.load(f)["watermark"]
+
+    sub = topic.subscribe("amo-pre")
+    assert sub.at_most_once(flow, staging_dir=staging) == []
+    assert seen and all(wm >= e for e, wm in seen.items())
+
+
+def test_at_most_once_purges_foreign_epochs(topic, tmp_path):
+    """Staged epoch dirs from a DEAD incarnation (different checkpoint
+    identity) must be purged before staging, not delivered — and their
+    high epoch ids must not poison the new watermark (which would make
+    later fresh low-numbered epochs skip AND garbage-collect)."""
+    staging = str(tmp_path / "s_foreign")
+    os.makedirs(staging)
+    spark = topic.spark
+    stale = spark.read.schema(topic.schema).parquet(topic.source_path).limit(3)
+    stale.write.mode("overwrite").parquet(f"{staging}/__epoch=9")
+
+    processed = []
+    sub = topic.subscribe("amo-foreign")
+    assert sub.at_most_once(
+        lambda df, e: processed.append((e, df.count())), staging_dir=staging
+    ) == []
+    # Only the fresh epoch(s) were delivered — never the dead run's data.
+    assert processed and all(e < 9 for e, _ in processed)
+    assert sum(n for _, n in processed) == _n_events()
+    # Watermark records OUR highest epoch, not the foreign 9.
+    assert json.load(open(f"{staging}/_DONE"))["watermark"] == max(
+        e for e, _ in processed
+    )
+
+
+def test_committable_commit_then_fail_is_not_redelivered(topic):
+    """Once handle.commit() ran, a later in-flow failure must NOT bring
+    the batch back — the manual commit saved the offset (reference
+    semantics); post-commit work is best-effort."""
+    deliveries = []
+
+    def commit_then_boom(df, epoch, handle):
+        deliveries.append(df.count())
+        handle.commit()
+        raise RuntimeError("post-commit failure")
+
+    sub = topic.subscribe("manual-postfail")
+    sub.committable(commit_then_boom)  # must not raise
+    n = _n_events()
+    assert deliveries == [n]
+    # Re-run: offsets advanced past the committed batch — nothing new.
+    sub.committable(lambda df, e, h: (deliveries.append(df.count()), h.commit()))
+    assert deliveries == [n]
+
+
+def test_topic_name_is_path_validated(spark):
+    for bad in ("x/../y", "a/b", ".."):
+        with pytest.raises(ValueError):
+            Topic(name=bad, schema="x long", spark=spark)
