@@ -156,8 +156,18 @@ def _driver_history(root=None) -> tuple[frozenset[str], frozenset[str]]:
     if root is None:
         root = Path(__file__).resolve().parent.parent
     root = Path(root)
+    def round_of(path: str) -> int:
+        # NUMERIC round order: lexicographic filename sort would put r6
+        # after r10 (or an unpadded rerun after padded ones), making a
+        # stale green record overwrite a newer failure — the exact
+        # staleness class this derivation exists to prevent.
+        import re
+
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        return int(m.group(1)) if m else -1
+
     latest: dict[str, dict] = {}
-    for path in sorted(glob.glob(str(root / "CORRECTNESS_r*.json"))):
+    for path in sorted(glob.glob(str(root / "CORRECTNESS_r*.json")), key=round_of):
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -170,7 +180,10 @@ def _driver_history(root=None) -> tuple[frozenset[str], frozenset[str]]:
         for name, rec in latest.items()
         if not (
             rec.get("hash_match") is True
-            or (rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None)
+            # Rows-only green requires rows > 0: the driver's weaker check
+            # treats 0 rows as red (a 0-row result proves nothing), so a
+            # 0-row record must earn a re-row slot, not sort dead-last.
+            or (rec.get("err") == "no_oracle" and (rec.get("spark_rows") or 0) > 0)
         )
     )
     return frozenset(latest), failed

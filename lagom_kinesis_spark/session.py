@@ -41,8 +41,12 @@ RUNTIME_CONFS: dict[str, str] = {
     # Arrow for every pandas interchange (pandas UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Right-size shuffles for a single-host session (AQE coalesces further);
-    # on a real cluster this would be ~2-3× total cores instead.
-    "spark.sql.shuffle.partitions": "32",
+    # on a real cluster this would be ~2-3× total cores instead. Derived
+    # from the SAME env knob as the local master's core count — a
+    # hardcoded value here would silently shadow get_spark's builder
+    # config (RUNTIME_CONFS is applied last) AND pin externally provided
+    # sessions to the wrong size via tune().
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
 }
 
 
@@ -69,15 +73,44 @@ def tune(spark: SparkSession) -> SparkSession:
         return spark
     if len(_TUNED) > 64:  # bound growth across many short-lived sessions
         _TUNED.clear()
-    _TUNED[key] = spark
+    # Memoize only AFTER every conf applied (or was a legitimately static
+    # conf): memoizing up front turned one transient py4j error while
+    # setting a correctness-critical conf (UTC timezone, nanosAsLong)
+    # into a permanently mistuned session — every later call hit the
+    # memo and the timestamp oracles mismatched with no error anywhere.
+    ok = True
     for k, v in RUNTIME_CONFS.items():
         try:
             if spark.conf.get(k, None) != v:
                 spark.conf.set(k, v)
-        except Exception:
-            # Static conf on this build — leave as-is rather than fail a query.
-            pass
+        except Exception as e:  # noqa: BLE001
+            if "static" in str(e).lower() or "CANNOT_MODIFY" in str(e):
+                continue  # static conf on this build — leave as-is
+            ok = False  # transient: retry on the next tune() call
+    if ok:
+        _TUNED[key] = spark
     return spark
+
+
+def _gc_stale_local_dirs(root: str, max_age_s: float = 6 * 3600) -> None:
+    """Reclaim shuffle dirs a crashed JVM left pinned in tmpfs: RAM-backed
+    leftovers accumulate until the free-space gate below fails and every
+    future session silently loses the tmpfs speedup. Spark's per-JVM dirs
+    carry no pid to liveness-probe (unlike io_scratch), so age is the
+    heuristic — anything untouched for hours outlived its round."""
+    import shutil
+    import time
+
+    if not os.path.isdir(root):
+        return
+    now = time.time()
+    for entry in os.listdir(root):
+        p = os.path.join(root, entry)
+        try:
+            if now - os.path.getmtime(p) > max_age_s:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
 
 
 def get_spark(app_name: str = "lagom-kinesis-spark") -> SparkSession:
@@ -114,7 +147,9 @@ def get_spark(app_name: str = "lagom-kinesis-spark") -> SparkSession:
         try:
             st = os.statvfs(shm)
             if st.f_bavail * st.f_frsize >= min_free:
-                builder = builder.config("spark.local.dir", f"{shm}/spark-local")
+                local_root = f"{shm}/spark-local"
+                _gc_stale_local_dirs(local_root)
+                builder = builder.config("spark.local.dir", local_root)
         except OSError:
             pass
     for k, v in RUNTIME_CONFS.items():
