@@ -751,3 +751,47 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aes_decrypt(cipher, key, F.lit("ECB")).cast("string").alias("roundtrip"),
         F.length(cipher).alias("cipher_len"),
     )
+
+
+@register(
+    "fn_collation_ci",
+    oracle="""
+    WITH t AS (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                  ELSE c_mktsegment END AS seg
+      FROM customer
+    )
+    SELECT min(lower(seg)) AS segment, COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE lower(seg) = 'building') AS n_building
+    FROM t GROUP BY lower(seg)
+    """,
+    tags=("fn", "collation"),
+)
+def fn_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison (Spark 4 ``COLLATE UTF8_LCASE``):
+    grouping and equality under a case-insensitive collation, the engine
+    feature that replaces scattering ``lower()`` at every comparison
+    site. Half the rows are case-mangled; the collated groupBy folds
+    'BUILDING' and 'building' into one group, and the collated equality
+    matches the lowercase literal against both spellings. The emitted key
+    is canonicalized through ``lower()`` (the collated group keeps an
+    arbitrary representative spelling) and aggregates carry no collated
+    type, so the output schema stays plain UTF8. Oracle: the classic
+    lower()-normalized phrasing — same groups, same counts."""
+    c = load(spark, sf_dir, "customer")
+    seg = F.when(
+        F.col("c_custkey") % 2 == 0, F.lower("c_mktsegment")
+    ).otherwise(F.col("c_mktsegment"))
+    ci = F.collate(seg, "UTF8_LCASE")
+    return (
+        c.select(seg.alias("seg"), ci.alias("seg_ci"))
+        .groupBy("seg_ci")
+        .agg(
+            F.min(F.lower("seg")).alias("segment"),
+            F.count("*").alias("n_rows"),
+            F.count_if(F.col("seg_ci") == F.lit("building")).alias(
+                "n_building"
+            ),
+        )
+        .select("segment", "n_rows", "n_building")
+    )

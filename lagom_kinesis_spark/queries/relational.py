@@ -1604,3 +1604,70 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         r6(F.log10(1.0 + 1.0 / F.col("digit"))).alias("benford_expected"),
     )
+
+
+@register(
+    "union_by_name_missing",
+    oracle="""
+    SELECT c_custkey AS key, 'customer' AS src, CAST(NULL AS DOUBLE) AS total
+    FROM customer WHERE c_custkey <= 200
+    UNION ALL
+    SELECT o_custkey AS key, 'orders' AS src, o_totalprice AS total
+    FROM orders WHERE o_custkey <= 200
+    """,
+    tags=("setop",),
+)
+def union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``unionByName(allowMissingColumns=True)``: schema-evolving union —
+    the narrower side is padded with typed NULLs for columns only the
+    other side carries, matched BY NAME (not position). The everyday
+    shape when unioning a v1 and a v2 extract of the same feed; positional
+    union would silently misalign. Oracle: explicit NULL-padded UNION ALL."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 200)
+        .select(F.col("c_custkey").alias("key"), F.lit("customer").alias("src"))
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 200)
+        .select(
+            F.col("o_custkey").alias("key"),
+            F.lit("orders").alias("src"),
+            F.col("o_totalprice").alias("total"),
+        )
+    )
+    return c.unionByName(o, allowMissingColumns=True)
+
+
+@register(
+    "dq_l_diversity",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(floor(c_acctbal / 100) AS BIGINT) AS acctbal_band,
+           COUNT(*) AS group_size,
+           COUNT(DISTINCT c_mktsegment) AS l_distinct
+    FROM customer
+    GROUP BY 1, 2
+    HAVING COUNT(DISTINCT c_mktsegment) < 3
+    """,
+    tags=("dq", "privacy"),
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l=3) — k-anonymity's complement: a QI group can
+    be large (k-safe) yet still leak if nearly everyone in it shares the
+    SENSITIVE value (here the market segment stands in for one). Groups
+    whose sensitive attribute takes fewer than l distinct values are the
+    homogeneity-attack worklist. Scale: one shuffle on the QI key; the
+    distinct count is per-group (map-side partials on (QI, sensitive)),
+    output bounded by QI cardinality."""
+    c = load(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 100).cast("long")
+    return (
+        c.groupBy("c_nationkey", band.alias("acctbal_band"))
+        .agg(
+            F.count("*").alias("group_size"),
+            F.countDistinct("c_mktsegment").alias("l_distinct"),
+        )
+        .filter(F.col("l_distinct") < 3)
+    )

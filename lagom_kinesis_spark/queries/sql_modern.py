@@ -400,3 +400,29 @@ def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT * EXCEPT (c_nationkey, c_acctbal) FROM customer "
         "WHERE c_custkey <= 200"
     )
+
+
+@register(
+    "sql_identifier_clause",
+    oracle="""
+    SELECT l_returnflag AS flag, COUNT(*) AS n_items
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("sql", "modern"),
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``IDENTIFIER(:param)`` clause (Spark 4): table AND column names
+    bound from parameters as identifiers, not string-spliced SQL — the
+    injection-safe front door for templated jobs ("run this rollup over
+    table X grouped by column Y"). Resolution happens at parse time, so
+    the bound plan is byte-identical to the literal phrasing and keeps
+    pushdown/pruning; a value that is not a lexical identifier is a parse
+    error, never a WHERE-clause payload."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp) AS flag, COUNT(*) AS n_items
+        FROM IDENTIFIER(:tbl) GROUP BY IDENTIFIER(:grp)
+        """,
+        args={"tbl": "lineitem", "grp": "l_returnflag"},
+    )
