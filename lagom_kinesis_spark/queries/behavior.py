@@ -362,3 +362,69 @@ def behavior_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(W.orderBy("frequency", "o_custkey")).alias("f_quartile"),
         F.ntile(4).over(W.orderBy("monetary", "o_custkey")).alias("m_quartile"),
     )
+
+
+@register(
+    "behavior_attribution_last_touch",
+    oracle=events_cte(
+        """
+    , ev AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ), o AS (
+      SELECT *,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END
+                        IGNORE NULLS) OVER w AS lc_id,
+             last_value(CASE WHEN event_type = 'click' THEN ts END
+                        IGNORE NULLS) OVER w AS lc_ts
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS purchase_id,
+           CASE WHEN lc_ts >= ts - INTERVAL 1 HOUR THEN lc_id END AS click_id
+    FROM o WHERE event_type = 'purchase'
+    """
+    ),
+    tags=("behavior", "attribution"),
+)
+def behavior_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to the
+    user's most recent click within a 1-hour lookback, NULL when organic.
+    The classic per-user as-of shape, computed without a join: clicks and
+    purchases share ONE user-keyed ordered window, and a running
+    last(click, ignore nulls) over the preceding frame carries the
+    candidate; the lookback is a residual filter. Ties at identical ts
+    order by event_id (unique), so 'before' is total on both engines.
+
+    Scale: one exchange on user_id + per-user sort — the same partitioning
+    every behavior query reuses; no self-join, no fan-out, output exactly
+    one row per purchase."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_click = F.col("event_type") == "click"
+    lc_id = F.last(F.when(is_click, F.col("event_id")), ignorenulls=True).over(w)
+    lc_ts = F.last(F.when(is_click, F.col("ts")), ignorenulls=True).over(w)
+    return (
+        e.select(
+            "event_id",
+            "event_type",
+            "ts",
+            lc_id.alias("lc_id"),
+            lc_ts.alias("lc_ts"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.when(
+                F.col("lc_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"),
+                F.col("lc_id"),
+            ).alias("click_id"),
+        )
+    )

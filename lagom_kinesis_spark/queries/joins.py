@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from lagom_kinesis_spark.catalog import load
 from lagom_kinesis_spark.functions import (
+    events_cte,
     hash_build,
     money,
     money_sum_units,
@@ -433,4 +434,72 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_qty"
             ),
         )
+    )
+
+
+@register(
+    "join_range_binned",
+    oracle=events_cte(
+        """
+    , iv AS (
+      SELECT event_id AS err_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+      FROM events WHERE event_type = 'error'
+    ), pts AS (
+      SELECT ts AS p_ts FROM events WHERE event_type = 'click'
+    )
+    SELECT err_id, COUNT(p_ts) AS n_clicks
+    FROM iv LEFT JOIN pts ON p_ts >= s AND p_ts < e
+    GROUP BY err_id
+    """
+    ),
+    tags=("join", "interval", "binned"),
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join with NO equi key — clicks (any user) falling inside
+    each error's 30-minute window — executed by TIME-BINNING both sides:
+    each interval explodes to the ≤2 fixed 30-min bins it overlaps, each
+    point hashes to exactly 1 bin, and the join becomes bin-equi + range
+    residual. Without this, Spark plans a broadcast nested loop (O(n·m)
+    comparisons); with it, cost is one hash join whose per-bin fan-out is
+    the local event density — the standard interval-bin rewrite for range
+    joins at scale (each point lives in one bin, so no pair dedup is
+    needed). The bin width equals the interval length, bounding the
+    explode at 2 rows per interval. Oracle: the plain declarative range
+    join, which DuckDB executes natively (IEJoin)."""
+    e = load(spark, sf_dir, "events")
+    half_h = 1800
+    iv = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    s_sec = F.col("s").cast("long")
+    # end is exclusive: the last covered bin is the one holding e - 1µs.
+    e_sec = F.col("e").cast("long") - F.when(
+        F.col("e") == F.date_trunc("second", F.col("e")), 1
+    ).otherwise(0)
+    iv_binned = iv.withColumn(
+        "bin",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor(s_sec / half_h), F.floor(e_sec / half_h)
+                )
+            )
+        ),
+    )
+    pts = e.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("p_ts"),
+        F.floor(F.col("ts").cast("long") / half_h).alias("bin"),
+    )
+    return (
+        iv_binned.join(
+            pts,
+            (iv_binned.bin == pts.bin)
+            & (pts.p_ts >= iv_binned.s)
+            & (pts.p_ts < iv_binned.e),
+            "left",
+        )
+        .groupBy("err_id")
+        .agg(F.count("p_ts").alias("n_clicks"))
     )

@@ -2542,3 +2542,64 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("corpus_share"),
         )
     )
+
+
+@register(
+    "dedup_substring_anchor",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               list_transform(generate_series(1, len(w) - 7),
+                              x -> array_to_string(w[x:x+7], ' ')))) AS g
+      FROM w WHERE len(w) >= 8
+    ), h AS (
+      SELECT doc_id, {sketches.portable_hash_sql("g")} AS h FROM g
+    ), o AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS owner FROM h
+    )
+    SELECT doc_id, COUNT(*) AS n_grams,
+           COUNT(*) FILTER (WHERE owner < doc_id) AS n_dup_grams,
+           round(COUNT(*) FILTER (WHERE owner < doc_id)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+    FROM o GROUP BY doc_id
+    HAVING 5 * COUNT(*) FILTER (WHERE owner < doc_id) >= COUNT(*)
+    """,
+    tags=("llm", "dedup", "substring"),
+)
+def dedup_substring_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring duplication (the Lee et al. 2022
+    'Deduplicating Training Data' shape, anchor-hash approximation): every
+    distinct 8-token window is hashed and assigned a canonical owner (the
+    lowest doc_id containing it); a document whose windows are ≥20% owned
+    by earlier documents is flagged with its duplicated fraction — the
+    removal worklist for verbatim-overlap dedup, which MinHash (whole-doc
+    similarity) misses when a long quote hides inside otherwise-novel text.
+
+    Plan: explode-once to (doc, gram-hash), ONE exchange on the 64-bit
+    anchor hash where a window-min computes each gram's owner (no
+    gram-keyed self-join), then a doc-keyed partial-agg. Never all-pairs:
+    cost is linear in total gram volume at any corpus size, exactly how
+    the suffix-array pipeline's distributed approximation is built. The
+    integer predicate (5*dups >= grams) keeps the ≥20% gate float-free."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    from lagom_kinesis_spark.operators.similarity import portable_token_hash
+
+    grams = d.select(
+        "doc_id", F.explode(shingles(tokens("text"), 8)).alias("g")
+    ).select("doc_id", portable_token_hash(F.col("g")).alias("h"))
+    owned = grams.select(
+        "doc_id", F.min("doc_id").over(W.partitionBy("h")).alias("owner")
+    )
+    n_dup = F.count_if(F.col("owner") < F.col("doc_id"))
+    return (
+        owned.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            n_dup.alias("n_dup_grams"),
+            r6(n_dup / F.count("*")).alias("dup_frac"),
+        )
+        .filter(5 * F.col("n_dup_grams") >= F.col("n_grams"))
+    )

@@ -1786,3 +1786,85 @@ def mix_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "source", "n_chars", F.col("ei").cast("long").alias("epoch_idx")
     )
+
+
+@register(
+    "mix_dsir_importance",
+    oracle=f"""
+    WITH t2 AS (
+      SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, lang, ({sketches.portable_hash_sql("tok")}) % 256 AS b
+      FROM t2 WHERE tok <> ''
+    ), docb AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM toks GROUP BY 1, 2
+    ), stats AS (
+      SELECT b, COUNT(*) AS r_c,
+             COUNT(*) FILTER (WHERE lang = 'en') AS t_c
+      FROM toks GROUP BY b
+    ), tot AS (
+      SELECT CAST(SUM(r_c) AS BIGINT) AS r_n, CAST(SUM(t_c) AS BIGINT) AS t_n
+      FROM stats
+    )
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           round(SUM(c * (ln((t_c + 1) / CAST(t_n + 256 AS DOUBLE))
+                        - ln((r_c + 1) / CAST(r_n + 256 AS DOUBLE)))), 6)
+             AS log_weight
+    FROM docb JOIN stats USING (b) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    tags=("llm", "pipeline", "mix"),
+)
+def mix_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, 'Data Selection
+    for Language Models via Importance Resampling'): score every raw doc
+    by its log likelihood ratio between a TARGET distribution (here the
+    English subset stands in for the curated target) and the RAW corpus,
+    both modeled as bag-of-hashed-unigrams over 256 buckets with add-1
+    smoothing. Resampling by these weights tilts a 100 TB crawl toward
+    the target domain without a model in the loop.
+
+    Plan: explode-once → bucket by the portable 64-bit hash (a FIXED
+    256-row feature space, so the model is a broadcast join however big
+    the corpus) → per-(doc,bucket) counts → one doc-keyed agg. Two
+    shuffles total, independent of corpus size; no vocabulary-sized state
+    anywhere — that is the point of hashed features at scale. ln() on
+    identical doubles both engines, summed over ≤256 terms per doc, far
+    inside the round-6 quantum."""
+    from lagom_kinesis_spark.operators.similarity import portable_token_hash
+
+    d = fan_out(load(spark, sf_dir, "documents"))
+    toks = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            "lang",
+            F.pmod(portable_token_hash(F.col("tok")), F.lit(256)).alias("b"),
+        )
+    )
+    docb = toks.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    stats = toks.groupBy("b").agg(
+        F.count("*").alias("r_c"),
+        F.count_if(F.col("lang") == "en").alias("t_c"),
+    )
+    tot = stats.agg(
+        F.sum("r_c").alias("r_n"), F.sum("t_c").alias("t_n")
+    )
+    lr = F.log((F.col("t_c") + 1) / (F.col("t_n") + 256).cast("double")) - F.log(
+        (F.col("r_c") + 1) / (F.col("r_n") + 256).cast("double")
+    )
+    return (
+        docb.join(F.broadcast(stats), "b")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            r6(F.sum(F.col("c") * lr)).alias("log_weight"),
+        )
+    )

@@ -411,3 +411,39 @@ def test_ann_topk_windows_get_partial_group_limit(spark):
         plan = _plan(QS[name].fn(spark, SF_DIR))
         n_wgl = len(re.findall(r"\(\d+\) WindowGroupLimit", plan))
         assert n_wgl >= 2, (name, n_wgl)  # partial (map-side) + final
+
+
+def test_substring_anchor_owner_is_window_not_self_join(spark):
+    """The gram→owner assignment must be a window-min over ONE exchange on
+    the anchor hash, never a gram-keyed aggregate re-joined to the gram
+    stream (two exchanges of the full gram volume)."""
+    plan = _plan(QS["dedup_substring_anchor"].fn(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_range_binned_join_is_hash_not_nested_loop(spark):
+    """The whole point of the bin rewrite: a pure range join must plan as
+    a bin-equi hash join with the range as residual condition, never a
+    nested-loop over all interval×point pairs."""
+    plan = _plan(QS["join_range_binned"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+
+
+def test_dsir_stats_join_is_broadcast(spark):
+    """The 256-bucket feature model must broadcast — the corpus side stays
+    map-only between its two aggs however large the corpus."""
+    plan = _plan(QS["mix_dsir_importance"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_attribution_is_single_user_window_no_join(spark):
+    """Last-touch attribution must not self-join events: one user-keyed
+    ordered window carries the candidate click."""
+    plan = _plan(QS["behavior_attribution_last_touch"].fn(spark, SF_DIR))
+    assert "Join" not in plan
+    # formatted output lists each node twice (tree + detail): count the
+    # tree rendering "Exchange (n)" only.
+    assert plan.count("Exchange (") == 1
