@@ -571,6 +571,49 @@ def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_pair_ranks(seqdf: DataFrame) -> DataFrame:
+    """Freq-weighted adjacent-symbol pair counts over (word, freq, seq),
+    ranked desc with lexicographic ties — one BPE statistics round (shared
+    by train and encode). The guard on 1-symbol words matters: Spark's
+    ``sequence(1, 0)`` DESCENDS instead of returning empty."""
+    t = F.split("seq", " ")
+    prs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("a"),
+                F.element_at(t, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    counts = (
+        seqdf.select("freq", F.explode(prs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+    w = W.orderBy(F.col("pair_count").desc(), "a", "b")
+    return counts.withColumn("rn", F.row_number().over(w))
+
+
+def _bpe_apply_merge(seqdf: DataFrame, ranks: DataFrame) -> DataFrame:
+    """Apply the argmax merge from ``ranks`` to every symbol sequence:
+    broadcast the 1-row merge, single-pass left-to-right ``replace`` —
+    identical non-overlapping semantics in both engines."""
+    m = ranks.filter(F.col("rn") == 1).select(
+        F.col("a").alias("ma"), F.col("b").alias("mb")
+    )
+    return seqdf.crossJoin(F.broadcast(m)).select(
+        "word",
+        "freq",
+        F.replace(
+            F.col("seq"),
+            F.concat_ws(" ", "ma", "mb"),
+            F.concat("ma", "mb"),
+        ).alias("seq"),
+    )
+
+
 def _bpe_pairs_sql(src: str, alias: str) -> str:
     """Adjacent-symbol pair counts (freq-weighted) over ``src`` (word,
     freq, seq) in DuckDB SQL — one BPE statistics round."""
@@ -647,40 +690,9 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rtrim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"),
     )
 
-    def pair_ranks(seqdf: DataFrame) -> DataFrame:
-        t = F.split("seq", " ")
-        prs = F.when(
-            F.size(t) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - 1),
-                lambda i: F.struct(
-                    F.element_at(t, i).alias("a"),
-                    F.element_at(t, i + 1).alias("b"),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-        counts = (
-            seqdf.select("freq", F.explode(prs).alias("p"))
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("freq").alias("pair_count"))
-        )
-        w = W.orderBy(F.col("pair_count").desc(), "a", "b")
-        return counts.withColumn("rn", F.row_number().over(w))
-
-    p1 = pair_ranks(seq0)
-    m1 = p1.filter(F.col("rn") == 1).select(
-        F.col("a").alias("ma"), F.col("b").alias("mb")
-    )
-    seq1 = seq0.crossJoin(F.broadcast(m1)).select(
-        "word",
-        "freq",
-        F.replace(
-            F.col("seq"),
-            F.concat_ws(" ", "ma", "mb"),
-            F.concat("ma", "mb"),
-        ).alias("seq"),
-    )
-    p2 = pair_ranks(seq1)
+    p1 = _bpe_pair_ranks(seq0)
+    seq1 = _bpe_apply_merge(seq0, p1)
+    p2 = _bpe_pair_ranks(seq1)
     out1 = p1.filter(F.col("rn") <= 5).select(
         F.lit(1).alias("round"), "a", "b", "pair_count", "rn"
     )
@@ -1866,5 +1878,173 @@ def mix_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("c").alias("n_tokens"),
             r6(F.sum(F.col("c") * lr)).alias("log_weight"),
+        )
+    )
+
+
+@register(
+    "text_bpe_encode",
+    oracle=f"""
+    WITH words AS (
+      SELECT w AS word, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ), seq0 AS (
+      SELECT word, freq,
+             rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+      FROM words
+    ),{_bpe_pairs_sql("seq0", "e1")},
+    mm1 AS (SELECT a, b FROM e1_r WHERE rn = 1),
+    seq1 AS (
+      SELECT word, freq, replace(seq, mm1.a || ' ' || mm1.b, mm1.a || mm1.b) AS seq
+      FROM seq0 CROSS JOIN mm1
+    ),{_bpe_pairs_sql("seq1", "e2")},
+    mm2 AS (SELECT a, b FROM e2_r WHERE rn = 1),
+    enc AS (
+      SELECT word,
+             CAST(len(string_split(
+               replace(seq, mm2.a || ' ' || mm2.b, mm2.a || mm2.b), ' '))
+               AS BIGINT) AS n_sym
+      FROM seq1 CROSS JOIN mm2
+    ), inst AS (
+      SELECT doc_id, w AS word
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents)
+      WHERE w <> ''
+    )
+    SELECT doc_id, COUNT(*) AS n_words,
+           CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+           round(SUM(n_sym) / CAST(COUNT(*) AS DOUBLE), 6) AS fertility
+    FROM inst JOIN enc USING (word)
+    GROUP BY doc_id
+    """,
+    tags=("llm", "pipeline", "text", "iterative", "cross"),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION at corpus scale — the other half of
+    text_bpe_train_merges: derive the first two merges in-plan, encode the
+    VOCABULARY once (apply merge 1 then merge 2 to each distinct word's
+    symbol sequence), then join token INSTANCES to the encoded dictionary
+    — per doc: word count, BPE token count, and fertility (BPE tokens per
+    word), the tokenizer-efficiency audit every model team runs per
+    corpus slice.
+
+    The dictionary-encode trick IS the scale design: encoding work is
+    O(vocabulary), never O(corpus); the corpus pays only an equi-join of
+    instances to the (vocabulary-sized, typically broadcastable) encode
+    table — the same two-shuffle shape as tfidf, however many merges the
+    tokenizer has. Merge application is a broadcast 1-row cross join +
+    map-only left-to-right ``replace`` (identical non-overlapping
+    semantics in both engines)."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    words = toks.groupBy("word").agg(F.count("*").alias("freq"))
+    seq0 = words.select(
+        "word",
+        "freq",
+        F.rtrim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"),
+    )
+    seq1 = _bpe_apply_merge(seq0, _bpe_pair_ranks(seq0))
+    seq2 = _bpe_apply_merge(seq1, _bpe_pair_ranks(seq1))
+    enc = seq2.select(
+        "word", F.size(F.split("seq", " ")).cast("long").alias("n_sym")
+    )
+    return (
+        toks.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+            r6(F.sum("n_sym") / F.count("*")).alias("fertility"),
+        )
+    )
+
+
+@register(
+    "emb_matryoshka_audit",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, v AS qv FROM corpus WHERE vec_id < 5
+    ), fullr AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC,
+                          e.vec_id) AS rn
+        FROM q CROSS JOIN corpus e
+      ) WHERE rn <= 10
+    ), truncr AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY round(list_cosine_similarity(q.qv[1:16], e.v[1:16]), 6)
+                          DESC, e.vec_id) AS rn
+        FROM q CROSS JOIN corpus e
+      ) WHERE rn <= 10
+    )
+    SELECT f.q_id, COUNT(t.vec_id) AS n_hits,
+           round(COUNT(t.vec_id) / 10.0, 6) AS recall_at_10
+    FROM fullr f
+    LEFT JOIN truncr t ON f.q_id = t.q_id AND f.vec_id = t.vec_id
+    GROUP BY f.q_id
+    """,
+    tags=("llm", "similarity", "embedding"),
+)
+def emb_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation audit (Kusupati et al. 2022): recall@10 of
+    retrieval over only the FIRST 16 of 64 embedding dimensions against
+    the full-dimension ranking, in one plan — the measurement that decides
+    whether an MRL-trained model's cheap prefix is good enough to shrink
+    the index 4x (storage and matmul both scale with the kept prefix).
+
+    Both arms are the bounded-anchor brute-force pass (broadcast query
+    panel, Arrow-batched matmul, per-batch partial top-k); the truncated
+    arm scans 16-wide slices, which at 100 TB is the actual saving being
+    measured. Audit join is |queries|x10 rows. Oracle: the all-pairs
+    phrasing with DuckDB list slicing."""
+    import numpy as np
+
+    from lagom_kinesis_spark.operators.similarity import batch_topk_cosine
+
+    e = load(spark, sf_dir, "embeddings")
+    qrows = (
+        e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    )  # |Q| = 5 — bounded query panel
+    q_ids = [r["vec_id"] for r in qrows]
+    q_full = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    corpus16 = e.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+
+    def top10(scored: DataFrame) -> DataFrame:
+        w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+        return (
+            scored.select(
+                "q_id", "vec_id", r6(F.col("cos_sim")).alias("cos_sim")
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select("q_id", "vec_id")
+        )
+
+    full = top10(batch_topk_cosine(e, "vec_id", "embedding", q_ids, q_full, k=15))
+    trunc = top10(
+        batch_topk_cosine(
+            corpus16, "vec_id", "embedding", q_ids, q_full[:, :16], k=15
+        )
+    ).select("q_id", "vec_id", F.lit(1).alias("hit"))
+    return (
+        full.join(F.broadcast(trunc), ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") / 10.0, 6).alias("recall_at_10"),
         )
     )
