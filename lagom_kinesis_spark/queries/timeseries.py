@@ -576,3 +576,81 @@ def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r6(cusum) + F.lit(0.0)).alias("cusum"),
         (F.abs(cusum) > 2 * (total / n)).alias("drift"),
     )
+
+
+@register(
+    "ts_autocorr_lag1",
+    oracle=events_cte(
+        f"""
+    , agg AS (
+      SELECT event_type, {_BUCKET_15M} AS bucket,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+               AS x
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT event_type, x,
+             lead(x) OVER w AS y,
+             lead(bucket) OVER w AS nb,
+             bucket + INTERVAL 15 MINUTE AS eb
+      FROM agg
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+    ), s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM pairs WHERE nb = eb GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS autocorr_lag1
+    FROM s
+    """
+    ),
+    tags=("timeseries", "window"),
+)
+def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the 15-minute bucket-sum series per event
+    type — the first statistic a forecasting/seasonality pass computes
+    (near 0 ⇒ white noise, don't bother modeling; near 1 ⇒ strong
+    persistence). Adjacency is exact: a pair exists only when the NEXT
+    observed bucket is exactly +15 min (gaps contribute no pair, rather
+    than silently correlating across holes).
+
+    Plan: raw events collapse to (type, bucket) decimal sums first
+    (map-side combine, ~1000x reduction), the lag pairs come from one
+    bucket-ordered window over that small series, and Pearson r is
+    computed from the five explicit double sums with the SAME formula on
+    both engines (engine-internal corr() implementations differ in
+    summation order — the explicit form keeps the difference inside the
+    round-6 quantum)."""
+    e = load(spark, sf_dir, "events")
+    agg = e.groupBy(
+        "event_type", F.window("ts", "15 minutes").start.alias("bucket")
+    ).agg(F.sum(dec("value")).cast("double").alias("x"))
+    w = W.partitionBy("event_type").orderBy("bucket")
+    pairs = agg.select(
+        "event_type",
+        "x",
+        F.lead("x").over(w).alias("y"),
+        F.lead("bucket").over(w).alias("nb"),
+        (F.col("bucket") + F.expr("INTERVAL 15 MINUTES")).alias("eb"),
+    ).filter(F.col("nb") == F.col("eb"))
+    s = pairs.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    r = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return s.select(
+        "event_type",
+        n.cast("long").alias("n_pairs"),
+        r6(r).alias("autocorr_lag1"),
+    )

@@ -529,3 +529,115 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
                      RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
         """
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle=events_cte(
+        """
+    , ev AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ), o AS (
+      SELECT *,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END
+                        IGNORE NULLS) OVER wb AS b_id,
+             last_value(CASE WHEN event_type = 'click' THEN ts END
+                        IGNORE NULLS) OVER wb AS b_ts,
+             first_value(CASE WHEN event_type = 'click' THEN event_id END
+                         IGNORE NULLS) OVER wf AS f_id,
+             first_value(CASE WHEN event_type = 'click' THEN ts END
+                         IGNORE NULLS) OVER wf AS f_ts
+      FROM ev
+      WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ), d AS (
+      SELECT event_id AS purchase_id,
+             CASE WHEN b_ts IS NULL THEN NULL
+                  ELSE epoch_us(ts) - epoch_us(b_ts) END AS b_us,
+             CASE WHEN f_ts IS NULL THEN NULL
+                  ELSE epoch_us(f_ts) - epoch_us(ts) END AS f_us,
+             b_id, f_id
+      FROM o WHERE event_type = 'purchase'
+    )
+    SELECT purchase_id,
+           CASE WHEN b_us IS NOT NULL AND (f_us IS NULL OR b_us <= f_us)
+                     AND b_us <= 1800000000 THEN b_id
+                WHEN f_us IS NOT NULL AND f_us <= 1800000000 THEN f_id
+           END AS click_id,
+           CASE WHEN b_us IS NOT NULL AND (f_us IS NULL OR b_us <= f_us)
+                     AND b_us <= 1800000000 THEN 'backward'
+                WHEN f_us IS NOT NULL AND f_us <= 1800000000 THEN 'forward'
+           END AS direction
+    FROM d
+    """
+    ),
+    tags=("join", "asof"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction (asof_join(direction='nearest',
+    tolerance=30min)): each purchase matches the closest same-user click
+    in EITHER time direction, ties preferring backward — the pandas
+    merge_asof / QuestDB semantics Spark lacks natively. Computed with
+    zero joins: one user-keyed ordered window carries the backward
+    candidate (running last) and the forward candidate (running first);
+    the winner is an exact integer-microsecond distance compare, and the
+    30-min tolerance a residual filter. Ties at identical ts order by
+    event_id, so 'before'/'after' is total on both engines.
+
+    Scale: same single-exchange shape as every as-of in this engine —
+    no range self-join, output exactly one row per left row."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    is_click = F.col("event_type") == "click"
+    c_id = F.when(is_click, F.col("event_id"))
+    c_ts = F.when(is_click, F.col("ts"))
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    d = (
+        e.select(
+            "event_id",
+            "event_type",
+            "ts",
+            F.last(c_id, ignorenulls=True).over(wb).alias("b_id"),
+            F.last(c_ts, ignorenulls=True).over(wb).alias("b_ts"),
+            F.first(c_id, ignorenulls=True).over(wf).alias("f_id"),
+            F.first(c_ts, ignorenulls=True).over(wf).alias("f_ts"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            (us(F.col("ts")) - us(F.col("b_ts"))).alias("b_us"),
+            (us(F.col("f_ts")) - us(F.col("ts"))).alias("f_us"),
+            "b_id",
+            "f_id",
+        )
+    )
+    tol = 1_800_000_000  # 30 min in µs
+    b_wins = (
+        F.col("b_us").isNotNull()
+        & (F.col("f_us").isNull() | (F.col("b_us") <= F.col("f_us")))
+        & (F.col("b_us") <= tol)
+    )
+    f_wins = F.col("f_us").isNotNull() & (F.col("f_us") <= tol)
+    return d.select(
+        "purchase_id",
+        F.when(b_wins, F.col("b_id"))
+        .when(f_wins, F.col("f_id"))
+        .alias("click_id"),
+        F.when(b_wins, F.lit("backward"))
+        .when(f_wins, F.lit("forward"))
+        .alias("direction"),
+    )
