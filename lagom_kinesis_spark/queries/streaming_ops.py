@@ -1290,3 +1290,90 @@ def stream_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(target)
+
+
+@register(
+    "stream_attribution_last_touch",
+    oracle=events_cte(
+        """
+    , ev AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ), o AS (
+      SELECT *,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END
+                        IGNORE NULLS) OVER w AS lc_id,
+             last_value(CASE WHEN event_type = 'click' THEN ts END
+                        IGNORE NULLS) OVER w AS lc_ts
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS purchase_id,
+           CASE WHEN lc_ts >= ts - INTERVAL 1 HOUR THEN lc_id END AS click_id
+    FROM o WHERE event_type = 'purchase'
+    """
+    ),
+    tags=("streaming", "stateful"),
+)
+def stream_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING last-touch attribution — the online form of
+    behavior_attribution_last_touch: per-user state carries the most
+    recent click (ts, event_id) across batches; each purchase is credited
+    to the carried click within a 1-hour lookback at arrival. The state is
+    ONE row per user however long the stream runs — the canonical
+    bounded-state sessionless attribution an event pipeline serves in
+    real time (batch replays compute it as a window; a stream cannot,
+    because the window never closes).
+
+    Within a batch the group's rows are sorted by (ts, event_id) before
+    the stateful fold, so a single-batch bounded replay is bit-equal to
+    the batch window oracle; across batches the carried state yields the
+    same answer as long as batch boundaries respect arrival order (the
+    journal replay's contract) — pinned by the 2-batch split test in
+    tests/test_streaming.py."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select("event_id", "user_id", "ts", "event_type")
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        attribution_stateful,
+        outputStructType="purchase_id long, click_id long",
+        stateStructType="lc_ts timestamp, lc_id long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return memory_sink_table(out, "append")
+
+
+def attribution_stateful(key, pdfs, state):
+    """Per-user last-touch fold for stream_attribution_last_touch (module
+    level so the cross-batch test can mount it on its own 2-batch source):
+    state = the most recent click's (ts, event_id); purchases emit the
+    carried click when it is within the 1-hour lookback."""
+    import pandas as pd
+
+    lc_ts, lc_id = state.get if state.exists else (None, None)
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    out_pid, out_cid = [], []
+    for ts, eid, etype in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
+        if etype == "purchase":
+            out_pid.append(eid)
+            if lc_ts is not None and lc_ts >= ts - pd.Timedelta(hours=1):
+                out_cid.append(lc_id)
+            else:
+                out_cid.append(None)
+        else:
+            lc_ts, lc_id = ts, eid
+    if lc_ts is not None:
+        # lc_ts is a pandas Timestamp when set this batch but a plain
+        # datetime when carried from a previous batch's state.
+        state.update((pd.Timestamp(lc_ts).to_pydatetime(), int(lc_id)))
+    yield pd.DataFrame(
+        {
+            "purchase_id": pd.Series(out_pid, dtype="int64"),
+            "click_id": pd.Series(out_cid, dtype="object"),
+        }
+    )

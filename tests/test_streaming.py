@@ -220,3 +220,77 @@ def test_snapshot_swap_recovers_every_crash_window(tmp_path):
     mk(t + "_new", "v3")
     swap_snapshot(t, t + "_new")
     assert open(f"{t}/f").read() == "v3" and not os.path.exists(t + "_old")
+
+
+def test_attribution_state_carries_across_batches(spark, tmp_path):
+    """stream_attribution_last_touch's per-user state must survive batch
+    boundaries: a click in batch 1 attributes a purchase in batch 2 (within
+    the lookback), and a purchase whose only preceding click is >1h older
+    stays organic. Also exercises the datetime-vs-pandas-Timestamp state
+    round-trip that only a multi-batch run hits."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from lagom_kinesis_spark.queries.streaming_ops import attribution_stateful
+
+    src = tmp_path / "attr_src"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write(name, rows, sleep=True):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "ts", "event_type"]
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src / name))
+        if sleep:
+            time.sleep(1.1)
+
+    # batch 1: u1 clicks @0min; u2 clicks @0min
+    write(
+        "b1",
+        [
+            (1, 1, base, "click"),
+            (2, 2, base, "click"),
+        ],
+    )
+    # batch 2: u1 purchase @30min (attributed to click 1);
+    #          u2 purchase @90min (>1h after click 2 → organic);
+    #          u2 click @91min then purchase @92min (attributed to 5)
+    write(
+        "b2",
+        [
+            (3, 1, base + pd.Timedelta(minutes=30), "purchase"),
+            (4, 2, base + pd.Timedelta(minutes=90), "purchase"),
+            (5, 2, base + pd.Timedelta(minutes=91), "click"),
+            (6, 2, base + pd.Timedelta(minutes=92), "purchase"),
+        ],
+        sleep=False,
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        attribution_stateful,
+        outputStructType="purchase_id long, click_id long",
+        stateStructType="lc_ts timestamp, lc_id long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attr_xbatch_tbl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2, "expected one batch per file"
+    q.stop()
+    got = {
+        r["purchase_id"]: r["click_id"]
+        for r in spark.table("attr_xbatch_tbl").collect()
+    }
+    assert got == {3: 1, 4: None, 6: 5}
