@@ -1826,7 +1826,8 @@ def mix_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM docb JOIN stats USING (b) CROSS JOIN tot
     GROUP BY doc_id
     """,
-    tags=("llm", "pipeline", "mix"),
+    # "scalar": the only NLJ is the broadcast 1-row corpus-totals row.
+    tags=("llm", "pipeline", "mix", "scalar"),
 )
 def mix_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance weighting (Xie et al. 2023, 'Data Selection
