@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from lagom_kinesis_spark.catalog import load
-from lagom_kinesis_spark.functions import fan_out, r6
+from lagom_kinesis_spark.functions import events_cte, fan_out, r6
 from lagom_kinesis_spark.operators import sketches
 from lagom_kinesis_spark.registry import register
 
@@ -2048,4 +2048,48 @@ def emb_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("hit").alias("n_hits"),
             F.round(F.count("hit") / 10.0, 6).alias("recall_at_10"),
         )
+    )
+
+
+@register(
+    "sample_reservoir_per_group",
+    oracle=events_cte(
+        """
+    , r AS (
+      SELECT event_type, event_id, user_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY md5(CAST(event_id AS VARCHAR)),
+                                         event_id) AS rn
+      FROM events
+    )
+    SELECT event_type, event_id, user_id, CAST(rn AS INT) AS rn
+    FROM r WHERE rn <= 5
+    """
+    ),
+    tags=("llm", "pipeline", "sample"),
+)
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group 'reservoir': a fixed-size uniform-looking
+    sample of k=5 rows per event type, ordered by md5(id) — the
+    debugging/eval-panel sample every pipeline stage wants ('show me 5
+    random examples per stratum') made replayable: the same rows come
+    back on every run and on both engines, unlike rand()-reservoirs.
+
+    Plan: rank window per group — at scale the md5 rank with a group-limit
+    pushes to per-partition top-k before the exchange (WindowGroupLimit),
+    so the shuffle carries k·partitions rows, not the corpus."""
+    from lagom_kinesis_spark.catalog import load as _load
+
+    e = _load(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string").cast("binary")), "event_id"
+    )
+    return (
+        e.select(
+            "event_type",
+            "event_id",
+            "user_id",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
     )

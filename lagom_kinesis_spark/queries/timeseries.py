@@ -654,3 +654,65 @@ def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_pairs"),
         r6(r).alias("autocorr_lag1"),
     )
+
+
+@register(
+    "ts_dow_seasonality",
+    oracle=events_cte(
+        f"""
+    , daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(dayofweek(ts) + 1 AS INT) AS dow,
+             SUM(CAST(value AS DECIMAL(18,2))) AS day_sum
+      FROM events GROUP BY 1, 2, 3
+    ), per_dow AS (
+      SELECT event_type, dow,
+             COUNT(*) AS n_days,
+             SUM(day_sum) AS dow_sum
+      FROM daily GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type,
+             SUM(dow_sum) AS all_sum, SUM(n_days) AS all_days
+      FROM per_dow GROUP BY 1
+    )
+    SELECT p.event_type, p.dow, CAST(p.n_days AS BIGINT) AS n_days,
+           round((CAST(CAST(p.dow_sum AS VARCHAR) AS DOUBLE) / p.n_days)
+                 / (CAST(CAST(t.all_sum AS VARCHAR) AS DOUBLE) / t.all_days),
+                 6) AS seasonality_index
+    FROM per_dow p JOIN tot t USING (event_type)
+    """
+    ),
+    tags=("timeseries",),
+)
+def ts_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per event type: (average daily value
+    for that weekday) / (overall average daily value) — the calendar-effect
+    profile that decides whether a forecast needs weekly seasonality and
+    that flags day-skewed ingest feeds. Index 1.0 = flat week.
+
+    Plan: raw events collapse to (type, date) decimal day-sums first
+    (map-side combine), then a 7-key rollup and a per-type total join —
+    everything after the first agg is calendar-bounded, never row-bounded.
+    Sums stay exact DECIMAL until the final VARCHAR-hop double cast; the
+    dow arithmetic is integer (Spark dayofweek = DuckDB dayofweek + 1)."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.dayofweek("ts").alias("dow"),
+    ).agg(F.sum(dec("value")).alias("day_sum"))
+    per_dow = daily.groupBy("event_type", "dow").agg(
+        F.count("*").alias("n_days"), F.sum("day_sum").alias("dow_sum")
+    )
+    tot = per_dow.groupBy("event_type").agg(
+        F.sum("dow_sum").alias("all_sum"), F.sum("n_days").alias("all_days")
+    )
+    return per_dow.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "dow",
+        F.col("n_days").cast("long").alias("n_days"),
+        r6(
+            (F.col("dow_sum").cast("double") / F.col("n_days"))
+            / (F.col("all_sum").cast("double") / F.col("all_days"))
+        ).alias("seasonality_index"),
+    )
