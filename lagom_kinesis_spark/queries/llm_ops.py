@@ -2603,3 +2603,99 @@ def dedup_substring_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(5 * F.col("n_dup_grams") >= F.col("n_grams"))
     )
+
+
+@register(
+    "text_lang_confusion",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+               FROM documents),
+    g AS (
+      SELECT lang,
+             CASE WHEN len(list_intersect(toks, ['the','and','of'])) > 0 THEN 'en'
+                  WHEN len(list_intersect(toks, ['der','und','nicht'])) > 0 THEN 'de'
+                  WHEN len(list_intersect(toks, ['el','la','que'])) > 0 THEN 'es'
+                  WHEN len(list_intersect(toks, ['le','et','les'])) > 0 THEN 'fr'
+                  ELSE 'und' END AS lang_guess
+      FROM t
+    )
+    SELECT lang, lang_guess, COUNT(*) AS n,
+           round(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY lang)
+                                 AS DOUBLE), 6) AS row_share
+    FROM g GROUP BY lang, lang_guess
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the marker-word classifier's guess
+    against the labeled ``lang`` column, with per-true-language row shares
+    (the diagonal is recall) — the evaluation every classifier in the
+    curation stack needs before its output gates data. Classifier errors
+    here directly become corpus-mix errors downstream, which is why the
+    matrix, not just accuracy, is the report.
+
+    Plan: map-only classification fused into the scan, one (lang, guess)
+    hash agg (≤ |langs|² groups), row shares from a window over that tiny
+    aggregate — cost is one corpus scan at any scale."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        markers = F.array([F.lit(m) for m in LANG_MARKERS[lang]])
+        expr = F.when(F.arrays_overlap(toks, markers), lang).otherwise(expr)
+    g = d.select("lang", expr.alias("lang_guess"))
+    counts = g.groupBy("lang", "lang_guess").agg(F.count("*").alias("n"))
+    return counts.select(
+        "lang",
+        "lang_guess",
+        "n",
+        r6(
+            F.col("n")
+            / F.sum("n").over(W.partitionBy("lang")).cast("double")
+        ).alias("row_share"),
+    )
+
+
+@register(
+    "dq_freshness_lag",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, make_timestamp(epoch_ns(ts)//1000) AS ts
+      FROM events
+    ), per_type AS (
+      SELECT event_type, MAX(ts) AS latest, COUNT(*) AS n_events
+      FROM ev GROUP BY event_type
+    ), ref AS (SELECT MAX(latest) AS corpus_latest FROM per_type)
+    SELECT event_type, n_events,
+           CAST((epoch_us(corpus_latest) - epoch_us(latest)) // 60000000
+                AS BIGINT) AS lag_minutes,
+           (epoch_us(corpus_latest) - epoch_us(latest)) > 3600000000
+             AS stale
+    FROM per_type CROSS JOIN ref
+    """,
+    # "scalar": the only NLJ is the broadcast 1-row corpus-latest row.
+    tags=("dq", "scalar"),
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-freshness audit: each event type's ingestion lag behind the
+    freshest feed (exact integer minutes) plus a >1 h staleness flag —
+    the watchdog that catches a silently-dead producer long before
+    volume alerts do (the reference's transport can stall per-shard;
+    SURVEY.md §2A R10 restarts cover crashes, not quiet upstream gaps).
+
+    Plan: one (type) max/count agg over the scan, then a broadcast 1-row
+    corpus-max join; integer microsecond arithmetic end to end."""
+    e = load(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.max("ts").alias("latest"), F.count("*").alias("n_events")
+    )
+    ref = per_type.agg(F.max("latest").alias("corpus_latest"))
+    lag_us = F.unix_micros(F.col("corpus_latest").cast("timestamp")) - F.unix_micros(
+        F.col("latest").cast("timestamp")
+    )
+    return per_type.crossJoin(F.broadcast(ref)).select(
+        "event_type",
+        "n_events",
+        F.floor(lag_us / 60_000_000).cast("long").alias("lag_minutes"),
+        (lag_us > 3_600_000_000).alias("stale"),
+    )
