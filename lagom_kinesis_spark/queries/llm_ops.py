@@ -1272,7 +1272,13 @@ def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     type/token ratio) → language-ID → exact dedup (keep first) → per-lang
     corpus stats. One composed DataFrame plan: Catalyst fuses the gates
     into the scan, dedup is one shuffle, stats one more — the whole
-    pipeline is 2 shuffles regardless of corpus size."""
+    pipeline is 2 shuffles regardless of corpus size.
+
+    Keep-first dedup is a window-min over the content hash, NOT a
+    min(doc_id) aggregate re-joined to the scored stream: the self-join
+    form evaluates the scoring pipeline (tokenize + array_distinct +
+    language markers) TWICE — measured 13.9 s vs 8.7 s at sf10
+    (BENCH_NOTES.md round-7; .bench/ab_corpus_filter_window.py)."""
     from lagom_kinesis_spark.functions.helpers import let
 
     d = load(spark, sf_dir, "documents")
@@ -1297,10 +1303,11 @@ def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     filtered = scored.filter((F.col("n_tokens") >= 20) & (F.col("ttr") >= 0.2))
-    deduped = filtered.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    kept = filtered.withColumn(
+        "mn", F.min("doc_id").over(W.partitionBy("h"))
+    ).filter(F.col("doc_id") == F.col("mn"))
     return (
-        deduped.join(filtered, ["doc_id", "h"])
-        .groupBy("lang_guess")
+        kept.groupBy("lang_guess")
         .agg(
             F.count("*").alias("n_docs"),
             F.round(
