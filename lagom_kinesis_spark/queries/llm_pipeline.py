@@ -1194,9 +1194,10 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages, which is the point of a declarative 100 TB pipeline.
     """
     d = load(spark, sf_dir, "documents")
-    deduped = d.groupBy(F.md5(F.col("text").cast("binary"))).agg(
-        F.min("doc_id").alias("doc_id")
-    ).select("doc_id")
+    # Keep-first dedup as a window-min over the content hash — the
+    # agg+self-join form scans the corpus twice (BENCH_NOTES.md round-7,
+    # same finding as pipeline_corpus_filter: −37 % at sf10 there).
+    dedup_w = W.partitionBy(F.md5(F.col("text").cast("binary")))
     tokc = F.size(F.split("text", " ")).cast("long")
     u16 = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
@@ -1204,7 +1205,8 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("long")
     kept = (
-        d.join(deduped, "doc_id")
+        d.withColumn("mn", F.min("doc_id").over(dedup_w))
+        .filter(F.col("doc_id") == F.col("mn"))
         .filter(
             (F.col("n_chars") >= 100) & (tokc >= 20) & (u16 < F.col("n_chars") * 100)
         )
