@@ -1671,3 +1671,26 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("l_distinct") < 3)
     )
+
+
+@register(
+    "scan_xml_roundtrip",
+    oracle="SELECT r_regionkey, r_name FROM region",
+    tags=("scan", "xml"),
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + schema'd XML scan via Spark 4's NATIVE xml format
+    (spark-xml graduated into the engine, SPARK-44265) — the remaining
+    feed format next to csv/json/text for enterprise-integration inputs.
+    rowTag framing on both sides; explicit schema on read (inference
+    re-reads the data, same rule as the CSV scan)."""
+    tmp = io_scratch("region_xml", sf_dir)
+    load(spark, sf_dir, "region").select("r_regionkey", "r_name").write.mode(
+        "overwrite"
+    ).format("xml").option("rowTag", "region").save(tmp)
+    return (
+        spark.read.schema("r_regionkey int, r_name string")
+        .format("xml")
+        .option("rowTag", "region")
+        .load(tmp)
+    )
