@@ -2706,3 +2706,83 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(lag_us / 60_000_000).cast("long").alias("lag_minutes"),
         (lag_us > 3_600_000_000).alias("stale"),
     )
+
+
+@register(
+    "sim_ann_ivf_persisted",
+    oracle=_ann_ivf_oracle(),
+    tags=("llm", "similarity", "scale", "scan"),
+)
+def sim_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index AT REST: the inverted lists are a parquet layout
+    ``partitionBy(cluster)``, and a probe is a PARTITION-PRUNED scan —
+    only the probed cluster directories are ever read (PartitionFilters
+    carries ``cluster IN (probes)``; plan-asserted). This is the form an
+    ANN index takes on a 100 TB lake: build once as a layout, serve
+    queries by reading n_probe/k_lists of the data, no index service.
+
+    The probe lists are computed driver-side from the model-sized
+    centroid matrix (the same bounded collect every IVF arm does), with
+    HALF_UP round-6 + cid tie-break replicated exactly so the pruned
+    partitions equal the oracle's probed lists. Same oracle as
+    sim_ann_ivf: persistence must not change a single result row."""
+    import numpy as np
+
+    from lagom_kinesis_spark.catalog import io_scratch
+    from lagom_kinesis_spark.operators.similarity import (
+        centroid_rank,
+        cosine_pandas,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    C = md5_sample_matrix(e, 8)  # 8 × dim — model-sized driver-safe collect
+    ranked = centroid_rank(C)
+    assigned = e.select(
+        "vec_id", "embedding", ranked[0]["cid"].alias("cluster")
+    )
+    tmp = io_scratch("ivf_index", sf_dir)
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(tmp)
+    index = spark.read.parquet(tmp)
+
+    def r6_half_up(x: float) -> float:
+        # JVM F.round / DuckDB round are HALF_UP (away from zero);
+        # Python's round is banker's — replicate HALF_UP exactly.
+        import math
+
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+    qrows = (
+        e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    )  # |Q| = 5 — bounded query panel
+    cn = np.asarray(C, dtype=np.float64)
+    cn = cn / np.linalg.norm(cn, axis=1, keepdims=True)
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        cos = cn @ (qv / np.linalg.norm(qv))
+        order = sorted(range(len(cos)), key=lambda c: (-r6_half_up(cos[c]), c))
+        for cid in order[:2]:
+            probe_rows.append(
+                (int(r["vec_id"]), [float(x) for x in r["embedding"]], cid)
+            )
+    probes = spark.createDataFrame(
+        probe_rows, "q_id long, qv array<float>, cluster int"
+    )
+    pruned = index.filter(
+        F.col("cluster").isin(sorted({c for _, _, c in probe_rows}))
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(pruned, "cluster")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine_pandas(F.col("qv"), F.col("embedding")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 10
+    )

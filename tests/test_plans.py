@@ -447,3 +447,13 @@ def test_attribution_is_single_user_window_no_join(spark):
     # formatted output lists each node twice (tree + detail): count the
     # tree rendering "Exchange (n)" only.
     assert plan.count("Exchange (") == 1
+
+
+def test_ivf_persisted_probe_is_partition_pruned(spark):
+    """The persisted IVF index's whole point: a probe must read only the
+    probed cluster directories — PartitionFilters carries the static
+    cluster IN (...) (and the probe join adds dynamic pruning on top);
+    a full-index scan would make the layout useless at scale."""
+    plan = _plan(QS["sim_ann_ivf_persisted"].fn(spark, SF_DIR))
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cluster" in pf[0] and " IN (" in pf[0]
