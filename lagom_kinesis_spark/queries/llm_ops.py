@@ -2786,3 +2786,61 @@ def sim_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= 10
     )
+
+
+@register(
+    "dedup_incremental_catalog",
+    oracle="""
+    WITH hist AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 <> 0
+    ), batch AS (
+      SELECT doc_id, md5(text) AS h, source FROM documents WHERE doc_id % 3 = 0
+    ), marked AS (
+      SELECT b.doc_id, b.source,
+             (hist.h IS NOT NULL) AS dup_of_catalog
+      FROM batch b LEFT JOIN hist ON b.h = hist.h
+    )
+    SELECT source,
+           COUNT(*) AS n_batch,
+           COUNT(*) FILTER (WHERE dup_of_catalog) AS n_dup,
+           COUNT(*) FILTER (WHERE NOT dup_of_catalog) AS n_new,
+           round(COUNT(*) FILTER (WHERE dup_of_catalog)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_share
+    FROM marked GROUP BY source
+    """,
+    tags=("llm", "dedup", "scan"),
+)
+def dedup_incremental_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a PERSISTED fingerprint catalog — how a
+    growing corpus actually dedupes in production: the historical corpus
+    is represented only by its content-hash catalog at rest (here doc_id
+    % 3 != 0 plays history, written once as parquet); each incoming batch
+    left-joins the catalog and reports, per source, how much of it is
+    already known. The catalog is 32 bytes/doc however large history
+    grows — the whole point: no re-scan of historical TEXT, ever.
+
+    Plan: catalog build is one distinct over history (one-time, at rest);
+    the serving path is scan(batch) ⋈ scan(catalog) on the hash — an
+    equi-join of two hash-sized relations, then a source rollup."""
+    from lagom_kinesis_spark.catalog import io_scratch
+
+    d = load(spark, sf_dir, "documents")
+    hist = (
+        d.filter(F.col("doc_id") % 3 != 0)
+        .select(F.md5(F.col("text").cast("binary")).alias("h"))
+        .distinct()
+    )
+    tmp = io_scratch("fp_catalog", sf_dir)
+    hist.write.mode("overwrite").parquet(tmp)
+    catalog = spark.read.parquet(tmp).withColumn("known", F.lit(True))
+    batch = d.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "source", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    marked = batch.join(catalog, "h", "left")
+    dup = F.count_if(F.col("known").isNotNull())
+    return marked.groupBy("source").agg(
+        F.count("*").alias("n_batch"),
+        dup.alias("n_dup"),
+        F.count_if(F.col("known").isNull()).alias("n_new"),
+        r6(dup / F.count("*")).alias("dup_share"),
+    )
