@@ -13,11 +13,12 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
 from lagom_kinesis_spark.catalog import load
+from lagom_kinesis_spark.functions import events_cte, r6
 from lagom_kinesis_spark.registry import register
 
 
@@ -362,4 +363,47 @@ def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey", tag("o_orderpriority", "o_totalprice").alias("tagged")
+    )
+
+
+@register(
+    "udf_pandas_window_agg",
+    oracle=events_cte(
+        """
+    SELECT event_id,
+           round(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                 6) AS pmean3
+    FROM events
+    """
+    ),
+    tags=("udf", "window"),
+)
+def udf_pandas_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDAF evaluated OVER A WINDOW (`pandas_udf(...).over(w)` with
+    a bounded rows frame) — the remaining UDF placement after scalar /
+    iter / grouped-map / cogrouped / UDAF / mapInArrow / UDTF: Spark
+    ships each frame's slice to the Python worker as an Arrow batch
+    (WindowInPandas). The function body is a plain float mean, so the
+    oracle is the built-in AVG over the identical frame; the point under
+    test is the placement, not the math.
+
+    Scale: same exchange/sort as any user-keyed window; the Python cost
+    is per-frame Arrow batches — bounded frames keep slices small. For a
+    builtin-expressible body prefer AVG (JVM, codegen); this placement
+    exists for logic builtins can't express."""
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def pmean(v: pd.Series) -> float:
+        return float(v.mean())
+
+    e = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return e.select(
+        "event_id", r6(pmean(F.col("value")).over(w)).alias("pmean3")
     )
