@@ -688,7 +688,25 @@ def _ensure_bucketed(
                     pass  # shared /tmp: a sibling may have swept it first
         path = os.path.join(wh, table)
         sel = load(spark, sf_dir, src).select(*cols)
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
+
+        def _one_file_per_bucket() -> bool:
+            # The session trusts SORTED BY metadata on read
+            # (spark.sql.legacy.bucketedTableScan.outputOrdering,
+            # session.py): that is only sound when no bucket is split
+            # across files — a split bucket's concatenated read order is
+            # NOT sorted and a merge join would silently drop matches.
+            # Our writer (repartition on the bucket key, one task per
+            # bucket) produces exactly one file per non-empty bucket;
+            # verify the on-disk truth before adopting or returning.
+            from collections import Counter
+
+            seen: Counter = Counter()
+            for f in os.listdir(path):
+                if f.startswith("part-") and "_" in f:
+                    seen[f.split("_")[-1].split(".")[0]] += 1
+            return bool(seen) and max(seen.values()) == 1
+
+        if os.path.exists(os.path.join(path, "_SUCCESS")) and _one_file_per_bucket():
             col_ddl = ", ".join(
                 f"{f.name} {f.dataType.simpleString()}"
                 for f in sel.schema.fields
@@ -704,6 +722,10 @@ def _ensure_bucketed(
         sel.repartition(n_buckets, key).write.bucketBy(n_buckets, key).sortBy(
             key
         ).saveAsTable(table)
+        assert _one_file_per_bucket(), (
+            f"bucketed layout {path} has a bucket split across files — "
+            "sorted-scan ordering would be unsound"
+        )
     return table
 
 
@@ -940,9 +962,11 @@ def flagship_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     sortBy into the warehouse (one-time write-side shuffle), so the
     lineitem⋈orders SortMergeJoin plans with NO Exchange and NO runtime
     Sort on either side — the canonical repeated-fact-join layout at
-    100 TB. Measured at sf10 (.bench/flagship_bucketed_ab.py,
-    BENCH_NOTES.md): 1.59 s vs the shuffle plan's 3.73 s (2.3×), layout
-    cost 20.9 s amortized over every subsequent orderkey join."""
+    100 TB. Measured at sf10 (BENCH_NOTES.md): 0.90 s vs the shuffle
+    plan's 3.7 s (4×) once the sorted-scan ordering is honored — see the
+    round-7 note: without it Spark silently re-sorted both 60M-row sides
+    under the SMJ and the layout LOST to the shuffle plan. Layout cost
+    ~21 s amortized over every subsequent orderkey join."""
     # Bucket count scales with the fact data (~64 MB of source parquet
     # per bucket, clamped [8, 64]): 8 buckets = 8 join tasks, which
     # underparallelizes a 32-core sf10 tier 2x (measured 3.4 s vs

@@ -47,6 +47,16 @@ RUNTIME_CONFS: dict[str, str] = {
     # config (RUNTIME_CONFS is applied last) AND pin externally provided
     # sessions to the wrong size via tune().
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    # Honor the SORTED BY metadata of bucketed scans so a bucket-key
+    # SortMergeJoin needs NO runtime sort (Spark 3+ stopped propagating
+    # the ordering by default — SPARK-28595 — because a bucket split
+    # across several files breaks the guarantee). Safe here because every
+    # bucketed table in this engine is written by _ensure_bucketed, which
+    # repartitions on the bucket key first and then ASSERTS exactly one
+    # file per bucket at build/adopt time. Measured at sf10: the two
+    # 60M-row runtime sorts under flagship_bucketed's SMJ vanish,
+    # 6.3 s → 0.9 s (BENCH_NOTES.md round-7).
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
 }
 
 

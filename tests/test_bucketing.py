@@ -89,3 +89,25 @@ def test_flagship_bucketed_fact_join_plan(spark):
     got = sorted((r["nation"], r["n_items"]) for r in df.collect())
     want = sorted((r["nation"], r["n_items"]) for r in flagship.collect())
     assert got == want
+
+
+def test_bucketed_smj_has_no_runtime_sort(spark):
+    """With sorted-scan ordering honored (session.py's
+    legacy.bucketedTableScan.outputOrdering + _ensure_bucketed's
+    one-file-per-bucket assertion), the bucket-key SortMergeJoin must
+    consume the buckets' on-disk order directly: no Sort node anywhere
+    below the join. At sf10 the two 60M-row runtime sorts were the whole
+    gap: 6.3s -> 0.9s."""
+    from lagom_kinesis_spark.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    df = all_queries()["join_bucketed_colocated"].fn(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin" in plan
+    # tree rendering only: every node also appears once as "(n) Sort"
+    import re
+
+    sorts = re.findall(r"[+:]- Sort \(\d+\)", plan)
+    assert not sorts, f"runtime Sort under the bucketed join: {sorts}"
