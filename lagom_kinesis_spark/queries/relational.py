@@ -1718,3 +1718,98 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("rowTag", "region")
         .load(tmp)
     )
+
+
+from lagom_kinesis_spark.operators import sketches as _sketches
+
+
+@register(
+    "dq_table_checksum",
+    oracle=f"""
+    WITH fp AS (
+      SELECT {_sketches.portable_hash_sql("row_str")} AS h FROM (
+        SELECT concat_ws(chr(2),
+                 CAST(o_orderkey AS VARCHAR),
+                 coalesce(CAST(o_custkey AS VARCHAR), chr(1)),
+                 coalesce(o_orderstatus, chr(1)),
+                 coalesce(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), chr(1)),
+                 coalesce(CAST(epoch_us(o_orderdate)//1000000 AS VARCHAR), chr(1)),
+                 coalesce(o_orderpriority, chr(1))) AS row_str
+        FROM orders
+      )
+    )
+    SELECT COUNT(*) AS n_rows, bit_xor(h) AS checksum FROM fp
+    """,
+    tags=("dq", "agg", "scalar"),
+)
+def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table checksum: one (n_rows, xor-of-row-hashes)
+    pair — the cheap cross-cluster integrity check when the OTHER copy is
+    on a different system (dq_table_diff needs both tables in one engine;
+    a checksum travels as 16 bytes). XOR over per-row 60-bit portable
+    hashes is partition-order- and row-order-invariant by construction,
+    so any engine computing the same canonical row rendering agrees
+    exactly. Row rendering is the NULL-unambiguous chr(2)/chr(1) form
+    shared with dq_table_diff, with doubles canonicalized through
+    DECIMAL(18,2) and timestamps through epoch seconds (engine-native
+    float/timestamp → string renderings differ; integers don't).
+
+    Scale: map-only hash + a single partial-combining global agg."""
+    from lagom_kinesis_spark.operators.similarity import portable_token_hash
+
+    o = load(spark, sf_dir, "orders")
+    nul = F.lit("\x01")
+    row_str = F.concat_ws(
+        "\x02",
+        F.col("o_orderkey").cast("string"),
+        F.coalesce(F.col("o_custkey").cast("string"), nul),
+        F.coalesce(F.col("o_orderstatus"), nul),
+        F.coalesce(dec("o_totalprice").cast("string"), nul),
+        F.coalesce(
+            F.floor(
+                F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                / 1_000_000
+            ).cast("string"),
+            nul,
+        ),
+        F.coalesce(F.col("o_orderpriority"), nul),
+    )
+    return o.select(portable_token_hash(row_str).alias("h")).agg(
+        F.count("*").alias("n_rows"),
+        F.expr("bit_xor(h)").alias("checksum"),
+    )
+
+
+@register(
+    "scan_json_multiline",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("scan", "json"),
+)
+def scan_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multiLine JSON scan: one pretty-printed JSON ARRAY per file (the
+    API-response / config-dump shape) instead of line-delimited records —
+    needs ``multiLine=true`` because a record spans lines, which also
+    means a FILE is the split unit (no intra-file parallelism): fine for
+    the many-small-files ingest this mode exists for, wrong for a single
+    giant array — the docstring of record, since jsonl stays the at-rest
+    format (scan_json_roundtrip). Fixture prep renders the 25-row nation
+    dim driver-side (bounded); the scan back is distributed."""
+    import json as _json
+    import os
+
+    from lagom_kinesis_spark.catalog import io_scratch
+
+    tmp = io_scratch("nation_mljson", sf_dir)
+    os.makedirs(tmp, exist_ok=True)
+    rows = (
+        load(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()
+    )  # 25-row dimension — bounded driver materialization
+    with open(os.path.join(tmp, "nation.json"), "w") as fh:
+        _json.dump([r.asDict() for r in rows], fh, indent=2)
+    return (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .option("multiLine", True)
+        .json(tmp)
+    )
