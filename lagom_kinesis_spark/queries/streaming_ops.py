@@ -1377,3 +1377,86 @@ def attribution_stateful(key, pdfs, state):
             "click_id": pd.Series(out_cid, dtype="object"),
         }
     )
+
+
+def _resume_run_round(agg: DataFrame, name: str, ck: str):
+    """One availableNow round of the incremental-resume scenario; returns
+    the StreamingQuery's progress list (numInputRows per batch)."""
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    prog = [p for p in q.recentProgress]
+    q.stop()
+    return prog
+
+
+def incremental_resume_scenario(spark: SparkSession, sf_dir: str):
+    """Build the 2-round incremental ingest: round 1 processes the even
+    half, new files land, round 2 RESUMES from the same checkpoint and
+    must read only the odd half while the aggregation state carries.
+    Returns (final table DataFrame, round1 progress, round2 progress) —
+    the progress lists let the test pin 'round 2 read only the new
+    rows'."""
+    import glob
+    import os
+    import shutil
+
+    from lagom_kinesis_spark.catalog import load
+
+    src = io_scratch("resume_src", sf_dir)
+    ck = io_scratch("resume_ck", sf_dir)
+    for d in (src, ck):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def land(pred, stage: str) -> None:
+        tmp = f"{src}_{stage}"
+        e.filter(pred).coalesce(4).write.mode("overwrite").parquet(tmp)
+        for i, f in enumerate(sorted(glob.glob(f"{tmp}/part-*.parquet"))):
+            os.rename(f, os.path.join(src, f"{stage}_{i}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    stream = spark.readStream.schema(
+        "event_id long, event_type string, value double"
+    ).parquet(src)
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n"), r6(F.sum("value")).alias("total_value")
+    )
+    name = "resume_tbl"
+    land(F.col("event_id") % 2 == 0, "b1")
+    p1 = _resume_run_round(agg, name, ck)
+    land(F.col("event_id") % 2 == 1, "b2")
+    p2 = _resume_run_round(agg, name, ck)
+    return spark.table(name), p1, p2
+
+
+@register(
+    "stream_incremental_resume",
+    oracle=events_cte(
+        """
+    SELECT event_type, COUNT(*) AS n, round(SUM(value), 6) AS total_value
+    FROM events GROUP BY event_type
+    """
+    ),
+    tags=("streaming", "stateful", "checkpoint"),
+)
+def stream_incremental_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-resume incremental ingest — the property every nightly
+    file-landing pipeline stands on: run 1 processes the files present,
+    the query STOPS, more files land, run 2 starts from the SAME
+    checkpoint and processes ONLY the new files while the aggregation
+    state carries forward. The final complete-mode state must equal the
+    batch aggregate over everything (the oracle) — double-processing or
+    dropped files both break the match, so the hash IS the exactly-once
+    evidence; tests/test_streaming.py additionally pins that round 2's
+    input-row count is only the second landing."""
+    tune(spark)
+    out, _, _ = incremental_resume_scenario(spark, sf_dir)
+    return out

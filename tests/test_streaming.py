@@ -294,3 +294,24 @@ def test_attribution_state_carries_across_batches(spark, tmp_path):
         for r in spark.table("attr_xbatch_tbl").collect()
     }
     assert got == {3: 1, 4: None, 6: 5}
+
+
+def test_incremental_resume_second_round_reads_only_new_files(spark):
+    """stream_incremental_resume's exactly-once evidence is the oracle
+    hash; this pins the INCREMENTAL half: round 2 (same checkpoint) must
+    ingest exactly the odd-half row count — no reprocessing of round 1's
+    files, no misses."""
+    from lagom_kinesis_spark.catalog import load
+    from lagom_kinesis_spark.queries.streaming_ops import (
+        incremental_resume_scenario,
+    )
+    from tests.conftest import SF_DIR
+
+    e = load(spark, SF_DIR, "events")
+    n_even = e.filter(F.col("event_id") % 2 == 0).count()
+    n_odd = e.filter(F.col("event_id") % 2 == 1).count()
+    _, p1, p2 = incremental_resume_scenario(spark, SF_DIR)
+    rows1 = sum(p["numInputRows"] for p in p1)
+    rows2 = sum(p["numInputRows"] for p in p2)
+    assert rows1 == n_even
+    assert rows2 == n_odd
