@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from lagom_kinesis_spark.catalog import load, register_views
 from lagom_kinesis_spark.functions import (
     dec,
+    events_cte,
     money,
     money_sum_units,
     r6,
@@ -1261,4 +1262,47 @@ def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             money_sum_units(units("o_totalprice"), 2).alias("bin_sum"),
         )
+    )
+
+
+@register(
+    "agg_median_abs_deviation",
+    oracle=events_cte(
+        """
+    , m AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY 1
+    ), d AS (
+      SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+      FROM events e JOIN m USING (event_type)
+    )
+    SELECT event_type, round(MIN(med), 6) AS med,
+           round(median(ad), 6) AS mad
+    FROM d GROUP BY event_type
+    """
+    ),
+    tags=("agg", "stats"),
+)
+def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per series — THE robust scale estimator
+    (50% breakdown point vs stddev's 0%): the spread statistic an
+    anomaly threshold should use when the data itself contains the
+    anomalies being hunted. Two-level exact median: per-type median,
+    broadcast back, median of absolute deviations.
+
+    Spark's ``percentile(x, 0.5)`` and DuckDB's ``median`` both compute
+    the exact interpolated median; the midpoint average of two doubles is
+    correctly rounded on both engines, so round-6 holds. Scale: exact
+    medians sort within groups — at true 100 TB each level swaps to
+    ``percentile_approx`` unchanged in shape (the oracle-exact form is
+    the correctness anchor)."""
+    e = load(spark, sf_dir, "events")
+    m = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    d = e.join(F.broadcast(m), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    return d.groupBy("event_type").agg(
+        r6(F.min("med")).alias("med"),
+        r6(F.expr("percentile(ad, 0.5)")).alias("mad"),
     )

@@ -795,3 +795,46 @@ def fn_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("segment", "n_rows", "n_building")
     )
+
+
+@register(
+    "fn_luhn_check",
+    oracle="""
+    WITH nums AS (
+      SELECT lpad(CAST(o_orderkey % 100000000 AS VARCHAR), 12, '7') AS s
+      FROM orders
+    ), d AS (
+      SELECT s,
+             list_transform(range(1, 13),
+                            i -> CAST(substr(s, 13 - i, 1) AS INT)) AS ds
+      FROM nums
+    ), v AS (
+      SELECT s,
+             list_sum(list_transform(range(1, 13),
+               i -> CASE WHEN i % 2 = 0
+                         THEN CASE WHEN ds[i] * 2 > 9 THEN ds[i] * 2 - 9
+                              ELSE ds[i] * 2 END
+                         ELSE ds[i] END)) % 10 = 0 AS is_valid
+      FROM d
+    )
+    SELECT is_valid, COUNT(*) AS n FROM v GROUP BY is_valid
+    """,
+    tags=("fn", "string", "privacy"),
+)
+def fn_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``luhn_check`` (Spark 3.5+ builtin): the mod-10 checksum that
+    validates credit-card-shaped digit strings — the precision half of a
+    PII card-number detector (a 12-16 digit regex alone false-positives
+    on order ids and phone numbers; Luhn validity cuts those ~10×).
+    Synthesized digit strings from order keys exercise both outcomes; the
+    oracle implements the double-every-second-from-the-right rule
+    explicitly in SQL, so the builtin is checked against the spec, not
+    against itself."""
+    o = load(spark, sf_dir, "orders")
+    s = F.lpad((F.col("o_orderkey") % 100000000).cast("string"), 12, "7")
+    return (
+        o.select(s.alias("s"))
+        .select(F.expr("luhn_check(s)").alias("is_valid"))
+        .groupBy("is_valid")
+        .agg(F.count("*").alias("n"))
+    )
