@@ -1813,3 +1813,49 @@ def scan_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("multiLine", True)
         .json(tmp)
     )
+
+
+@register(
+    "scan_recursive_file_lookup",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("scan", "parquet"),
+)
+def scan_recursive_file_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``recursiveFileLookup=true``: ingest a NESTED directory tree as
+    plain files, ignoring partition-directory semantics — the posture for
+    lakes organized by arbitrary convention (team/date/batch trees that
+    are NOT key=value partitions). The fixture lays orders out under
+    nested non-partition dirs via partitionBy + rename; the recursive
+    scan must find every file and, because partition semantics are OFF,
+    the partition column must come from the data, not the path — hence
+    the layout keeps the column in the files (no partitionBy pruning
+    here; scan_partition_pruned covers that contract)."""
+    import glob
+    import os
+    import shutil
+
+    tmp = io_scratch("orders_tree", sf_dir)
+    marker = os.path.join(tmp, "_TREE_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(tmp, ignore_errors=True)
+        flat = f"{tmp}_flat"
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ).repartition(4).write.mode("overwrite").parquet(flat)
+        # nest the files two levels deep under non-key=value names
+        for i, f in enumerate(sorted(glob.glob(f"{flat}/part-*.parquet"))):
+            sub = os.path.join(tmp, f"team{i % 2}", f"batch{i}")
+            os.makedirs(sub, exist_ok=True)
+            os.rename(f, os.path.join(sub, os.path.basename(f)))
+        shutil.rmtree(flat, ignore_errors=True)
+        open(marker, "w").close()
+    return (
+        spark.read.option("recursiveFileLookup", True)
+        .schema("o_orderkey long, o_orderpriority string")
+        .parquet(tmp)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1460,3 +1460,56 @@ def stream_incremental_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     out, _, _ = incremental_resume_scenario(spark, sf_dir)
     return out
+
+
+@register(
+    "stream_stream_full_outer_join",
+    oracle=events_cte(
+        """
+    , clicks AS (SELECT event_id AS click_id, user_id, ts FROM events
+                 WHERE event_type = 'click'),
+      purchases AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+                    WHERE event_type = 'purchase')
+    SELECT c.click_id, p.purchase_id
+    FROM clicks c FULL JOIN purchases p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 10 MINUTE
+    """
+    ),
+    tags=("streaming", "join"),
+)
+def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join — completes the stream-join matrix
+    (inner / left / full): null-extended rows on EITHER side emit only
+    once that side's watermark proves no match can arrive; the time-range
+    condition bounds both sides' state, so neither join leg accumulates
+    forever. Same sentinel-advanced bounded-replay device as the left
+    join (neither sentinel can finalize before the replay ends, so
+    neither appears in output); result equals the batch FULL JOIN."""
+    tune(spark)
+    eos_dir = _events_dir_with_sentinel(sf_dir)
+
+    def eos_stream():
+        raw = spark.readStream.schema(
+            _events_raw_schema(spark, sf_dir)
+        ).parquet(eos_dir)
+        return normalize_event_ts(raw).withWatermark("ts", "30 minutes")
+
+    clicks = eos_stream().filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = eos_stream().filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "full_outer",
+    ).select("click_id", "purchase_id")
+    return memory_sink_table(joined, "append")
