@@ -428,3 +428,47 @@ def behavior_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("click_id"),
         )
     )
+
+
+@register(
+    "behavior_decayed_engagement",
+    oracle=events_cte(
+        """
+    , ref AS (SELECT MAX(ts) AS now FROM events)
+    SELECT user_id, COUNT(*) AS n_events,
+           round(SUM(value * pow(0.5,
+               (epoch_us(now) - epoch_us(ts)) / 86400000000.0 / 7.0)), 6)
+             AS engagement
+    FROM events CROSS JOIN ref
+    GROUP BY user_id
+    """
+    ),
+    # "scalar": the only NLJ is the broadcast 1-row reference timestamp.
+    tags=("behavior", "scalar"),
+)
+def behavior_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed engagement score (7-day half-life) per user —
+    the recency-weighted activity metric ranking/churn models consume:
+    yesterday's purchase counts ~10× one from five weeks ago, with no
+    arbitrary cutoff window. Closed form (each event's weight depends
+    only on its own age), so unlike an EWMA there is NO sequential
+    recursion — one map-side expression + one user-keyed agg at any
+    scale. The reference 'now' is the corpus max ts (broadcast 1-row),
+    making the result replayable. pow() may differ by ~1 ulp between
+    engines; summed magnitudes sit far inside the round-6 quantum."""
+    e = load(spark, sf_dir, "events")
+    ref = e.agg(F.max("ts").alias("now"))
+    age_days = (
+        F.unix_micros(F.col("now").cast("timestamp"))
+        - F.unix_micros(F.col("ts").cast("timestamp"))
+    ) / F.lit(86400000000.0)
+    return (
+        e.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            r6(
+                F.sum(F.col("value") * F.pow(F.lit(0.5), age_days / 7.0))
+            ).alias("engagement"),
+        )
+    )
