@@ -128,3 +128,16 @@ def winnow_fingerprints(text: Column | str, k: int = 8, w: int = 4) -> Column:
         ).otherwise(F.array().cast("array<long>"))
 
     return let(lowered, lambda s: let(build_codes(s), build_fps))
+
+
+def lang_guess_expr(toks: Column) -> Column:
+    """Marker-word language guess over a token array — the ONE definition
+    of the classifier fold (first matching language in LANG_MARKERS
+    order, else 'und'). Shared by text_langid, pipeline_corpus_filter,
+    and text_lang_confusion so the confusion matrix always grades the
+    same classifier that gates the corpus."""
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        markers = F.array([F.lit(m) for m in LANG_MARKERS[lang]])
+        expr = F.when(F.arrays_overlap(toks, markers), lang).otherwise(expr)
+    return expr

@@ -364,10 +364,12 @@ def behavior_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "behavior_attribution_last_touch",
-    oracle=events_cte(
-        """
+#: Last-touch attribution contract, shared verbatim by the batch window
+#: form (below) and the streaming ValueState form
+#: (streaming_ops.stream_attribution_last_touch) — ONE definition so the
+#: lookback/tie-break can never silently diverge between the two.
+ATTRIBUTION_ORACLE = events_cte(
+    """
     , ev AS (
       SELECT event_id, user_id, ts, event_type FROM events
       WHERE event_type IN ('click', 'purchase')
@@ -385,7 +387,12 @@ def behavior_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN lc_ts >= ts - INTERVAL 1 HOUR THEN lc_id END AS click_id
     FROM o WHERE event_type = 'purchase'
     """
-    ),
+)
+
+
+@register(
+    "behavior_attribution_last_touch",
+    oracle=ATTRIBUTION_ORACLE,
     tags=("behavior", "attribution"),
 )
 def behavior_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:

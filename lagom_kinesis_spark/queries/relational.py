@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from lagom_kinesis_spark.operators import sketches as _sketches
 from lagom_kinesis_spark.catalog import io_scratch, load, stable_tag
 from lagom_kinesis_spark.functions import (
     dec,
@@ -1718,9 +1719,6 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("rowTag", "region")
         .load(tmp)
     )
-
-
-from lagom_kinesis_spark.operators import sketches as _sketches
 
 
 @register(

@@ -25,6 +25,7 @@ from lagom_kinesis_spark.catalog import (
     stream_dir,
 )
 from lagom_kinesis_spark.functions import events_cte, r6
+from lagom_kinesis_spark.queries.behavior import ATTRIBUTION_ORACLE
 from lagom_kinesis_spark.operators import sketches
 from lagom_kinesis_spark.registry import register
 from lagom_kinesis_spark.session import tune
@@ -1294,26 +1295,7 @@ def stream_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_attribution_last_touch",
-    oracle=events_cte(
-        """
-    , ev AS (
-      SELECT event_id, user_id, ts, event_type FROM events
-      WHERE event_type IN ('click', 'purchase')
-    ), o AS (
-      SELECT *,
-             last_value(CASE WHEN event_type = 'click' THEN event_id END
-                        IGNORE NULLS) OVER w AS lc_id,
-             last_value(CASE WHEN event_type = 'click' THEN ts END
-                        IGNORE NULLS) OVER w AS lc_ts
-      FROM ev
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-    )
-    SELECT event_id AS purchase_id,
-           CASE WHEN lc_ts >= ts - INTERVAL 1 HOUR THEN lc_id END AS click_id
-    FROM o WHERE event_type = 'purchase'
-    """
-    ),
+    oracle=ATTRIBUTION_ORACLE,
     tags=("streaming", "stateful"),
 )
 def stream_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
