@@ -2095,3 +2095,64 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 5)
     )
+
+
+@register(
+    "pack_length_bucketed_batching",
+    oracle="""
+    WITH lens AS (
+      SELECT len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+               AS n
+      FROM documents
+    ), b AS (
+      SELECT n,
+             CASE WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
+                  WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256
+                  WHEN n <= 512 THEN 512 ELSE 1024 END AS bucket_len
+      FROM lens WHERE n > 0
+    )
+    SELECT bucket_len, COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS real_tokens,
+           CAST(SUM(bucket_len - n) AS BIGINT) AS pad_tokens,
+           round(SUM(bucket_len - n)
+                 / CAST(SUM(bucket_len) AS DOUBLE), 6) AS waste_share
+    FROM b GROUP BY bucket_len
+    """,
+    tags=("llm", "pipeline", "pack"),
+)
+def pack_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching plan — the inference/training-serving
+    counterpart of pack_context_windows: documents are grouped into
+    power-of-two length buckets (32..1024) and the report prices each
+    bucket's PADDING WASTE (pad tokens as a share of billed tokens) —
+    the number that decides bucket boundaries for batch inference, where
+    every sequence in a batch pays the longest sequence's length. All
+    integer arithmetic (bucket edges by CASE ladder, no float log2), so
+    even the shares are exact-input r6.
+
+    Scale: map-only length + bucket classification fused into the scan,
+    one bucket-keyed agg (≤6 groups) — one pass at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    n = F.size(
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    )
+    bucket = (
+        F.when(n <= 32, 32)
+        .when(n <= 64, 64)
+        .when(n <= 128, 128)
+        .when(n <= 256, 256)
+        .when(n <= 512, 512)
+        .otherwise(1024)
+    )
+    b = d.select(n.alias("n"), bucket.alias("bucket_len")).filter(
+        F.col("n") > 0
+    )
+    pad = F.col("bucket_len") - F.col("n")
+    return b.groupBy("bucket_len").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("real_tokens"),
+        F.sum(pad).alias("pad_tokens"),
+        r6(F.sum(pad) / F.sum("bucket_len").cast("double")).alias(
+            "waste_share"
+        ),
+    )
