@@ -111,3 +111,54 @@ def test_bucketed_smj_has_no_runtime_sort(spark):
 
     sorts = re.findall(r"[+:]- Sort \(\d+\)", plan)
     assert not sorts, f"runtime Sort under the bucketed join: {sorts}"
+
+
+def test_split_bucket_layout_is_rebuilt_not_adopted(spark):
+    """The sorted-scan session flag is only sound with one file per
+    bucket. A layout where a bucket is split across files (what a
+    non-repartitioned writer or a partial compaction would leave) must
+    be REBUILT by _ensure_bucketed, never adopted as-is."""
+    import glob
+    import os
+    import shutil
+
+    from lagom_kinesis_spark.queries.relational import _ensure_bucketed
+
+    name = "bq_splitprobe"
+    spark.sql(f"DROP TABLE IF EXISTS {name}_b4")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    path = os.path.join(wh, f"{name}_b4")
+    shutil.rmtree(path, ignore_errors=True)
+    t = _ensure_bucketed(
+        spark, SF_DIR, name, "nation",
+        ["n_nationkey", "n_name"], "n_nationkey", 4,
+    )
+    files = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+    assert files, "expected a built layout"
+    mtime0 = {f: os.path.getmtime(f) for f in files}
+    # Split one bucket across two files: duplicate a part file under a
+    # fresh task prefix but the SAME _000NN bucket suffix.
+    src = files[0]
+    base = os.path.basename(src)
+    dup = os.path.join(path, "part-99999-deadbeef_" + base.split("_", 1)[1])
+    shutil.copy(src, dup)
+    spark.sql(f"DROP TABLE IF EXISTS {t}")  # fresh catalog, same files
+    t2 = _ensure_bucketed(
+        spark, SF_DIR, name, "nation",
+        ["n_nationkey", "n_name"], "n_nationkey", 4,
+    )
+    after = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+    # rebuilt: the duplicated file is gone and every file is fresh
+    assert dup not in after
+    assert all(
+        f not in mtime0 or os.path.getmtime(f) != mtime0[f] for f in after
+    ) or set(after) != set(files + [dup])
+    # and the rebuilt layout satisfies the invariant again
+    from collections import Counter
+
+    seen = Counter(f.split("_")[-1].split(".")[0] for f in
+                   (os.path.basename(x) for x in after))
+    assert max(seen.values()) == 1
+    assert spark.table(t2).count() == 25
+    spark.sql(f"DROP TABLE IF EXISTS {t2}")
+    shutil.rmtree(path, ignore_errors=True)
