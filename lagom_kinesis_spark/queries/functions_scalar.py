@@ -838,3 +838,34 @@ def fn_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("is_valid")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "fn_mask_builtin",
+    oracle="""
+    SELECT o_orderkey,
+           regexp_replace(regexp_replace(regexp_replace(
+             o_orderpriority, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+             '[0-9]', 'n', 'g') AS masked,
+           regexp_replace(regexp_replace(regexp_replace(
+             o_orderpriority, '[0-9]', '#', 'g'), '[A-Z]', 'U', 'g'),
+             '[a-z]', 'U', 'g') AS masked_custom
+    FROM orders WHERE o_orderkey <= 500
+    """,
+    tags=("fn", "string", "privacy"),
+)
+def fn_mask_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mask()`` builtin (Spark 3.4+): character-class redaction —
+    uppercase→X, lowercase→x, digit→n by default, with per-class
+    override characters — the data-masking primitive for showing
+    FORMATS (does this column look like a card/phone/id?) without
+    showing values, complementing pii_mask_digits' regexp approach.
+    The oracle reimplements the class mapping with regexp chains
+    (digit-class first in the custom variant: its replacement 'U'
+    would otherwise be re-masked by the uppercase pass)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.expr("mask(o_orderpriority)").alias("masked"),
+        F.expr("mask(o_orderpriority, 'U', 'U', '#')").alias("masked_custom"),
+    )

@@ -426,3 +426,74 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "lineitem", "grp": "l_returnflag"},
     )
+
+
+@register(
+    "sql_unpivot_clause",
+    oracle="""
+    SELECT o_orderpriority, metric,
+           CAST(CAST(SUM(CAST(v AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+             AS total
+    FROM (
+      SELECT o_orderpriority, 'price' AS metric, o_totalprice AS v FROM orders
+      UNION ALL
+      SELECT o_orderpriority, 'key_x10', o_orderkey * 10.0 FROM orders
+    )
+    GROUP BY 1, 2
+    """,
+    tags=("sql", "modern", "agg"),
+)
+def sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL ``UNPIVOT`` clause (Spark 3.4+ standard syntax) — the
+    declarative front door to the same melt the DataFrame ``unpivot``
+    (agg_unpivot) performs; parses to the identical Expand node, so
+    pruning and partial aggregation are unchanged. Oracle: the explicit
+    UNION ALL long form."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, metric,
+               CAST(CAST(SUM(CAST(v AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
+                 AS total
+        FROM (
+          SELECT o_orderpriority, o_totalprice AS price,
+                 o_orderkey * 10.0 AS key_x10
+          FROM orders
+        ) UNPIVOT (v FOR metric IN (price, key_x10))
+        GROUP BY 1, 2
+        """
+    )
+
+
+@register(
+    "sql_pivot_clause",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(CAST(SUM(CASE WHEN l_linestatus = 'O'
+                              THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+                AS VARCHAR) AS DOUBLE) AS qty_open,
+           CAST(CAST(SUM(CASE WHEN l_linestatus = 'F'
+                              THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+                AS VARCHAR) AS DOUBLE) AS qty_filled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("sql", "modern", "agg"),
+)
+def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL ``PIVOT`` clause with a PINNED value list — same rule as
+    the DataFrame pivot (agg_pivot): never let the engine scan for pivot
+    values (an extra pass AND a nondeterministic column set). Oracle:
+    the conditional-aggregation long form every pivot desugars to."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(CAST(qty_open AS STRING) AS DOUBLE) AS qty_open,
+               CAST(CAST(qty_filled AS STRING) AS DOUBLE) AS qty_filled
+        FROM (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(l_quantity AS DECIMAL(18,2)) AS q
+          FROM lineitem
+        ) PIVOT (SUM(q) FOR l_linestatus IN ('O' AS qty_open, 'F' AS qty_filled))
+        """
+    )
