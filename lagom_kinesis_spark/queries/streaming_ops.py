@@ -1495,3 +1495,58 @@ def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         "full_outer",
     ).select("click_id", "purchase_id")
     return memory_sink_table(joined, "append")
+
+
+@register(
+    "stream_union_fan_in",
+    oracle=events_cte(
+        """
+    SELECT event_type, COUNT(*) AS n, round(SUM(value), 6) AS total_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """
+    ),
+    tags=("streaming",),
+)
+def stream_union_fan_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source fan-in: TWO independent streaming sources (the topic
+    split across directories — multi-region feeds, or a topic plus its
+    backfill) unioned into ONE streaming aggregation. Spark plans the
+    union as extra scan legs feeding the same stateful agg, so the state
+    and checkpoint stay unified — the property that makes fan-in safe:
+    no per-source duplicate aggregation to reconcile. Oracle: the batch
+    aggregate over the whole topic."""
+    tune(spark)
+    import os
+    import shutil
+
+    from lagom_kinesis_spark.catalog import load
+
+    src_a = io_scratch("fanin_a", sf_dir)
+    src_b = io_scratch("fanin_b", sf_dir)
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    for pred, src, stage in (
+        (F.col("event_id") % 2 == 0, src_a, "a"),
+        (F.col("event_id") % 2 == 1, src_b, "b"),
+    ):
+        if not os.path.exists(os.path.join(src, "_FANIN_DONE")):
+            shutil.rmtree(src, ignore_errors=True)
+            e.filter(pred).coalesce(2).write.mode("overwrite").parquet(src)
+            open(os.path.join(src, "_FANIN_DONE"), "w").close()
+    sch = "event_id long, user_id long, event_type string, value double"
+    a = spark.readStream.schema(sch).parquet(src_a)
+    b = spark.readStream.schema(sch).parquet(src_b)
+    # exact distinct users: collect_set size keeps the state exact and
+    # mergeable across the two source legs
+    agg = (
+        a.unionByName(b)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            r6(F.sum("value")).alias("total_value"),
+            F.size(F.collect_set("user_id")).cast("long").alias("n_users"),
+        )
+    )
+    return memory_sink_table(agg, "complete")

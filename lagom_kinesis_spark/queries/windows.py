@@ -641,3 +641,38 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(f_wins, F.lit("forward"))
         .alias("direction"),
     )
+
+
+@register(
+    "win_distinct_count",
+    oracle=events_cte(
+        """
+    SELECT event_id,
+           CAST(COUNT(DISTINCT user_id) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS INT)
+             AS distinct_users_10
+    FROM events
+    """
+    ),
+    tags=("window",),
+)
+def win_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct count over a moving window — the 'unique actors in the
+    last N events' signal fraud/abuse monitors watch. Spark has no
+    DISTINCT window aggregate; the engine bridge is
+    ``size(collect_set(...))`` over the same frame — set semantics in a
+    mergeable window buffer. Oracle: DuckDB's native windowed
+    COUNT(DISTINCT). Bounded 10-row frames keep the per-row set
+    buffer constant-size; at true scale the HLL-register variant
+    (stream_hll_windowed_distinct) is the unbounded-frame answer."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        F.size(F.collect_set("user_id").over(w)).alias("distinct_users_10"),
+    )
