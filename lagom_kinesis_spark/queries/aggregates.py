@@ -1306,3 +1306,30 @@ def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.min("med")).alias("med"),
         r6(F.expr("percentile(ad, 0.5)")).alias("mad"),
     )
+
+
+@register(
+    "agg_bitwise",
+    oracle=events_cte(
+        """
+    SELECT event_type,
+           bit_and(user_id) AS all_bits,
+           bit_or(user_id) AS any_bits,
+           bit_xor(user_id) AS parity_bits
+    FROM events GROUP BY event_type
+    """
+    ),
+    tags=("agg", "bitwise"),
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (bit_and / bit_or / bit_xor): flag-mask
+    rollups — 'which permission bits hold for EVERY row', 'which were
+    ever set', and the order-invariant xor parity dq_table_checksum
+    builds on. All exact int64; commutative/associative, so partial
+    aggregation and any merge order are safe by construction."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("bit_and(user_id)").alias("all_bits"),
+        F.expr("bit_or(user_id)").alias("any_bits"),
+        F.expr("bit_xor(user_id)").alias("parity_bits"),
+    )

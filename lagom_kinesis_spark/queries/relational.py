@@ -1857,3 +1857,27 @@ def scan_recursive_file_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "scan_csv_dialect",
+    oracle="SELECT s_suppkey, s_name, s_acctbal FROM supplier",
+    tags=("scan", "csv"),
+)
+def scan_csv_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-default CSV dialect roundtrip: semicolon separator,
+    single-quote quoting, backslash escape — the European-export /
+    legacy-feed shape where assuming comma/double-quote silently
+    misparses every row that contains the real delimiter. Writer and
+    reader pin the SAME dialect options; explicit schema as always."""
+    tmp = io_scratch("supplier_dialect", sf_dir)
+    load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    ).write.mode("overwrite").options(
+        sep=";", quote="'", escape="\\", header=True
+    ).csv(tmp)
+    return (
+        spark.read.schema("s_suppkey long, s_name string, s_acctbal double")
+        .options(sep=";", quote="'", escape="\\", header=True)
+        .csv(tmp)
+    )
