@@ -479,3 +479,54 @@ def behavior_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("engagement"),
         )
     )
+
+
+@register(
+    "behavior_dau_wau_stickiness",
+    oracle=events_cte(
+        """
+    , ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), dau AS (
+      SELECT d, COUNT(*) AS dau FROM ud GROUP BY d
+    ), fan AS (
+      SELECT user_id, d + CAST(x AS INT) AS target_d
+      FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS x)
+    ), wau AS (
+      SELECT target_d AS d, COUNT(DISTINCT user_id) AS wau
+      FROM fan GROUP BY target_d
+    )
+    SELECT dau.d, dau.dau, wau.wau,
+           round(dau.dau / CAST(wau.wau AS DOUBLE), 6) AS stickiness
+    FROM dau JOIN wau USING (d)
+    """
+    ),
+    # "cross": the 7-row constant fan-out relation is a bounded NLJ.
+    tags=("behavior", "cross"),
+)
+def behavior_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness — the canonical engagement ratio (what share of
+    the weekly actives show up on a given day). Exact rolling 7-day
+    distinct users WITHOUT a window-over-sets: each distinct (user, day)
+    fans out to the 7 future days whose trailing week it belongs to
+    (a constant ×7 map-side explode), then one distinct-count per target
+    day — turning 'distinct over a sliding window' into plain hash
+    aggregation, the standard exact-WAU rewrite at scale. Days with no
+    activity simply have no DAU row (inner join keeps reported days)."""
+    e = load(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    dau = ud.groupBy("d").agg(F.count("*").alias("dau"))
+    fan = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("x"),
+        "d",
+    ).select("user_id", F.date_add("d", F.col("x")).alias("d"))
+    wau = fan.groupBy("d").agg(F.countDistinct("user_id").alias("wau"))
+    return dau.join(wau, "d").select(
+        "d",
+        "dau",
+        "wau",
+        r6(F.col("dau") / F.col("wau").cast("double")).alias("stickiness"),
+    )
