@@ -298,11 +298,17 @@ def main() -> None:
     else:
         transport = _transport_bench(spark, sf_dir)
 
-    ratios = {
+    ratios: dict[str, float | str] = {
         k: round(times[k] / duck_times[k], 2)
         for k in duck_times
         if duck_times[k] > 0
     }
+    # Queries with a deliberately O(n²) oracle get an explicit no-baseline
+    # marker instead of silently vanishing from the ratio table — a missing
+    # row reads as "not measured" when the truth is "baseline excluded".
+    for k in headline:
+        if k not in ratios and "oracle_quadratic" in qs[k].tags:
+            ratios[k] = "no-baseline (oracle_quadratic)"
     print(
         json.dumps(
             {
@@ -342,9 +348,14 @@ def scaling_tier_main(sf_dir: str, tier_out: str) -> None:
                 "spark": spark_t,
                 "duckdb": duck_t,
                 "ratio": {
-                    k: round(spark_t[k] / duck_t[k], 2)
-                    for k in duck_t
-                    if duck_t[k] > 0 and k in spark_t
+                    k: (
+                        round(spark_t[k] / duck_t[k], 2)
+                        if k in duck_t and duck_t[k] > 0
+                        else "no-baseline (oracle_quadratic)"
+                    )
+                    for k in spark_t
+                    if (k in duck_t and duck_t[k] > 0)
+                    or "oracle_quadratic" in qs[k].tags
                 },
             },
             f,

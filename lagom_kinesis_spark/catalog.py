@@ -57,6 +57,33 @@ def path_of(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def fixture_fingerprint(sf_dir: str, name: str) -> str:
+    """8-hex tag over the (mtime_ns, size) of a fixture table's file(s).
+
+    Build-once scratch layouts (the persisted IVF index, the dedup
+    fingerprint catalog) adopt an existing _SUCCESS-marked directory on
+    re-invocation; keyed on sf_dir alone, a fixture REGENERATED during the
+    process's lifetime would silently keep serving the stale layout and
+    diverge from the oracle. Folding the source file's mtime/size into the
+    scratch path makes regeneration produce a fresh path instead."""
+    import hashlib
+    import os
+
+    p = path_of(sf_dir, name)
+    parts: list[str] = []
+    # The fixture may be a single file or a directory of part files.
+    paths = [p]
+    if os.path.isdir(p):
+        paths = [os.path.join(p, f) for f in sorted(os.listdir(p))]
+    for f in paths:
+        try:
+            st = os.stat(f)
+            parts.append(f"{f}:{st.st_mtime_ns}:{st.st_size}")
+        except OSError:
+            parts.append(f"{f}:absent")
+    return hashlib.md5("\n".join(parts).encode()).hexdigest()[:8]
+
+
 _IO_GC_DONE = False
 
 

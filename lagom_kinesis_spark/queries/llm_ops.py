@@ -2725,11 +2725,17 @@ def sim_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = e.select(
         "vec_id", "embedding", ranked[0]["cid"].alias("cluster")
     )
-    tmp = io_scratch("ivf_index", sf_dir)
-    # Build-once semantics for real: the layout is deterministic in
-    # sf_dir, so re-invocations (gate sweep, bench best-of loop) must
-    # serve from the existing index — _SUCCESS is the completion marker —
-    # or the "probe = pruned read" number silently times the index build.
+    from lagom_kinesis_spark.catalog import fixture_fingerprint
+
+    tmp = io_scratch(
+        f"ivf_index_{fixture_fingerprint(sf_dir, 'embeddings')}", sf_dir
+    )
+    # Build-once semantics for real: the layout is deterministic in the
+    # fixture (path + mtime/size fingerprint, so a regenerated fixture
+    # gets a fresh path instead of a stale adopt), so re-invocations
+    # (gate sweep, bench best-of loop) must serve from the existing index
+    # — _SUCCESS is the completion marker — or the "probe = pruned read"
+    # number silently times the index build.
     import os as _os
 
     if not _os.path.exists(_os.path.join(tmp, "_SUCCESS")):
@@ -2822,11 +2828,16 @@ def dedup_incremental_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.md5(F.col("text").cast("binary")).alias("h"))
         .distinct()
     )
-    tmp = io_scratch("fp_catalog", sf_dir)
+    from lagom_kinesis_spark.catalog import fixture_fingerprint
+
+    tmp = io_scratch(
+        f"fp_catalog_{fixture_fingerprint(sf_dir, 'documents')}", sf_dir
+    )
     # The catalog is history-at-rest: build it once per fixture (_SUCCESS
-    # marker), serve every later batch from the files — rebuilding on
-    # each call would be exactly the historical re-scan this op exists
-    # to avoid.
+    # marker; the path carries the fixture's mtime/size fingerprint so a
+    # regenerated fixture cannot be served a stale catalog), serve every
+    # later batch from the files — rebuilding on each call would be
+    # exactly the historical re-scan this op exists to avoid.
     import os as _os
 
     if not _os.path.exists(_os.path.join(tmp, "_SUCCESS")):

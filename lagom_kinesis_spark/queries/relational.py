@@ -699,12 +699,25 @@ def _ensure_bucketed(
             # Our writer (repartition on the bucket key, one task per
             # bucket) produces exactly one file per non-empty bucket;
             # verify the on-disk truth before adopting or returning.
+            import re
             from collections import Counter
 
+            # Spark's bucketed part files embed the bucket id as a fixed
+            # 5-digit suffix before the extension (`..._00003.snappy.parquet`
+            # / `..._00003.parquet`). Any part- file NOT matching that
+            # pattern is not a bucketed file at all (e.g. a plain part file
+            # left by a non-bucketed writer), so the directory fails the
+            # invariant outright instead of the stray file being invisible
+            # to the count.
+            bucket_id = re.compile(r"_(\d{5})\.")
             seen: Counter = Counter()
             for f in os.listdir(path):
-                if f.startswith("part-") and "_" in f:
-                    seen[f.split("_")[-1].split(".")[0]] += 1
+                if not f.startswith("part-"):
+                    continue
+                m = bucket_id.search(f)
+                if m is None:
+                    return False
+                seen[m.group(1)] += 1
             return bool(seen) and max(seen.values()) == 1
 
         if os.path.exists(os.path.join(path, "_SUCCESS")) and _one_file_per_bucket():

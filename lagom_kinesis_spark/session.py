@@ -53,7 +53,11 @@ RUNTIME_CONFS: dict[str, str] = {
     # across several files breaks the guarantee). Safe here because every
     # bucketed table in this engine is written by _ensure_bucketed, which
     # repartitions on the bucket key first and then ASSERTS exactly one
-    # file per bucket at build/adopt time. Measured at sf10: the two
+    # file per bucket at build/adopt time. Nothing *enforces* that future
+    # bucketed tables go through _ensure_bucketed — the backstop for any
+    # other writer is Spark's own planning-time check, which still errors
+    # on a bucket split across files; what this conf removes is only the
+    # redundant runtime sort, never the validity check. Measured at sf10: the two
     # 60M-row runtime sorts under flagship_bucketed's SMJ vanish,
     # 6.3 s → 0.9 s (BENCH_NOTES.md round-7).
     "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",

@@ -62,7 +62,15 @@ def value_hash(pdf) -> str:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # Optional subset: --only name1,name2 (anywhere in argv) for targeted
+    # re-checks while iterating; the positional sf_dir remains argv[1]-ish.
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = {n.strip() for n in args[i + 1].split(",") if n.strip()}
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     import duckdb
 
     from lagom_kinesis_spark.catalog import TABLES
@@ -79,6 +87,8 @@ def main() -> None:
     results: dict[str, dict] = {}
     t_all = time.time()
     for name, q in all_queries().items():
+        if only is not None and name not in only:
+            continue
         t0 = time.time()
         entry: dict = {}
         try:

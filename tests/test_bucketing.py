@@ -148,11 +148,15 @@ def test_split_bucket_layout_is_rebuilt_not_adopted(spark):
         ["n_nationkey", "n_name"], "n_nationkey", 4,
     )
     after = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
-    # rebuilt: the duplicated file is gone and every file is fresh
+    # rebuilt: the duplicated file is gone and no pre-split file survived
+    # as-is (a rebuild rewrites the directory; adoption would have kept
+    # the original part files byte-identical and mtime-identical).
     assert dup not in after
-    assert all(
-        f not in mtime0 or os.path.getmtime(f) != mtime0[f] for f in after
-    ) or set(after) != set(files + [dup])
+    assert set(after) != set(files + [dup]), "layout was adopted, not rebuilt"
+    for f in after:
+        assert f not in mtime0 or os.path.getmtime(f) != mtime0[f], (
+            f"pre-split file {f} survived the rebuild unchanged"
+        )
     # and the rebuilt layout satisfies the invariant again
     from collections import Counter
 
