@@ -48,8 +48,10 @@ TRAJECTORY = [
     "flagship_revenue_by_nation",
     "flagship_bucketed",
     "join_multiway",
+    "join_multiway_bucketed",
     "join_broadcast_dims",
     "q_shipping_priority",
+    "q_shipping_priority_bucketed",
     "dedup_exact",
     "sim_topk_cosine",
     "text_top_tokens",

@@ -338,6 +338,96 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_multiway_bucketed",
+    oracle=f"""
+    SELECT p_brand, n_name AS supp_nation, COUNT(*) AS n_items,
+           CAST(CAST(SUM({revenue_sql}) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND p_size <= 20
+    GROUP BY p_brand, n_name
+    """,
+    tags=("join", "agg", "bucketed", "scale"),
+)
+def join_multiway_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join_multiway over the SHARED bucketed fact layout (same oracle —
+    the layout must not change a single result row): the lineitem⋈orders
+    fact join becomes an exchange-free, sort-free SortMergeJoin over
+    co-bucketed sorted scans, the three dimensions stay broadcast. The
+    one shuffle left in the whole plan is the final p_brand×nation
+    rollup, whose input is already partial-aggregated map-side — the
+    shape you want at 100 TB, where re-shuffling 60M+ fact rows per
+    query is the bottleneck the layout exists to delete."""
+    from lagom_kinesis_spark.queries.relational import fact_bucketed_layout
+
+    bo, bl = fact_bucketed_layout(spark, sf_dir)
+    li = spark.table(bl)
+    o = spark.table(bo).filter(F.col("o_orderdate") >= "1997-01-01")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("p_brand", F.col("n_name").alias("supp_nation"))
+        .agg(
+            F.count("*").alias("n_items"),
+            money_sum_units(revenue_units(), 4).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_shipping_priority_bucketed",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(CAST(SUM({revenue_sql}) AS VARCHAR) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "tpch", "bucketed", "scale"),
+)
+def q_shipping_priority_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q3 shape over the SHARED bucketed fact layout (same
+    oracle as q_shipping_priority). Twice exchange-free: the
+    lineitem⋈orders SortMergeJoin reads co-bucketed sorted scans (no
+    Exchange, no Sort), and the groupBy that follows needs no shuffle
+    either — its grouping keys CONTAIN the bucket key (l_orderkey), so
+    the existing hash partitioning already clusters every group into one
+    partition and Catalyst elides the aggregate Exchange. Only the final
+    ordered top-10 (a TakeOrdered over per-partition top-10s) crosses
+    partitions — on 100 TB that is kilobytes."""
+    from lagom_kinesis_spark.queries.relational import fact_bucketed_layout
+
+    bo, bl = fact_bucketed_layout(spark, sf_dir)
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = spark.table(bo).filter(F.col("o_orderdate") < "1998-03-15")
+    li = spark.table(bl).filter(F.col("l_shipdate") > "1998-03-15")
+    return (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(money_sum_units(revenue_units(), 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
     "q_returned_items",
     oracle=f"""
     SELECT c_custkey, c_name,

@@ -952,6 +952,44 @@ def join_temporal_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fact_bucketed_layout(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """The SHARED wide bucketed fact layout: (orders, lineitem) table names,
+    both bucketBy(orderkey) + sortBy into the warehouse, carrying the union
+    of columns every orderkey-join query needs. This is how a real lake
+    amortizes the layout: ONE write-side shuffle per fact table, reused by
+    every subsequent orderkey join (flagship, the 5-table multiway join,
+    the Q3 shape); parquet column pruning keeps each query's scan exactly
+    as narrow as a per-query layout would be, so sharing costs nothing.
+
+    Bucket count scales with the fact data (~64 MB of source parquet per
+    bucket, clamped [8, 64]): 8 buckets = 8 join tasks, which
+    underparallelizes a 32-core sf10 tier 2x (measured 3.4 s vs 1.6 s at
+    32 buckets); a real table would size buckets once at layout time
+    exactly this way. Deterministic in sf_dir, so every process derives
+    the same layout and can adopt another's files."""
+    import os
+
+    n_buckets = max(
+        8,
+        min(64, os.path.getsize(f"{sf_dir}/lineitem.parquet") >> 26),
+    )
+    tag = stable_tag(sf_dir)
+    bo = _ensure_bucketed(
+        spark, sf_dir, f"bq_fact_orders_{tag}", "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        "o_orderkey", n_buckets,
+    )
+    bl = _ensure_bucketed(
+        spark, sf_dir, f"bq_fact_lineitem_{tag}", "lineitem",
+        [
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+        "l_orderkey", n_buckets,
+    )
+    return bo, bl
+
+
 @register(
     "flagship_bucketed",
     oracle=f"""
@@ -971,37 +1009,19 @@ def join_temporal_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("flagship", "join", "agg", "scale"),
 )
 def flagship_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship query over a BUCKETED fact layout — identical results,
-    exchange-free fact join. Both fact tables are bucketBy(orderkey) +
-    sortBy into the warehouse (one-time write-side shuffle), so the
-    lineitem⋈orders SortMergeJoin plans with NO Exchange and NO runtime
-    Sort on either side — the canonical repeated-fact-join layout at
-    100 TB. Measured at sf10 (BENCH_NOTES.md): 0.90 s vs the shuffle
-    plan's 3.7 s (4×) once the sorted-scan ordering is honored — see the
-    round-7 note: without it Spark silently re-sorted both 60M-row sides
-    under the SMJ and the layout LOST to the shuffle plan. Layout cost
-    ~21 s amortized over every subsequent orderkey join."""
-    # Bucket count scales with the fact data (~64 MB of source parquet
-    # per bucket, clamped [8, 64]): 8 buckets = 8 join tasks, which
-    # underparallelizes a 32-core sf10 tier 2x (measured 3.4 s vs
-    # 1.6 s at 32 buckets); a real table would size buckets once at
-    # layout time exactly this way. Deterministic in sf_dir, so every
-    # process derives the same layout and can adopt another's files.
-    import os
-
-    n_buckets = max(
-        8,
-        min(64, os.path.getsize(f"{sf_dir}/lineitem.parquet") >> 26),
-    )
-    tag = stable_tag(sf_dir)
-    bo = _ensure_bucketed(
-        spark, sf_dir, f"bq_fl_orders_{tag}", "orders",
-        ["o_orderkey", "o_custkey", "o_orderdate"], "o_orderkey", n_buckets,
-    )
-    bl = _ensure_bucketed(
-        spark, sf_dir, f"bq_fl_lineitem_{tag}", "lineitem",
-        ["l_orderkey", "l_extendedprice", "l_discount"], "l_orderkey", n_buckets,
-    )
+    """The flagship query over the SHARED bucketed fact layout — identical
+    results, exchange-free fact join. Both fact tables are
+    bucketBy(orderkey) + sortBy into the warehouse (one-time write-side
+    shuffle), so the lineitem⋈orders SortMergeJoin plans with NO Exchange
+    and NO runtime Sort on either side — the canonical repeated-fact-join
+    layout at 100 TB. Measured at sf10 (BENCH_NOTES.md): 0.90 s vs the
+    shuffle plan's 3.7 s (4×) once the sorted-scan ordering is honored —
+    see the round-7 note: without it Spark silently re-sorted both
+    60M-row sides under the SMJ and the layout LOST to the shuffle plan.
+    Layout cost ~21 s amortized over every subsequent orderkey join
+    (join_multiway_bucketed and q_shipping_priority_bucketed reuse the
+    very same files)."""
+    bo, bl = fact_bucketed_layout(spark, sf_dir)
     li, orders = spark.table(bl), spark.table(bo).filter(
         (F.col("o_orderdate") >= "1996-01-01")
         & (F.col("o_orderdate") < "1999-01-01")

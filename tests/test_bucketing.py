@@ -91,6 +91,53 @@ def test_flagship_bucketed_fact_join_plan(spark):
     assert got == want
 
 
+def test_shared_fact_layout_bucketed_twins_plans(spark):
+    """join_multiway_bucketed and q_shipping_priority_bucketed reuse the
+    SHARED wide fact layout (fact_bucketed_layout). Plan contract:
+    - the lineitem⋈orders SortMergeJoin reads bucket files directly
+      (no hashpartitioning Exchange under the join, no runtime Sort);
+    - q_shipping_priority_bucketed's groupBy — whose keys CONTAIN the
+      bucket key — needs NO aggregate Exchange at all: its only exchange
+      is the customer broadcast;
+    - join_multiway_bucketed keeps exactly one hash Exchange (the final
+      p_brand x nation rollup)."""
+    import re
+
+    from lagom_kinesis_spark.registry import all_queries
+
+    def hash_exchanges(plan: str) -> list[str]:
+        # formatted tree renders shuffle exchanges as "+- Exchange (n)"
+        # and broadcast ones as "+- BroadcastExchange (n)".
+        return re.findall(r"[+:]- Exchange \(\d+\)", plan)
+
+    qs = all_queries()
+    mw = qs["join_multiway_bucketed"].fn(spark, SF_DIR)
+    plan = mw._sc._jvm.PythonSQLUtils.explainString(
+        mw._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin" in plan, plan[:800]
+    assert len(hash_exchanges(plan)) == 1, plan[:1200]
+    assert not re.findall(r"[+:]- Sort \(\d+\)", plan)
+
+    q3 = qs["q_shipping_priority_bucketed"].fn(spark, SF_DIR)
+    plan = q3._sc._jvm.PythonSQLUtils.explainString(
+        q3._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin" in plan, plan[:800]
+    assert not hash_exchanges(plan), plan[:1200]
+    assert not re.findall(r"[+:]- Sort \(\d+\)", plan)
+    assert "TakeOrderedAndProject" in plan
+
+    # and the layouts must not change results vs the unbucketed twins
+    for b, ub in (
+        ("join_multiway_bucketed", "join_multiway"),
+        ("q_shipping_priority_bucketed", "q_shipping_priority"),
+    ):
+        got = sorted(map(tuple, qs[b].fn(spark, SF_DIR).collect()))
+        want = sorted(map(tuple, qs[ub].fn(spark, SF_DIR).collect()))
+        assert got == want, f"{b} diverges from {ub}"
+
+
 def test_bucketed_smj_has_no_runtime_sort(spark):
     """With sorted-scan ordering honored (session.py's
     legacy.bucketedTableScan.outputOrdering + _ensure_bucketed's
