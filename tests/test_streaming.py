@@ -296,6 +296,98 @@ def test_attribution_state_carries_across_batches(spark, tmp_path):
     assert got == {3: 1, 4: None, 6: 5}
 
 
+def test_transform_with_state_matches_batch(spark, tmp_path):
+    """transformWithStateInPandas (arbitrary state v2, RocksDB provider,
+    vendored-protobuf injection — streaming_ops._enable_transform_with_state)
+    end-to-end: per-user ValueState must carry across batch boundaries and
+    the final update-mode row per user must equal the batch aggregate."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from lagom_kinesis_spark.queries.streaming_ops import (
+        _enable_transform_with_state,
+    )
+
+    _enable_transform_with_state(spark)
+    src = tmp_path / "tws_src"
+    src.mkdir()
+
+    def write(name, rows, sleep=True):
+        pdf = pd.DataFrame(rows, columns=["user_id", "value"])
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src / name))
+        if sleep:
+            time.sleep(1.1)
+
+    write("b1", [(1, 10.0), (2, 5.0), (1, 2.0)])
+    write("b2", [(1, 7.0), (3, 1.0)], sleep=False)
+
+    state_schema = StructType([StructField("n", LongType()), StructField("s", DoubleType())])
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n", LongType()),
+            StructField("s", DoubleType()),
+        ]
+    )
+
+    class Sum(StatefulProcessor):
+        def init(self, handle) -> None:
+            self.state = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, s = self.state.get() if self.state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self.state.update((n, s))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [n], "s": [s]})
+
+        def close(self) -> None:
+            pass
+
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        Sum(), outputStructType=out_schema, outputMode="Update", timeMode="None"
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_xbatch_tbl")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "tws_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert len(q.recentProgress) >= 2, "expected one batch per file"
+        q.stop()
+    finally:
+        spark.conf.set(provider_key, prev)
+    # running state is monotone in n, so the row with the largest n per
+    # user is the final update — no reliance on memory-sink row order
+    latest: dict[int, tuple[int, float]] = {}
+    for r in spark.table("tws_xbatch_tbl").collect():
+        if r["user_id"] not in latest or r["n"] > latest[r["user_id"]][0]:
+            latest[r["user_id"]] = (r["n"], r["s"])
+    assert latest == {1: (3, 19.0), 2: (1, 5.0), 3: (1, 1.0)}
+
+
 def test_incremental_resume_second_round_reads_only_new_files(spark):
     """stream_incremental_resume's exactly-once evidence is the oracle
     hash; this pins the INCREMENTAL half: round 2 (same checkpoint) must
