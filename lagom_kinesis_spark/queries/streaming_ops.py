@@ -32,6 +32,13 @@ from lagom_kinesis_spark.session import tune
 from lagom_kinesis_spark.streaming.topics import memory_sink_table
 
 
+#: (path, mtime_ns, size) -> StructType. The probe is pure fixture
+#: metadata, but costs a ~70 ms parquet-footer job per call — paid by EVERY
+#: streaming query entry. Keyed on file identity so a regenerated fixture
+#: re-probes.
+_EVENTS_SCHEMA_CACHE: dict = {}
+
+
 def _events_raw_schema(spark: SparkSession, sf_dir: str):
     """The events file's ACTUAL on-disk read schema (metadata-only probe).
 
@@ -39,7 +46,20 @@ def _events_raw_schema(spark: SparkSession, sf_dir: str):
     read that catalog.load performs guarantees batch and streaming apply the
     identical ts canonicalization (normalize_event_ts) and can never diverge
     when the driver regenerates fixtures with a different ts encoding."""
-    return spark.read.parquet(path_of(sf_dir, "events")).schema
+    import os
+
+    p = path_of(sf_dir, "events")
+    try:
+        st = os.stat(p)
+        key = (p, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    if key is not None and key in _EVENTS_SCHEMA_CACHE:
+        return _EVENTS_SCHEMA_CACHE[key]
+    schema = spark.read.parquet(p).schema
+    if key is not None:
+        _EVENTS_SCHEMA_CACHE[key] = schema
+    return schema
 
 
 def _events_dir_with_sentinel(sf_dir: str) -> str:
