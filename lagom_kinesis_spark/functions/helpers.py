@@ -158,9 +158,18 @@ def units(c: Column | str, scale: int = 2) -> Column:
     nearest lands on the exact integer unit count. Equivalent to
     ``dec(c, scale)`` scaled by 10^scale — but sums/products of LONGS
     stay in whole-stage codegen's primitive path, ~2x the decimal hash
-    aggregate (BENCH_NOTES r6)."""
+    aggregate (BENCH_NOTES r6).
+
+    Round-to-nearest is ``trunc(x + signum(x)*0.5)`` rather than
+    ``F.round``: F.round routes every row through a BigDecimal
+    (measured r8 at sf10: the revenue aggregate is 1.09 s under F.round
+    vs 0.56 s under the primitive form, bit-identical on all 60M rows
+    and on negative acctbals). The two agree wherever |x·10^scale| lands
+    within ±(0.5−ε) of an integer — guaranteed by the ≤scale-decimal
+    contract; true half-way inputs cannot occur under it."""
     col = F.col(c) if isinstance(c, str) else c
-    return F.round(col * F.lit(10**scale)).cast("long")
+    scaled = col * F.lit(10**scale)
+    return (scaled + F.signum(col) * F.lit(0.5)).cast("long")
 
 
 def revenue_units() -> Column:

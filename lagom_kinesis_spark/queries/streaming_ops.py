@@ -742,85 +742,15 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memory_sink_table(joined, "append")
 
 
-def _protobuf_available() -> bool:
-    # transformWithStateInPandas drives state through a protobuf channel;
-    # google.protobuf is not in this container (mandate: gate optional deps
-    # behind an import-try). applyInPandasWithState covers arbitrary state
-    # without it (stream_arbitrary_state).
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
-if _protobuf_available():
-    _tws_register = register(
-        "stream_transform_with_state",
-        oracle=events_cte(
-            """
-    SELECT event_type, COUNT(*) AS n, round(MAX(value) - MIN(value), 6) AS value_range
-    FROM events GROUP BY event_type
-    """
-        ),
-        tags=("streaming", "stateful"),
-    )
-else:
-    def _tws_register(fn):
-        return fn
-
-
-@_tws_register
-def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arbitrary state via the Spark 4 ``transformWithStateInPandas`` API
-    (StatefulProcessor + typed ValueState): per-event-type running
-    (count, min, max) — the successor to applyInPandasWithState, with
-    explicit state-variable lifecycle. Single-batch bounded replay ⇒ the
-    emitted state equals the batch aggregate (the oracle)."""
-    import pandas as pd
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
-    class RangeTracker(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._state = handle.getValueState(
-                "agg", "cnt long, mn double, mx double"
-            )
-
-        def handleInputRows(self, key, rows, timerValues):
-            cnt, mn, mx = 0, float("inf"), float("-inf")
-            if self._state.exists():
-                cnt, mn, mx = self._state.get()
-            for pdf in rows:
-                cnt += len(pdf)
-                mn = min(mn, float(pdf["value"].min()))
-                mx = max(mx, float(pdf["value"].max()))
-            self._state.update((cnt, mn, mx))
-            yield pd.DataFrame(
-                {
-                    "event_type": [key[0]],
-                    "n": [cnt],
-                    "value_range": [round(mx - mn, 6)],
-                }
-            )
-
-        def close(self) -> None:
-            pass
-
-    out = (
-        events_stream(spark, sf_dir)
-        .groupBy("event_type")
-        .transformWithStateInPandas(
-            RangeTracker(),
-            outputStructType="event_type string, n long, value_range double",
-            outputMode="Update",
-            timeMode="None",
-        )
-    )
-    return memory_sink_table(out, "update")
+# NOTE (r8): an r6-era conditional registration of
+# stream_transform_with_state lived here, gated on google.protobuf being
+# importable (it never was, so the block was dead in every environment).
+# The r8 implementation above registers unconditionally and injects the
+# image's vendored protobuf itself; the conditional block had to go with
+# it — once the injection makes protobuf importable inside python WORKERS,
+# a worker re-importing this module would have registered the name twice
+# and failed every later UDF-bearing query in that worker (caught as a
+# stream_attribution_last_touch gate red).
 
 
 @register(
