@@ -98,6 +98,45 @@ def scan_parquet_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scan_parquet_bloom_filter",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_retailprice
+    FROM part WHERE p_partkey IN (42, 1337)
+    """,
+    tags=("scan", "bloom"),
+)
+def scan_parquet_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup over a parquet layout written WITH a column bloom
+    filter — the needle-in-haystack pattern at 100 TB. The layout is
+    hash-repartitioned on the key, so every file's (min, max) spans the
+    whole key domain and row-group STATS can prune nothing; the writer
+    option ``parquet.bloom.filter.enabled#p_partkey`` embeds an SBBF per
+    row group, which the reader consults before decoding — row groups
+    that provably lack the needle are skipped entirely. That is the only
+    sub-linear access path for an equality probe on a high-cardinality
+    column you don't sort/Z-order by. Layout written once per process;
+    results are layout-independent (the oracle reads the original
+    table)."""
+    import os
+
+    tmp = io_scratch("part_bloom", sf_dir)
+    if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        (
+            load(spark, sf_dir, "part")
+            .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+            # hash layout: min/max stats are useless, blooms are not
+            .repartition(8, "p_name")
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#p_partkey", "true")
+            .option("parquet.bloom.filter.expected.ndv#p_partkey", "200000")
+            .parquet(tmp)
+        )
+    return spark.read.parquet(tmp).filter(
+        F.col("p_partkey").isin(42, 1337)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Projection / computed columns
 # ---------------------------------------------------------------------------

@@ -742,6 +742,176 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memory_sink_table(joined, "append")
 
 
+@register(
+    "stream_file_sink_exactly_once",
+    oracle=events_cte(
+        """
+    SELECT event_type, COUNT(*) AS n, round(SUM(value), 6) AS total_value
+    FROM events GROUP BY event_type
+    """
+    ),
+    tags=("streaming", "sink"),
+)
+def stream_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production FILE sink with its ``_spark_metadata`` commit log —
+    exactly-once delivery to a lake directory, the way a 100 TB pipeline
+    actually lands streams (memory/foreachBatch cover the harness paths;
+    this is the at-rest one). Three guarantees exercised in one query:
+
+    1. append run: availableNow replay writes committed part files and
+       records them in the transaction log;
+    2. restart from the same checkpoint with no new data is a NO-OP —
+       at-least-once sources + idempotent sink commit = exactly-once
+       (no re-emitted files, no double rows);
+    3. an ORPHAN part file dropped into the directory (a crashed task's
+       leftover, the classic non-transactional-sink corruption) is
+       INVISIBLE to readers: batch reads over a sink dir resolve through
+       the metadata log, not the directory listing.
+
+    The returned aggregate over the read-back equals the single-copy
+    batch aggregate (the oracle) — any duplicate or orphan row would
+    break the hash match."""
+    import glob
+    import os
+    import shutil
+
+    out = io_scratch("fsink_out", sf_dir)
+    ck = io_scratch("fsink_ck", sf_dir)
+    tune(spark)
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+
+    def run_once() -> None:
+        q = (
+            events_stream(spark, sf_dir)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    run_once()
+    committed = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+    run_once()  # restart, same checkpoint: no new data -> no new files
+    after = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+    assert committed and after == committed, "restart re-emitted files"
+    # crashed-task leftover: a real part file NOT in the metadata log
+    orphan = os.path.join(out, "part-99999-orphan.parquet")
+    shutil.copy(committed[0], orphan)
+    df = spark.read.parquet(out)  # resolves via _spark_metadata
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n"), r6(F.sum("value")).alias("total_value")
+    )
+
+
+@register(
+    "stream_tws_list_state",
+    oracle=events_cte(
+        """
+    , ranked AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, COUNT(*) AS n_recent,
+           round(SUM(value), 6) AS recent_total
+    FROM ranked WHERE rn <= 3 GROUP BY user_id
+    """
+    ),
+    tags=("streaming", "stateful"),
+)
+def stream_tws_list_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithState with typed LIST state: per user, keep only the
+    3 most recent events (by event time, event_id tie-break) — the
+    bounded feature-window shape (last-N purchases, last-N clicks) that
+    a 100 TB feature store serves online. State is O(3) per key however
+    long the stream runs; arrival order within/across batches is
+    irrelevant because the processor re-ranks its merged (state ∪ batch)
+    set by the total order before truncating. Oracle: the batch
+    row_number()<=3 window."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    tune(spark)
+    _enable_transform_with_state(spark)
+    ev_schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("event_id", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_recent", LongType()),
+            StructField("recent_total", DoubleType()),
+        ]
+    )
+
+    class LastN(StatefulProcessor):
+        N = 3
+
+        def init(self, handle) -> None:
+            self.recent = handle.getListState("recent", ev_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            merged = [tuple(r) for r in self.recent.get()]
+            for pdf in rows:
+                merged.extend(
+                    zip(pdf["ts"], pdf["event_id"], pdf["value"])
+                )
+            # total order: newest first, event_id breaks ts ties exactly
+            # like the oracle's ORDER BY ts DESC, event_id DESC
+            merged.sort(key=lambda t: (t[0], t[1]), reverse=True)
+            top = merged[: self.N]
+            self.recent.put(top)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_recent": [len(top)],
+                    "recent_total": [round(sum(t[2] for t in top), 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    out = (
+        events_stream(spark, sf_dir)
+        .select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            LastN(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        return memory_sink_table(out, "update")
+    finally:
+        spark.conf.set(provider_key, prev)
+
+
 # NOTE (r8): an r6-era conditional registration of
 # stream_transform_with_state lived here, gated on google.protobuf being
 # importable (it never was, so the block was dead in every environment).
