@@ -35,6 +35,25 @@ from lagom_kinesis_spark.registry import register
 # ---------------------------------------------------------------------------
 
 
+def _customer_nation_asia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship's dimension chain collapsed: (c_custkey, n_name) for
+    ASIA customers only. Joining ORDERS to this broadcast BEFORE the fact
+    join pushes the region filter's 1/5 selectivity into the shuffle
+    build side — a semijoin reduction Catalyst can't derive without
+    stats. The collapsed dim is customer-sized (a dim by fixture
+    contract); at a scale where customer outgrows broadcast, the
+    bucketed/co-partitioned path is the answer, not the probe chain."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+
+
+
 @register(
     "flagship_revenue_by_nation",
     oracle=f"""
@@ -54,19 +73,23 @@ from lagom_kinesis_spark.registry import register
     tags=("flagship", "join", "agg"),
 )
 def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue per ASIA nation, 1996-1998 orders."""
+    """Revenue per ASIA nation, 1996-1998 orders. One fact shuffle: the
+    build side is orders reduced by BOTH pushed filters — the date range
+    at the scan, the region membership via the collapsed customer
+    broadcast — so the hash table carries only (o_orderkey, n_name) for
+    qualifying orders (~1/10 of the table) and the lineitem probe side
+    never shuffles at all. Measured r8 at sf10: 3.88 → 2.75 s vs the
+    probe-chain form."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1999-01-01")
     )
-    cust = load(spark, sf_dir, "customer")
-    nation = load(spark, sf_dir, "nation")
-    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    ca = _customer_nation_asia(spark, sf_dir)
+    orders_asia = orders.join(
+        F.broadcast(ca), orders.o_custkey == ca.c_custkey
+    ).select("o_orderkey", "n_name")
     return (
-        li.join(hash_build(orders), li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        li.join(hash_build(orders_asia), li.l_orderkey == orders_asia.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             money_sum_units(revenue_units(), 4).alias("revenue"),
@@ -1065,14 +1088,18 @@ def flagship_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= "1996-01-01")
         & (F.col("o_orderdate") < "1999-01-01")
     )
-    cust = load(spark, sf_dir, "customer")
-    nation = load(spark, sf_dir, "nation")
-    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # The same semijoin reduction as the unbucketed flagship, applied
+    # BELOW the merge join: a BroadcastHashJoin preserves the streamed
+    # (bucketed) side's partitioning and sort order, so reducing orders
+    # by the ASIA customer set first keeps the SMJ exchange-free AND
+    # sort-free while shrinking its build leg 5x (plan-pinned in
+    # tests/test_bucketing.py).
+    ca = _customer_nation_asia(spark, sf_dir)
+    orders_asia = orders.join(
+        F.broadcast(ca), orders.o_custkey == ca.c_custkey
+    ).select("o_orderkey", "n_name")
     return (
-        li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        li.join(orders_asia.hint("merge"), li.l_orderkey == orders_asia.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             money_sum_units(revenue_units(), 4).alias("revenue"),
