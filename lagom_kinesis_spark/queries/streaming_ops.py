@@ -912,6 +912,159 @@ def stream_tws_list_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set(provider_key, prev)
 
 
+@register(
+    "stream_tws_timers",
+    oracle=events_cte(
+        """
+    , gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 5 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), islands AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM gaps
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM islands GROUP BY user_id, session_id
+    """
+    ),
+    tags=("streaming", "stateful", "timers"),
+)
+def stream_tws_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME TIMERS (arbitrary state v2): sessionization where the
+    session CLOSE is driven by a registered timer firing when the
+    watermark passes last_event + gap — the idle-timeout shape native
+    session_window can't customize (per-key dynamic gaps, emit-on-close
+    side effects, abandoned-cart alerts). Mechanics under bounded
+    replay: in-batch gaps close sessions inline in handleInputRows; the
+    final open session per user is carried in ValueState with a timer at
+    last_ts + 5 min; the far-future EOS sentinel advances the watermark
+    past every timer, so the closing no-data micro-batch fires
+    handleExpiredTimer and flushes the tails. Output equals the batch
+    gaps-and-islands sessionization (stream_session_window's oracle).
+    Sentinel keys (negative user_ids) are suppressed INSIDE the
+    processor — a stream-level filter would be pushed below the
+    watermark node and the sentinel would never advance it."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    tune(spark)
+    _enable_transform_with_state(spark)
+    GAP_MS = 5 * 60 * 1000
+    state_schema = StructType(
+        [
+            StructField("start_ts", TimestampType()),
+            StructField("last_ts", TimestampType()),
+            StructField("n", LongType()),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+
+    class Sessionizer(StatefulProcessor):
+        def init(self, handle) -> None:
+            self.handle = handle
+            self.open = handle.getValueState("open", state_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            if key[0] < 0:  # EOS sentinel key: watermark-only, no session
+                for _ in rows:
+                    pass
+                return
+            pts = []
+            for pdf in rows:
+                pts.extend(zip(pdf["ts"], pdf["event_id"]))
+            pts.sort()
+            sessions = []  # closed this call
+            if self.open.exists():
+                start, last, n = self.open.get()
+            else:
+                start, last, n = None, None, 0
+            for ts, _eid in pts:
+                if last is not None and (
+                    (ts - last).total_seconds() * 1000 >= GAP_MS
+                ):
+                    sessions.append((start, n))
+                    start, n = ts, 0
+                if start is None:
+                    start = ts
+                last = ts
+                n += 1
+            self.open.update((start, last, n))
+            # one live timer per key: re-arm at the new session tail
+            for t in list(self.handle.listTimers()):
+                self.handle.deleteTimer(t)
+            expiry = int(pd.Timestamp(last).timestamp() * 1000) + GAP_MS
+            self.handle.registerTimer(expiry)
+            if sessions:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]] * len(sessions),
+                        "session_start": [s for s, _ in sessions],
+                        "n_events": [n for _, n in sessions],
+                    }
+                )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):  # noqa: N803 — framework invokes by these kwarg names
+            if self.open.exists():
+                start, last, n = self.open.get()
+                self.open.clear()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "session_start": [start],
+                        "n_events": [n],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    src = (
+        spark.readStream.schema(_events_raw_schema(spark, sf_dir))
+        .parquet(_events_dir_with_sentinel(sf_dir))
+    )
+    ev = normalize_event_ts(src).withWatermark("ts", "1 minute")
+    out = (
+        ev.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            Sessionizer(),
+            outputStructType=out_schema,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        return memory_sink_table(out, "append")
+    finally:
+        spark.conf.set(provider_key, prev)
+
+
 # NOTE (r8): an r6-era conditional registration of
 # stream_transform_with_state lived here, gated on google.protobuf being
 # importable (it never was, so the block was dead in every environment).
