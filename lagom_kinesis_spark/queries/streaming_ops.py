@@ -1065,6 +1065,97 @@ def stream_tws_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set(provider_key, prev)
 
 
+@register(
+    "stream_tws_map_state",
+    oracle=events_cte(
+        """
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events GROUP BY user_id, event_type
+    """
+    ),
+    tags=("streaming", "stateful"),
+)
+def stream_tws_map_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithState with typed MAP state — the fourth and last v2
+    state primitive (ValueState / ListState / timers / MapState): a
+    per-user map of event_type → running count, the per-key
+    sub-dictionary shape (feature counters, per-device counters under a
+    user key) that would otherwise force the sub-key into the grouping
+    key and explode the key space. State is O(|event types|) per user;
+    updates are point lookups. Emitted as one row per map entry each
+    batch; bounded single replay ⇒ equals the batch rollup (oracle)."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    tune(spark)
+    _enable_transform_with_state(spark)
+    key_schema = StructType([StructField("event_type", StringType())])
+    val_schema = StructType([StructField("n", LongType())])
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle) -> None:
+            self.counts = handle.getMapState("counts", key_schema, val_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            batch: dict[str, int] = {}
+            for pdf in rows:
+                for et, c in pdf["event_type"].value_counts().items():
+                    batch[et] = batch.get(et, 0) + int(c)
+            for et, c in batch.items():
+                prev = (
+                    self.counts.getValue((et,))[0]
+                    if self.counts.containsKey((et,))
+                    else 0
+                )
+                self.counts.updateValue((et,), (prev + c,))
+            ets, ns = [], []
+            for k, v in self.counts.iterator():
+                ets.append(k[0])
+                ns.append(v[0])
+            yield pd.DataFrame(
+                {"user_id": [key[0]] * len(ets), "event_type": ets, "n": ns}
+            )
+
+        def close(self) -> None:
+            pass
+
+    out = (
+        events_stream(spark, sf_dir)
+        .select("user_id", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            TypeCounts(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        return memory_sink_table(out, "update")
+    finally:
+        spark.conf.set(provider_key, prev)
+
+
 # NOTE (r8): an r6-era conditional registration of
 # stream_transform_with_state lived here, gated on google.protobuf being
 # importable (it never was, so the block was dead in every environment).
