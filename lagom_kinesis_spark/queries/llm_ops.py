@@ -496,7 +496,10 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a global single-partition window over the whole vocabulary —
     asserted in tests/test_plans.py), then rn is derived over the 50
     survivors only."""
-    d = load(spark, sf_dir, "documents")
+    # fan_out: compressed text packs ~500k sf10 docs into a 6 MB file =
+    # 2 input splits, serializing the explode+partial-agg on 2 of 32
+    # cores (measured r8 at sf10: 2.97 s -> 1.59 s with the fan-out).
+    d = fan_out(load(spark, sf_dir, "documents"))
     counted = (
         d.select(F.explode(tokens("text")).alias("token"))
         .groupBy("token")
@@ -636,7 +639,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale a head-token partition gets large; the swap then is tf →
     checkpoint → broadcast-join the aggregated df table (vocab-sized),
     trading a persist for the window."""
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    d = fan_out(load(spark, sf_dir, "documents")).filter(F.col("doc_id") % 50 == 0)
     tf = (
         d.select("doc_id", F.explode(tokens("text")).alias("token"))
         .groupBy("doc_id", "token")
@@ -1276,7 +1279,9 @@ def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (BENCH_NOTES.md round-7; .bench/ab_corpus_filter_window.py)."""
     from lagom_kinesis_spark.functions.helpers import let
 
-    d = load(spark, sf_dir, "documents")
+    # fan_out: the scoring map (tokenize + array_distinct + markers) is
+    # CPU-bound and the compressed source yields 2 splits at sf10.
+    d = fan_out(load(spark, sf_dir, "documents"))
     toks = tokens("text")
     langexpr = lang_guess_expr(F.col("toks"))
     scored = d.select(
