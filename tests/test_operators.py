@@ -566,3 +566,27 @@ def test_ann_multiprobe_recall_at_least_single_probe(spark):
     assert {r["q_id"] for r in multi_rows if r["q_id"] == r["vec_id"]} == {
         r["q_id"] for r in multi_rows
     }
+
+
+def test_fan_out_widens_narrow_scans_and_memoizes(spark):
+    """fan_out exists because a small compressed file arrives as fewer
+    input splits than cores, serializing CPU-bound map work. Contract:
+    (a) a narrow DataFrame is repartitioned up to defaultParallelism,
+    (b) an already-wide DataFrame is returned untouched (no extra
+    exchange on a real cluster reading many splits), and (c) repeat
+    calls on the SAME input object return the memoized result without
+    re-running the RDD-conversion probe."""
+    from lagom_kinesis_spark.functions.helpers import fan_out
+
+    cores = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 1000, 1, numPartitions=1)
+    widened = fan_out(narrow)
+    assert widened.rdd.getNumPartitions() == cores
+    # values survive the round-robin repartition
+    assert widened.count() == 1000
+
+    wide = spark.range(0, 1000, 1, numPartitions=cores * 2)
+    assert fan_out(wide) is wide
+
+    # memoized: same input object -> same output object, no re-probe
+    assert fan_out(narrow) is widened
