@@ -499,7 +499,9 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out: compressed text packs ~500k sf10 docs into a 6 MB file =
     # 2 input splits, serializing the explode+partial-agg on 2 of 32
     # cores (measured r8 at sf10: 2.97 s -> 1.59 s with the fan-out).
-    d = fan_out(load(spark, sf_dir, "documents"))
+    # Size-gated: tokenize+count is only moderately CPU-heavy, so below
+    # ~2 MB the exchange costs more than it parallelizes (+0.18 s sf0.1).
+    d = fan_out(load(spark, sf_dir, "documents"), min_bytes=2 << 20)
     counted = (
         d.select(F.explode(tokens("text")).alias("token"))
         .groupBy("token")
@@ -639,7 +641,9 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale a head-token partition gets large; the swap then is tf →
     checkpoint → broadcast-join the aggregated df table (vocab-sized),
     trading a persist for the window."""
-    d = fan_out(load(spark, sf_dir, "documents")).filter(F.col("doc_id") % 50 == 0)
+    d = fan_out(load(spark, sf_dir, "documents"), min_bytes=2 << 20).filter(
+        F.col("doc_id") % 50 == 0
+    )
     tf = (
         d.select("doc_id", F.explode(tokens("text")).alias("token"))
         .groupBy("doc_id", "token")
@@ -1281,7 +1285,8 @@ def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # fan_out: the scoring map (tokenize + array_distinct + markers) is
     # CPU-bound and the compressed source yields 2 splits at sf10.
-    d = fan_out(load(spark, sf_dir, "documents"))
+    # Size-gated (2 MB): at sf0.1 the exchange costs more than it buys.
+    d = fan_out(load(spark, sf_dir, "documents"), min_bytes=2 << 20)
     toks = tokens("text")
     langexpr = lang_guess_expr(F.col("toks"))
     scored = d.select(

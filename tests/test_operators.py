@@ -590,3 +590,24 @@ def test_fan_out_widens_narrow_scans_and_memoizes(spark):
 
     # memoized: same input object -> same output object, no re-probe
     assert fan_out(narrow) is widened
+
+
+def test_fan_out_min_bytes_gates_tiny_file_sources(spark, tmp_path):
+    """With min_bytes set, a tiny file-backed scan keeps its no-shuffle
+    plan (the exchange would cost more than it parallelizes), a source
+    above the threshold fans out, and non-file sources count as large
+    (on a real cluster the split-count check no-ops anyway)."""
+    from lagom_kinesis_spark.functions.helpers import fan_out
+
+    p = str(tmp_path / "tiny.parquet")
+    spark.range(0, 100, 1, numPartitions=1).write.parquet(p)
+    tiny = spark.read.parquet(p)
+    assert fan_out(tiny, min_bytes=2 << 20) is tiny
+
+    tiny2 = spark.read.parquet(p)
+    widened = fan_out(tiny2, min_bytes=1)
+    assert widened is not tiny2
+    assert widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+    nonfile = spark.range(0, 100, 1, numPartitions=1)
+    assert fan_out(nonfile, min_bytes=2 << 60) is not nonfile
