@@ -51,7 +51,7 @@ def let(bound: Column, body) -> Column:
     return F.element_at(F.transform(F.array(bound), body), 1)
 
 
-def fan_out(df, min_factor: int = 1, min_bytes: int = 0):
+def fan_out(df, min_factor: int = 1, min_bytes: int = 0, by: str | None = None):
     """Repartition a scan up to the session's core count when the source
     yields fewer splits than cores.
 
@@ -61,6 +61,14 @@ def fan_out(df, min_factor: int = 1, min_bytes: int = 0):
     shuffle this adds moves only the raw input (cheap at the scale where
     the condition triggers); on a real cluster reading many splits the
     condition is false and this is a no-op.
+
+    ``by`` hash-partitions on a column instead of round-robin: when the
+    first downstream aggregation groups on keys CONTAINING ``by``,
+    HashPartitioning(by) already satisfies the aggregate's clustering
+    requirement, so the fan-out exchange doubles as the aggregation
+    exchange and Catalyst plans no second one. Use it when the ``by``
+    column is high-cardinality and unskewed (doc_id); round-robin remains
+    the default because it balances perfectly regardless of key shape.
 
     ``min_bytes`` additionally gates the fan-out on total input size, for
     call sites whose per-row work is only MODERATELY expensive (tokenize +
@@ -75,7 +83,7 @@ def fan_out(df, min_factor: int = 1, min_bytes: int = 0):
     # and catalog.load now hands out the SAME DataFrame object per
     # (session, sf_dir, table), so the answer cannot change. The cached
     # tuple pins the input object so its id() stays valid.
-    key = (id(df), min_factor, min_bytes)
+    key = (id(df), min_factor, min_bytes, by)
     hit = _FAN_CACHE.get(key)
     if hit is not None and hit[0] is df:
         return hit[1]
@@ -86,7 +94,7 @@ def fan_out(df, min_factor: int = 1, min_bytes: int = 0):
         spark = df.sparkSession
         target = spark.sparkContext.defaultParallelism * min_factor
         if df.rdd.getNumPartitions() < target:
-            out = df.repartition(target)
+            out = df.repartition(target, F.col(by)) if by else df.repartition(target)
     if len(_FAN_CACHE) > 4096:  # bound growth across many sessions
         _FAN_CACHE.clear()
     _FAN_CACHE[key] = (df, out)

@@ -641,9 +641,13 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale a head-token partition gets large; the swap then is tf →
     checkpoint → broadcast-join the aggregated df table (vocab-sized),
     trading a persist for the window."""
-    d = fan_out(load(spark, sf_dir, "documents"), min_bytes=2 << 20).filter(
-        F.col("doc_id") % 50 == 0
-    )
+    # Fan out BY doc_id: the tf groupBy's keys contain doc_id, so the
+    # fan-out exchange doubles as the aggregation exchange (one shuffle,
+    # not two). The %50 filter is pushed below the exchange by Catalyst,
+    # so only survivors are shuffled — plan-asserted in tests/test_plans.py.
+    d = fan_out(
+        load(spark, sf_dir, "documents"), min_bytes=2 << 20, by="doc_id"
+    ).filter(F.col("doc_id") % 50 == 0)
     tf = (
         d.select("doc_id", F.explode(tokens("text")).alias("token"))
         .groupBy("doc_id", "token")

@@ -611,3 +611,21 @@ def test_fan_out_min_bytes_gates_tiny_file_sources(spark, tmp_path):
 
     nonfile = spark.range(0, 100, 1, numPartitions=1)
     assert fan_out(nonfile, min_bytes=2 << 60) is not nonfile
+
+
+def test_fan_out_by_key_doubles_as_aggregation_exchange(spark):
+    """fan_out(by=k) hash-partitions on k, so a downstream groupBy whose
+    keys CONTAIN k needs no second exchange — the fan-out shuffle IS the
+    aggregation shuffle (HashPartitioning(k) satisfies the aggregate's
+    ClusteredDistribution by the subset rule)."""
+    import re
+
+    from lagom_kinesis_spark.functions.helpers import fan_out
+
+    narrow = spark.range(0, 1000, 1, numPartitions=1).withColumn(
+        "tok", (F.col("id") % 7).cast("string")
+    )
+    agged = fan_out(narrow, by="id").groupBy("id", "tok").count()
+    plan = agged._jdf.queryExecution().executedPlan().toString()
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert exchanges == ["hashpartitioning"], exchanges
