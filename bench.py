@@ -271,7 +271,7 @@ def main() -> None:
 
     # Steady-state protocol (JMH-style): warm up each query until the run
     # time stabilizes (≤4 warm-ups, stop when a run is within 25% of the
-    # previous), then best of 2 timed runs. In a 50+-execution single-JVM
+    # previous), then best of 3 timed runs. In a 50+-execution single-JVM
     # suite the driver JIT's compile queue is saturated by preceding
     # queries, so the first 1-3 executions of a codegen-heavy query (the
     # 64-hash minhash aggregate is the worst) run partially interpreted —
@@ -471,8 +471,10 @@ def scaling_main(out_path: str, skip_sf10: bool = False) -> None:
             "sf1/sf10 are synthetic fact replications of the sf0.1 driver "
             "fixture (scripts/make_scaled_fixture.py, join-aligned key "
             "domains); sf0.001 measures the per-query fixed cost floor. "
-            "Protocol identical to the headline bench: warm-to-stable + "
-            "best-of-2, both engines."
+            "Protocol identical to the headline bench (warm-to-stable + "
+            "best-of-3 timed, noop-sink/arrow-fetch forcing, both "
+            "engines); every tier and fixture build runs in its own "
+            "fresh process (see scaling_main docstring for why)."
         ),
     }
     line = json.dumps(payload)

@@ -105,7 +105,7 @@ def _input_bytes(df) -> int:
     """Total on-disk bytes behind a file-based scan; ``2**63`` (treat as
     large) when the source is not local files or listing fails."""
     import os
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     try:
         files = df.inputFiles()
@@ -116,7 +116,10 @@ def _input_bytes(df) -> int:
             p = urlparse(uri)
             if p.scheme not in ("", "file"):
                 return 2**63
-            total += os.path.getsize(p.path)
+            # unquote: inputFiles() percent-encodes (space, '%', non-ASCII);
+            # feeding the encoded form to getsize would raise and fail the
+            # gate open on any fixture path containing such characters.
+            total += os.path.getsize(unquote(p.path))
         return total
     except Exception:  # non-file relation (rate source, in-memory, ...)
         return 2**63

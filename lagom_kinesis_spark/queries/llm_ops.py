@@ -37,6 +37,15 @@ from lagom_kinesis_spark.operators.text import (
 )
 from lagom_kinesis_spark.registry import register
 
+#: fan_out size gate for the TOKENIZE-level text queries (tokens + explode +
+#: count — moderately CPU-bound): below ~2 MB the round-robin exchange plus
+#: 32-task scheduling loses to the serial scan (measured sf0.1, 0.6 MB:
+#: +0.18 s/query with the fan-out; sf10, 6.3 MB: −1.4 s without it).
+#: Shingle/hash-heavy sites (64 hashes/row) stay ungated — there the
+#: fan-out pays even on tiny inputs. One constant so a re-measured
+#: break-even point is re-tuned in one place.
+TEXT_FAN_OUT_MIN_BYTES = 2 << 20
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -501,7 +510,7 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cores (measured r8 at sf10: 2.97 s -> 1.59 s with the fan-out).
     # Size-gated: tokenize+count is only moderately CPU-heavy, so below
     # ~2 MB the exchange costs more than it parallelizes (+0.18 s sf0.1).
-    d = fan_out(load(spark, sf_dir, "documents"), min_bytes=2 << 20)
+    d = fan_out(load(spark, sf_dir, "documents"), min_bytes=TEXT_FAN_OUT_MIN_BYTES)
     counted = (
         d.select(F.explode(tokens("text")).alias("token"))
         .groupBy("token")
@@ -641,12 +650,14 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale a head-token partition gets large; the swap then is tf →
     checkpoint → broadcast-join the aggregated df table (vocab-sized),
     trading a persist for the window."""
-    # Fan out BY doc_id: the tf groupBy's keys contain doc_id, so the
+    # Fan out BY doc_id (on the shared load() object, so the memoized
+    # partition probe hits): the tf groupBy's keys contain doc_id, so the
     # fan-out exchange doubles as the aggregation exchange (one shuffle,
     # not two). The %50 filter is pushed below the exchange by Catalyst,
-    # so only survivors are shuffled — plan-asserted in tests/test_plans.py.
+    # so only survivors are shuffled — both facts plan-asserted in
+    # tests/test_operators.py::test_fan_out_filter_pushdown_and_shared_exchange.
     d = fan_out(
-        load(spark, sf_dir, "documents"), min_bytes=2 << 20, by="doc_id"
+        load(spark, sf_dir, "documents"), min_bytes=TEXT_FAN_OUT_MIN_BYTES, by="doc_id"
     ).filter(F.col("doc_id") % 50 == 0)
     tf = (
         d.select("doc_id", F.explode(tokens("text")).alias("token"))
@@ -654,8 +665,12 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     # Bounded driver-side scalar (one column-pruned count over the sample),
-    # broadcast into the expression — not a per-row subquery.
-    n_docs = d.count()
+    # broadcast into the expression — not a per-row subquery. Counted on
+    # the UN-fanned scan: a global count needs no parallel map work, and
+    # Catalyst does not remove a user repartition under it.
+    n_docs = (
+        load(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0).count()
+    )
     return (
         tf.withColumn("df", F.count("*").over(W.partitionBy("token")))
         .filter(F.col("tf") >= 2)
@@ -1290,7 +1305,7 @@ def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out: the scoring map (tokenize + array_distinct + markers) is
     # CPU-bound and the compressed source yields 2 splits at sf10.
     # Size-gated (2 MB): at sf0.1 the exchange costs more than it buys.
-    d = fan_out(load(spark, sf_dir, "documents"), min_bytes=2 << 20)
+    d = fan_out(load(spark, sf_dir, "documents"), min_bytes=TEXT_FAN_OUT_MIN_BYTES)
     toks = tokens("text")
     langexpr = lang_guess_expr(F.col("toks"))
     scored = d.select(

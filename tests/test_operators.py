@@ -629,3 +629,35 @@ def test_fan_out_by_key_doubles_as_aggregation_exchange(spark):
     plan = agged._jdf.queryExecution().executedPlan().toString()
     exchanges = re.findall(r"Exchange (\w+)", plan)
     assert exchanges == ["hashpartitioning"], exchanges
+
+
+def test_fan_out_filter_pushdown_and_shared_exchange(spark):
+    """The text_tfidf shape at a scale where the gate opens: fan_out(by=
+    doc_id) then filter then groupBy(doc_id, token). Two plan facts keep
+    it honest at sf10: (a) Catalyst pushes the filter BELOW the fan-out
+    exchange (only survivors are shuffled), (b) the keyed fan-out
+    exchange doubles as the aggregation exchange (no second shuffle
+    before the agg). min_bytes=1 forces the gate open on the test
+    fixture so the asserted plan is the sf10 plan."""
+    import re
+
+    from lagom_kinesis_spark.catalog import load
+    from lagom_kinesis_spark.functions.helpers import fan_out
+    from lagom_kinesis_spark.operators.text import tokens
+    from tests.conftest import SF_DIR
+
+    d = fan_out(load(spark, SF_DIR, "documents"), min_bytes=1, by="doc_id").filter(
+        F.col("doc_id") % 50 == 0
+    )
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .count()
+    )
+    plan = tf._jdf.queryExecution().executedPlan().toString()
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert exchanges == ["hashpartitioning"], exchanges
+    # the filter evaluates below the exchange, inside the scan stage
+    filter_pos = plan.index("(doc_id")  # the %50 predicate
+    exchange_pos = plan.index("Exchange")
+    assert filter_pos > exchange_pos, "filter not pushed below the fan-out"
