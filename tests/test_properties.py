@@ -379,7 +379,10 @@ def test_scd2_apply_matches_reference(spark, data):
 
 @given(
     cents_vals=st.lists(
-        st.integers(min_value=0, max_value=10**13),  # up to ~1e11 dollars
+        # Negative values exercise units()'s signum branch (the r8
+        # primitive trunc(x + signum(x)*0.5) rounding — acctbal-style
+        # money columns go negative); magnitudes up to ~1e11 dollars.
+        st.integers(min_value=-(10**13), max_value=10**13),
         min_size=1,
         max_size=12,
     )
@@ -388,9 +391,9 @@ def test_scd2_apply_matches_reference(spark, data):
 def test_money_fast_path_matches_decimal_path(spark, cents_vals):
     """helpers.units/money_sum_units (the int64 money fast path) must be
     bit-identical to money(F.sum(dec(...))) — long sum -> exact decimal
-    rescale -> correctly-rounded double cast, at every magnitude
-    including sums far beyond 2^53 where a double-division finalize
-    would double-round."""
+    rescale -> correctly-rounded double cast, at every magnitude and
+    sign, including sums far beyond 2^53 where a double-division
+    finalize would double-round."""
     from lagom_kinesis_spark.functions import (
         dec,
         money,
