@@ -143,7 +143,11 @@ def scan_parquet_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     table)."""
     import os
 
-    tmp = io_scratch("part_bloom", sf_dir)
+    from lagom_kinesis_spark.catalog import fixture_fingerprint
+
+    # Fingerprint-keyed like ivf_index/fp_catalog: a regenerated fixture
+    # must rebuild the bloom layout, not be served the stale copy.
+    tmp = io_scratch(f"part_bloom_{fixture_fingerprint(sf_dir, 'part')}", sf_dir)
     if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
         (
             load(spark, sf_dir, "part")

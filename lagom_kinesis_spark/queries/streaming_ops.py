@@ -524,6 +524,30 @@ def stream_arbitrary_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VENDORED_PROTOBUF = "/usr/lib/google-cloud-sdk/platform/google_appengine"
 
 
+def _rocksdb_sink(spark: SparkSession, out: DataFrame, output_mode: str) -> DataFrame:
+    """Run a bounded replay into a memory sink under the RocksDB state-
+    store provider, restoring the previous provider afterwards.
+
+    transformWithStateInPandas requires a provider that supports the v2
+    arbitrary-state API (typed value/list/map state + timers), which the
+    RocksDB provider does and the default in-memory HDFS-backed map does
+    not; other streaming queries keep the session default, so the conf
+    flip must be scoped to exactly this sink run (one shared helper —
+    four stream_tws_* queries use it — so the save/restore discipline
+    cannot drift between copies)."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        return memory_sink_table(out, output_mode)
+    finally:
+        spark.conf.set(provider_key, prev)
+
+
 def _enable_transform_with_state(spark: SparkSession) -> None:
     """Make ``transformWithStateInPandas`` runnable on this image.
 
@@ -644,17 +668,7 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
     )
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    try:
-        return memory_sink_table(out, "update")
-    finally:
-        spark.conf.set(provider_key, prev)
+    return _rocksdb_sink(spark, out, "update")
 
 
 @register("stream_rate_source_smoke", oracle=None, tags=("streaming", "smoke"))
@@ -899,17 +913,7 @@ def stream_tws_list_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
     )
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    try:
-        return memory_sink_table(out, "update")
-    finally:
-        spark.conf.set(provider_key, prev)
+    return _rocksdb_sink(spark, out, "update")
 
 
 @register(
@@ -1052,17 +1056,7 @@ def stream_tws_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="EventTime",
         )
     )
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    try:
-        return memory_sink_table(out, "append")
-    finally:
-        spark.conf.set(provider_key, prev)
+    return _rocksdb_sink(spark, out, "append")
 
 
 @register(
@@ -1143,17 +1137,7 @@ def stream_tws_map_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
     )
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    try:
-        return memory_sink_table(out, "update")
-    finally:
-        spark.conf.set(provider_key, prev)
+    return _rocksdb_sink(spark, out, "update")
 
 
 # NOTE (r8): an r6-era conditional registration of

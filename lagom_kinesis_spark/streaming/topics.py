@@ -622,11 +622,15 @@ def memory_sink_table(df: DataFrame, output_mode: str = "append") -> DataFrame:
         if q is not None:
             q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        # bench.py opts out (SPARK_GRAFT_STREAM_UNLOAD=0) and performs the
-        # unload itself between queries, untimed: stop() costs ~70 ms
+        # bench.py opts out (SPARK_GRAFT_STREAM_UNLOAD=0) and does NOT
+        # unload at all for the bench process: stop() costs ~70 ms
         # (measured r8) and would otherwise land inside every timed
-        # streaming run. Gate/pytest sweeps keep the per-call unload —
-        # that's what bounds provider growth across a 300-query session.
+        # streaming run, and the unload's maintenance-machinery restart
+        # lands in the next one. Provider growth over one bench run (a
+        # handful of streaming entries × ≤7 runs × 4 partitions of
+        # sf0.1-sized state) is bounded and tiny (bench.py:84). Gate/
+        # pytest sweeps keep the per-call unload — that's what bounds
+        # provider growth across a 300-query session.
         import os as _os
 
         if _os.environ.get("SPARK_GRAFT_STREAM_UNLOAD") != "0":

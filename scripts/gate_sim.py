@@ -68,7 +68,13 @@ def main() -> None:
     only: set[str] | None = None
     if "--only" in args:
         i = args.index("--only")
+        if i + 1 >= len(args):
+            sys.exit("usage: gate_sim.py [SF_DIR] [--only name1,name2]")
         only = {n.strip() for n in args[i + 1].split(",") if n.strip()}
+        if not only:
+            # An empty set would skip every query and print a green-looking
+            # empty payload — make the operator error loud instead.
+            sys.exit("--only given but no query names parsed")
         args = args[:i] + args[i + 2 :]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     import duckdb
