@@ -87,7 +87,7 @@ def fixture_fingerprint(sf_dir: str, name: str) -> str:
 _IO_GC_DONE = False
 
 
-def io_scratch(name: str, sf_dir: str) -> str:
+def io_scratch(name: str, sf_dir: str, source: str | None = None) -> str:
     """Per-process scratch dir for io-format roundtrip fixtures.
 
     The ``_p<pid>`` suffix keeps concurrent processes — the round-end
@@ -98,7 +98,14 @@ def io_scratch(name: str, sf_dir: str) -> str:
     bucketed warehouse they are deliberately NOT shared; the
     predictable ``<name>_<tag>_p<pid>`` shape lets dead siblings be
     GC'd (once per process) instead of orphaning like the old salted
-    ``hash()`` names did."""
+    ``hash()`` names did.
+
+    ``source`` names the fixture table the scratch layout is DERIVED
+    from: its :func:`fixture_fingerprint` is folded into the path, so a
+    fixture regenerated during the process's lifetime produces a fresh
+    path instead of a _SUCCESS-adopted stale layout (the staleness class
+    first fixed for the persisted IVF index / dedup catalog). Write-side
+    scratch (checkpoints, sim topics) passes no source."""
     import os
     import re
     import shutil
@@ -121,6 +128,8 @@ def io_scratch(name: str, sf_dir: str) -> str:
                 shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
             except Exception:
                 pass  # permission/other: leave it
+    if source is not None:
+        name = f"{name}_{fixture_fingerprint(sf_dir, source)}"
     return f"{base}/{name}_{stable_tag(sf_dir)}_p{os.getpid()}"
 
 

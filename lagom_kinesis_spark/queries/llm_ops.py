@@ -2754,11 +2754,7 @@ def sim_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = e.select(
         "vec_id", "embedding", ranked[0]["cid"].alias("cluster")
     )
-    from lagom_kinesis_spark.catalog import fixture_fingerprint
-
-    tmp = io_scratch(
-        f"ivf_index_{fixture_fingerprint(sf_dir, 'embeddings')}", sf_dir
-    )
+    tmp = io_scratch("ivf_index", sf_dir, source="embeddings")
     # Build-once semantics for real: the layout is deterministic in the
     # fixture (path + mtime/size fingerprint, so a regenerated fixture
     # gets a fresh path instead of a stale adopt), so re-invocations
@@ -2857,11 +2853,7 @@ def dedup_incremental_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.md5(F.col("text").cast("binary")).alias("h"))
         .distinct()
     )
-    from lagom_kinesis_spark.catalog import fixture_fingerprint
-
-    tmp = io_scratch(
-        f"fp_catalog_{fixture_fingerprint(sf_dir, 'documents')}", sf_dir
-    )
+    tmp = io_scratch("fp_catalog", sf_dir, source="documents")
     # The catalog is history-at-rest: build it once per fixture (_SUCCESS
     # marker; the path carries the fixture's mtime/size fingerprint so a
     # regenerated fixture cannot be served a stale catalog), serve every

@@ -143,11 +143,9 @@ def scan_parquet_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     table)."""
     import os
 
-    from lagom_kinesis_spark.catalog import fixture_fingerprint
-
-    # Fingerprint-keyed like ivf_index/fp_catalog: a regenerated fixture
-    # must rebuild the bloom layout, not be served the stale copy.
-    tmp = io_scratch(f"part_bloom_{fixture_fingerprint(sf_dir, 'part')}", sf_dir)
+    # Fingerprint-keyed (source=): a regenerated fixture must rebuild the
+    # bloom layout, not be served the stale copy.
+    tmp = io_scratch("part_bloom", sf_dir, source="part")
     if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
         (
             load(spark, sf_dir, "part")
@@ -484,7 +482,7 @@ def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the roundtrip identity. Scale: text scans split by line like any file
     source; the explicit parse projection keeps schema derivation out of
     the reader (no inference pass)."""
-    tmp = io_scratch("nation_txt", sf_dir)
+    tmp = io_scratch("nation_txt", sf_dir, source="nation")
     load(spark, sf_dir, "nation").select(
         F.concat_ws("|", F.col("n_nationkey"), F.col("n_name")).alias("value")
     ).write.mode("overwrite").text(tmp)
@@ -503,7 +501,7 @@ def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink + schema'd CSV scan (no inferSchema — explicit schema is the
     only scale-safe option: inference re-reads the data)."""
-    tmp = io_scratch("nation_csv", sf_dir)
+    tmp = io_scratch("nation_csv", sf_dir, source="nation")
     load(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(tmp)
     return spark.read.schema("n_nationkey int, n_name string, n_regionkey int").option(
         "header", True
@@ -517,7 +515,7 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON lines sink + schema'd JSON scan."""
-    tmp = io_scratch("supplier_json", sf_dir)
+    tmp = io_scratch("supplier_json", sf_dir, source="supplier")
     load(spark, sf_dir, "supplier").write.mode("overwrite").json(tmp)
     return spark.read.schema(
         "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
@@ -539,7 +537,7 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     enabling partition pruning on read."""
     from lagom_kinesis_spark.functions import dec, money
 
-    tmp = io_scratch("orders_part", sf_dir)
+    tmp = io_scratch("orders_part", sf_dir, source="orders")
     load(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
         "o_orderpriority"
     ).parquet(tmp)
@@ -578,7 +576,7 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     prove nothing). Oracle: same join over the unpartitioned source."""
     from lagom_kinesis_spark.functions import dec, money
 
-    tmp = io_scratch("cust_nat", sf_dir)
+    tmp = io_scratch("cust_nat", sf_dir, source="customer")
     load(spark, sf_dir, "customer").select(
         "c_custkey", "c_acctbal", "c_nationkey"
     ).write.mode("overwrite").partitionBy("c_nationkey").parquet(tmp)
@@ -689,7 +687,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink + scan (Spark's second built-in columnar format — same
     pushdown/pruning machinery as parquet). The oracle reads the original
     parquet: a lossless roundtrip through ORC must reproduce it."""
-    tmp = io_scratch("part_orc", sf_dir)
+    tmp = io_scratch("part_orc", sf_dir, source="part")
     load(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_brand", "p_retailprice"
     ).write.mode("overwrite").orc(tmp)
@@ -1141,7 +1139,7 @@ def scan_binaryfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    tmp = io_scratch("docs_bin", sf_dir)
+    tmp = io_scratch("docs_bin", sf_dir, source="documents")
     sub = (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 25 == 0)
@@ -1189,7 +1187,7 @@ def sink_clustered_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from lagom_kinesis_spark.functions import dec, money
 
-    tmp = io_scratch("lineitem_clustered", sf_dir)
+    tmp = io_scratch("lineitem_clustered", sf_dir, source="lineitem")
     li = load(spark, sf_dir, "lineitem").select(
         "l_shipdate", "l_orderkey", "l_returnflag", "l_extendedprice"
     )
@@ -1228,7 +1226,7 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY.md §1.1)."""
     from lagom_kinesis_spark.functions import dec, money
 
-    tmp = io_scratch("orders_pruned", sf_dir)
+    tmp = io_scratch("orders_pruned", sf_dir, source="orders")
     load(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
         "o_orderpriority"
     ).parquet(tmp)
@@ -1255,7 +1253,7 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the added column. The append-only topic-at-rest layout
     (SURVEY.md §1.1) evolves exactly this way; readers must never
     require a rewrite of historical files."""
-    tmp = io_scratch("docs_evolve", sf_dir)
+    tmp = io_scratch("docs_evolve", sf_dir, source="documents")
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
@@ -1424,7 +1422,7 @@ def scan_parquet_codec_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage/CPU codec tradeoff is a first-class knob — zstd typically
     halves footprint vs snappy for ~equal scan speed; correctness must
     be codec-invariant, which the identity oracle checks."""
-    tmp = io_scratch("part_zstd", sf_dir)
+    tmp = io_scratch("part_zstd", sf_dir, source="part")
     load(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_retailprice"
     ).write.mode("overwrite").option("compression", "zstd").parquet(tmp)
@@ -1499,7 +1497,7 @@ def sink_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     results)."""
     from lagom_kinesis_spark.functions import dec, money
 
-    tmp = io_scratch("lineitem_zorder", sf_dir)
+    tmp = io_scratch("lineitem_zorder", sf_dir, source="lineitem")
     # 25-bit × 2 Morton interleave: bit i of partkey -> bit 2i, bit i of
     # suppkey -> bit 2i+1; 50-bit key, fits BIGINT. The width must cover
     # the KEY DOMAIN, not just the test fixture: TPC-H l_partkey reaches
@@ -1668,7 +1666,7 @@ def scan_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a dead-letter sink."""
     from lagom_kinesis_spark.functions import dec, money
 
-    tmp = io_scratch("customer_csvbad", sf_dir)
+    tmp = io_scratch("customer_csvbad", sf_dir, source="customer")
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     bal = F.when(
         F.col("c_custkey") % 97 == 0, F.lit("oops")
@@ -1812,7 +1810,7 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed format next to csv/json/text for enterprise-integration inputs.
     rowTag framing on both sides; explicit schema on read (inference
     re-reads the data, same rule as the CSV scan)."""
-    tmp = io_scratch("region_xml", sf_dir)
+    tmp = io_scratch("region_xml", sf_dir, source="region")
     load(spark, sf_dir, "region").select("r_regionkey", "r_name").write.mode(
         "overwrite"
     ).format("xml").option("rowTag", "region").save(tmp)
@@ -1900,7 +1898,7 @@ def scan_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from lagom_kinesis_spark.catalog import io_scratch
 
-    tmp = io_scratch("nation_mljson", sf_dir)
+    tmp = io_scratch("nation_mljson", sf_dir, source="nation")
     os.makedirs(tmp, exist_ok=True)
     rows = (
         load(spark, sf_dir, "nation")
@@ -1938,7 +1936,7 @@ def scan_recursive_file_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    tmp = io_scratch("orders_tree", sf_dir)
+    tmp = io_scratch("orders_tree", sf_dir, source="orders")
     marker = os.path.join(tmp, "_TREE_DONE")
     if not os.path.exists(marker):
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1973,7 +1971,7 @@ def scan_csv_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     legacy-feed shape where assuming comma/double-quote silently
     misparses every row that contains the real delimiter. Writer and
     reader pin the SAME dialect options; explicit schema as always."""
-    tmp = io_scratch("supplier_dialect", sf_dir)
+    tmp = io_scratch("supplier_dialect", sf_dir, source="supplier")
     load(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_acctbal"
     ).write.mode("overwrite").options(
