@@ -109,6 +109,49 @@ def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_order_priority_bucketed",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+    tags=("analytics", "semi-join", "scale"),
+)
+def q_order_priority_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape over the SHARED bucketed fact layout (same oracle
+    as q_order_priority): the EXISTS left-semi join reads co-bucketed
+    sorted scans, so it plans with NO Exchange and NO Sort on either
+    60M-row side — the non-equi lateness predicate (shipped >60 days
+    after the order date) rides along as the SortMergeJoin's residual
+    condition, which a semi join evaluates per matching key pair without
+    ever duplicating order rows. The fourth reuse of the one write-side
+    layout shuffle (flagship, multiway, Q3, now Q4) — at 100 TB this is
+    why the layout exists: every orderkey-shaped question afterwards is
+    exchange-free. Only the 5-row priority rollup crosses partitions."""
+    from lagom_kinesis_spark.queries.relational import fact_bucketed_layout
+
+    bo, bl = fact_bucketed_layout(spark, sf_dir)
+    orders = spark.table(bo).filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = spark.table(bl).select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li.hint("merge"),
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@register(
     "q_volume_shipping",
     oracle=f"""
     SELECT sn.n_name AS supp_nation,

@@ -128,10 +128,24 @@ def test_shared_fact_layout_bucketed_twins_plans(spark):
     assert not re.findall(r"[+:]- Sort \(\d+\)", plan)
     assert "TakeOrderedAndProject" in plan
 
+    # Q4: the EXISTS left-semi SMJ is exchange-free and sort-free; its
+    # non-equi lateness predicate rides as the join's residual condition.
+    # Only the 5-row priority rollup exchanges (sf10 A/B: 5.39s -> 0.52s).
+    q4 = qs["q_order_priority_bucketed"].fn(spark, SF_DIR)
+    plan = q4._sc._jvm.PythonSQLUtils.explainString(
+        q4._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin LeftSemi" in plan or (
+        "SortMergeJoin" in plan and "LeftSemi" in plan
+    ), plan[:800]
+    assert len(hash_exchanges(plan)) == 1, plan[:1200]
+    assert not re.findall(r"[+:]- Sort \(\d+\)", plan)
+
     # and the layouts must not change results vs the unbucketed twins
     for b, ub in (
         ("join_multiway_bucketed", "join_multiway"),
         ("q_shipping_priority_bucketed", "q_shipping_priority"),
+        ("q_order_priority_bucketed", "q_order_priority"),
     ):
         got = sorted(map(tuple, qs[b].fn(spark, SF_DIR).collect()))
         want = sorted(map(tuple, qs[ub].fn(spark, SF_DIR).collect()))
