@@ -71,10 +71,17 @@ def fixture_fingerprint(sf_dir: str, name: str) -> str:
 
     p = path_of(sf_dir, name)
     parts: list[str] = []
-    # The fixture may be a single file or a directory of part files.
+    # The fixture may be a single file or a directory of part files —
+    # walked RECURSIVELY: a hive-partitioned layout rewritten in place
+    # one level down would leave the top-level subdir's mtime unchanged,
+    # and a fingerprint that misses it would adopt stale scratch.
     paths = [p]
     if os.path.isdir(p):
-        paths = [os.path.join(p, f) for f in sorted(os.listdir(p))]
+        paths = sorted(
+            os.path.join(root, f)
+            for root, _dirs, files in os.walk(p)
+            for f in files
+        )
     for f in paths:
         try:
             st = os.stat(f)
@@ -145,7 +152,15 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     """
     dt = df.schema["ts"].dataType
     if isinstance(dt, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # FLOOR division, like the oracle's `//`: `ts div 1000` truncates
+        # toward zero, which differs by 1 µs on negative (pre-1970) ns
+        # values. pmod yields the non-negative remainder, so subtracting
+        # it lands on the exact floor multiple and the div is exact int64
+        # (no double roundtrip — ns magnitudes exceed 2^53). Identical to
+        # the old expression for ts >= 0, i.e. every current fixture.
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+        )
     elif isinstance(dt, TimestampNTZType):
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
@@ -157,34 +172,37 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
 #: fresh relation per query). Re-creating the relation per call costs a
 #: parquet footer read + file listing + ~13 conf roundtrips in tune():
 #: measured 0.16-0.63 s of per-query BUILD time at sf0.1 — pure fixed cost.
-#: Keyed on the JVM session identity so a cached plan can never execute
-#: against a different session's state; fixture files are immutable for the
-#: life of a session (scaled fixtures are built in a separate process before
-#: any session reads them), so the cached file listing cannot go stale.
-#: Values pin the session object alongside the DataFrame: the cache key
-#: uses id(session), which is only meaningful while that exact object is
-#: alive — the identity comparison on lookup makes a recycled id (or the
-#: earlier non-unique JVM hashCode scheme's collision) unable to serve a
-#: plan bound to a DIFFERENT session's state.
+#: Keyed on the JVM session identity (identity-memo discipline shared with
+#: fan_out — helpers.memo_by_identity pins the session object so a recycled
+#: id can never serve a plan bound to a DIFFERENT session's state) PLUS the
+#: fixture's mtime/size fingerprint: a fixture regenerated during the
+#: process's lifetime produces a new key, so the fresh file listing is
+#: resolved instead of a cached relation over deleted part files — the same
+#: staleness class io_scratch(source=...) defends against. The stat is ~µs
+#: per load() call, noise next to the 0.16 s it saves.
 _LOAD_CACHE: dict[tuple, tuple[SparkSession, DataFrame]] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; canonicalizes events.ts (normalize_event_ts).
 
-    Memoized per (session, sf_dir, table) — see _LOAD_CACHE."""
-    key = (id(spark), sf_dir, name)
-    hit = _LOAD_CACHE.get(key)
-    if hit is not None and hit[0] is spark:
-        return hit[1]
-    tune(spark)
-    df = spark.read.parquet(path_of(sf_dir, name))
-    if name == "events":
-        df = normalize_event_ts(df)
-    if len(_LOAD_CACHE) > 4096:  # bound growth across many sessions
-        _LOAD_CACHE.clear()
-    _LOAD_CACHE[key] = (spark, df)
-    return df
+    Memoized per (session, sf_dir, table, fixture-fingerprint) — see
+    _LOAD_CACHE."""
+    from lagom_kinesis_spark.functions.helpers import memo_by_identity
+
+    def build():
+        tune(spark)
+        df = spark.read.parquet(path_of(sf_dir, name))
+        if name == "events":
+            df = normalize_event_ts(df)
+        return df
+
+    return memo_by_identity(
+        _LOAD_CACHE,
+        spark,
+        (sf_dir, name, fixture_fingerprint(sf_dir, name)),
+        build,
+    )
 
 
 def stream_dir(sf_dir: str, name: str) -> str:

@@ -83,22 +83,16 @@ def fan_out(df, min_factor: int = 1, min_bytes: int = 0, by: str | None = None):
     # and catalog.load now hands out the SAME DataFrame object per
     # (session, sf_dir, table), so the answer cannot change. The cached
     # tuple pins the input object so its id() stays valid.
-    key = (id(df), min_factor, min_bytes, by)
-    hit = _FAN_CACHE.get(key)
-    if hit is not None and hit[0] is df:
-        return hit[1]
-    out = df
-    if min_bytes and _input_bytes(df) < min_bytes:
-        pass  # tiny source: the exchange costs more than it parallelizes
-    else:
+    def build():
+        if min_bytes and _input_bytes(df) < min_bytes:
+            return df  # tiny source: the exchange costs more than it buys
         spark = df.sparkSession
         target = spark.sparkContext.defaultParallelism * min_factor
-        if df.rdd.getNumPartitions() < target:
-            out = df.repartition(target, F.col(by)) if by else df.repartition(target)
-    if len(_FAN_CACHE) > 4096:  # bound growth across many sessions
-        _FAN_CACHE.clear()
-    _FAN_CACHE[key] = (df, out)
-    return out
+        if df.rdd.getNumPartitions() >= target:
+            return df
+        return df.repartition(target, F.col(by)) if by else df.repartition(target)
+
+    return memo_by_identity(_FAN_CACHE, df, (min_factor, min_bytes, by), build)
 
 
 def _input_bytes(df) -> int:
@@ -126,6 +120,27 @@ def _input_bytes(df) -> int:
 
 
 _FAN_CACHE: dict = {}
+
+
+def memo_by_identity(cache: dict, key_obj, extra_key, build):
+    """Memoize ``build()`` keyed on ``(id(key_obj), extra_key)``.
+
+    The shared identity-memo discipline (used by both this module's
+    fan_out and catalog.load): ``id()`` is only meaningful while that
+    exact object is alive, so the cached value PINS ``key_obj`` — the
+    pin keeps the id from being recycled while the entry exists, and the
+    ``is`` check on lookup documents the invariant. A full clear at 4096
+    entries bounds growth across many sessions; per-entry eviction is
+    deliberately not attempted (entries are tiny, sessions are few)."""
+    key = (id(key_obj), extra_key)
+    hit = cache.get(key)
+    if hit is not None and hit[0] is key_obj:
+        return hit[1]
+    out = build()
+    if len(cache) > 4096:
+        cache.clear()
+    cache[key] = (key_obj, out)
+    return out
 
 
 def hash_build(df):

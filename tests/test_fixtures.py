@@ -180,3 +180,18 @@ def test_normalize_event_ts_equivalent_across_encodings(tmp_path):
     # ns values carry a +777ns tail the µs file cannot: the floor must drop
     # it, making both encodings agree exactly.
     assert a == b
+
+
+def test_normalize_event_ts_floor_division_on_negative_ns(spark):
+    """The legacy int64-ns branch must FLOOR to µs like the oracle's
+    `epoch_ns(ts)//1000` — truncation (`div`) would differ by 1 µs on
+    pre-1970 values. -1500 ns floors to -2 µs; +1500 ns to +1 µs."""
+    from pyspark.sql import functions as F
+
+    from lagom_kinesis_spark.catalog import normalize_event_ts
+
+    df = spark.createDataFrame([(-1500,), (1500,), (-1000,), (0,)], "ts long")
+    out = normalize_event_ts(df).select(
+        F.unix_micros("ts").alias("us")
+    )
+    assert [r["us"] for r in out.collect()] == [-2, 1, -1, 0]
