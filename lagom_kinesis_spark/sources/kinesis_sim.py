@@ -83,7 +83,25 @@ def put_records(
 ) -> dict[str, int]:
     """Append (data, partition_key[, explicit_hash_key]) records — the
     KPL-analogue producer. An explicit hash key overrides ring placement
-    (shard_for). Returns the per-shard tip (record count) after the put."""
+    (shard_for). Returns the per-shard tip (record count) after the put.
+
+    Descriptor-aware, mirroring _Writer's guard: a ranged stream
+    (shards.json present) routes by hash RANGE over the OPEN shards —
+    trusting the caller's ``n_shards`` there would mod-route records into
+    CLOSED parents a drain-parents-first consumer already finished. On a
+    plain stream, a put whose ``n_shards`` disagrees with the existing
+    shard ring is rejected: the same partition key would re-route to a
+    different shard, splitting one key's records across shards and
+    silently breaking the module's per-key ordering contract."""
+    if os.path.exists(os.path.join(stream_dir, _META)):
+        return put_records_ranged(stream_dir, records)
+    existing = _shards_of(stream_dir)
+    if existing and len(existing) != n_shards:
+        raise ValueError(
+            f"put_records(n_shards={n_shards}) against a stream with "
+            f"{len(existing)} existing shards would re-route partition "
+            "keys; pass the stream's actual shard count"
+        )
     buckets: dict[int, list[str]] = {}
     for rec in records:
         data, pk = rec[0], rec[1]
@@ -442,6 +460,25 @@ class _Writer(DataSourceWriter):
         for d in own:
             shutil.rmtree(d, ignore_errors=True)
         staging = os.path.join(self.stream_dir, "_staging")
+        # Opportunistic GC of DEAD attempts' leftovers: a task that staged
+        # parts and then died before returning its message is in nobody's
+        # `own` set, so its dir would leak forever. An age threshold keeps
+        # this safe for concurrent writers — a live sibling's staging is
+        # seconds old, while an hour-old dir can only be an orphan.
+        import time
+
+        cutoff = time.time() - 3600
+        try:
+            for entry in os.listdir(staging):
+                p = os.path.join(staging, entry)
+                if p not in own:
+                    try:
+                        if os.path.getmtime(p) < cutoff:
+                            shutil.rmtree(p, ignore_errors=True)
+                    except OSError:
+                        pass  # swept by a sibling mid-listing
+        except OSError:
+            pass
         try:
             os.rmdir(staging)  # only if empty — siblings may be mid-flight
         except OSError:
@@ -490,6 +527,11 @@ _RANGE_SPACE = 1 << 32
 def hash32(partition_key: str) -> int:
     """First 8 md5 hex chars as uint32 — the range-routing hash (oracle
     mirror: CAST(('0x' || substr(md5(pk), 1, 8)) AS BIGINT))."""
+    if partition_key is None:
+        # Real Kinesis rejects a missing partition key at the API boundary;
+        # fail fast here (the one routing choke point) instead of an opaque
+        # AttributeError deep inside an executor's Python worker.
+        raise ValueError("partition_key / explicit_hash_key must be non-null")
     return int(hashlib.md5(partition_key.encode()).hexdigest()[:8], 16)
 
 

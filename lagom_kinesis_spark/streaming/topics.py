@@ -179,8 +179,21 @@ class Subscriber:
         entries = os.listdir(staging_dir)
         fresh = not os.path.exists(os.path.join(self.checkpoint_dir, "metadata"))
         marker = os.path.join(staging_dir, "_DONE")
+        owner = os.path.join(staging_dir, "_OWNER")
         foreign = False
-        if os.path.exists(marker):
+        if os.path.exists(owner):
+            # Ownership is written by stage() BEFORE the first epoch dir
+            # (see at_most_once), so staged epochs can never exist without
+            # it: identity mismatch ⇒ a dead incarnation's leftovers, even
+            # when it crashed in phase 1 and no _DONE marker exists yet —
+            # the case the marker-only check below cannot see.
+            try:
+                with open(owner) as f:
+                    rec = json.load(f)
+                foreign = fresh or rec.get("checkpoint") != self._checkpoint_identity()
+            except (OSError, ValueError):
+                foreign = True  # torn/unreadable: not ours
+        elif os.path.exists(marker):
             try:
                 with open(marker) as f:
                     rec = json.load(f)
@@ -194,7 +207,8 @@ class Subscriber:
         if not foreign:
             return
         for e in entries:
-            if e == "_DONE" or e.startswith(("__epoch=", "_DONE_")):
+            # covers _DONE, _DONE_<n> (legacy), _OWNER, *.tmp torn writes
+            if e.startswith(("_DONE", "_OWNER", "__epoch=")):
                 p = os.path.join(staging_dir, e)
                 if os.path.isdir(p):
                     shutil.rmtree(p, ignore_errors=True)
@@ -252,10 +266,43 @@ class Subscriber:
         """Commit-before-process (R7): phase 1 (checkpointed) stages raw
         batches — that write IS the commit; phase 2 processes staged data
         best-effort. A crash between the phases loses data, never dupes."""
+        if self.processing_time is not None:
+            # Phase 1's query would run forever under a processingTime
+            # trigger, so phase 2 (the delivery) would never be reached —
+            # records staged unboundedly, none processed. Reject loudly;
+            # continuous at-most-once is the caller looping bounded
+            # replays under run_with_backoff.
+            raise ValueError(
+                "at_most_once requires bounded replay (processing_time=None); "
+                "for continuous consumption loop it under run_with_backoff"
+            )
         spark = self.topic.spark
         self._purge_foreign_staging(staging_dir)
+        owner_path = os.path.join(staging_dir, "_OWNER")
 
         def stage(df: DataFrame, epoch_id: int) -> None:
+            if "__epoch" in df.columns:
+                # The staging layout partitions by __epoch; a topic column
+                # of that name would collide with the partition column and
+                # phase 2's drop("__epoch") would strip the user's real
+                # data — fail loudly like TaggedProducer's reserved-name
+                # check instead of corrupting silently.
+                raise ValueError(
+                    "topic schema contains reserved column '__epoch'"
+                )
+            # Ownership BEFORE the first epoch dir (atomic replace): staged
+            # epochs can then never exist without provenance, so a restart
+            # of a DIFFERENT subscriber over this staging dir purges them
+            # instead of delivering a dead run's records / poisoning its
+            # watermark (see _purge_foreign_staging).
+            if not os.path.exists(owner_path):
+                import json as _json
+
+                os.makedirs(staging_dir, exist_ok=True)
+                tmp = owner_path + ".tmp"
+                with open(tmp, "w") as f:
+                    _json.dump({"checkpoint": self._checkpoint_identity()}, f)
+                os.replace(tmp, owner_path)
             # Idempotent per-epoch staging: a crash between this write and
             # the streaming checkpoint commit replays the same epoch_id —
             # overwrite of the epoch's own directory rewrites rather than
@@ -606,6 +653,13 @@ def memory_sink_table(df: DataFrame, output_mode: str = "append") -> DataFrame:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS)
     q = None
+    # Registered BEFORE start(): the memory sink creates the temp view as
+    # soon as the query starts, so a failure in awaitTermination() (batch
+    # fails mid-run) must still leave the name in the cleanup list — the
+    # old append-after-try leaked the view (and its driver-held rows) on
+    # every failed streaming query. dropTempView on a name whose start()
+    # never registered a view is a no-op under the except above.
+    _prior_sinks.append(name)
     try:
         # start() itself can raise (e.g. append mode on an un-watermarked
         # aggregation) — it must sit INSIDE the try or the session-wide
@@ -635,7 +689,6 @@ def memory_sink_table(df: DataFrame, output_mode: str = "append") -> DataFrame:
 
         if _os.environ.get("SPARK_GRAFT_STREAM_UNLOAD") != "0":
             _unload_state_stores(spark)
-    _prior_sinks.append(name)
     return spark.table(name)
 
 

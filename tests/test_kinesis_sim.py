@@ -729,3 +729,47 @@ def test_unknown_starting_position_rejected(spark, stream_dir, tmp_path):
         q.awaitTermination()
     if q is not None:
         q.stop()
+
+
+def test_put_records_rejects_shard_count_mismatch(tmp_path):
+    """A put whose n_shards disagrees with the existing ring would re-route
+    partition keys mid-stream, splitting one key's records across shards —
+    the module's core per-key ordering contract. Rejected loudly."""
+    d = str(tmp_path / "plain")
+    put_records(d, [("a", "k1"), ("b", "k2")], n_shards=4)
+    with pytest.raises(ValueError, match="re-route"):
+        put_records(d, [("c", "k1")], n_shards=8)
+    # the matching count still appends fine
+    tips = put_records(d, [("c", "k1")], n_shards=4)
+    assert sum(tips.values()) == 3
+
+
+def test_put_records_routes_by_range_on_resharded_stream(tmp_path):
+    """On a ranged stream (shards.json present) put_records must route by
+    hash RANGE over the OPEN shards like _Writer — the caller's n_shards
+    default would mod-route records into the CLOSED parent a
+    drain-parents-first consumer has already finished."""
+    from lagom_kinesis_spark.sources.kinesis_sim import (
+        _load_meta,
+        create_stream,
+        split_shard,
+    )
+
+    d = str(tmp_path / "ranged")
+    create_stream(d, 1)
+    split_shard(d, "shard-00000")
+    tips = put_records(d, [(f"m{i}", f"key-{i}") for i in range(20)])
+    closed = [s["id"] for s in _load_meta(d) if s["status"] != "OPEN"]
+    assert closed == ["shard-00000"]
+    assert tips["shard-00000"] == 0  # nothing lands in the closed parent
+    assert sum(tips.values()) == 20
+
+
+def test_null_partition_key_fails_fast(tmp_path):
+    """Real Kinesis rejects a missing partition key at the API boundary;
+    the simulator fails at the routing choke point with a clear error, not
+    an AttributeError deep inside an executor worker."""
+    with pytest.raises(ValueError, match="non-null"):
+        shard_for(None, 4)
+    with pytest.raises(ValueError, match="non-null"):
+        put_records(str(tmp_path / "s"), [("data", None)])

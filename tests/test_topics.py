@@ -576,3 +576,54 @@ def test_topic_name_is_path_validated(spark):
     for bad in ("x/../y", "a/b", ".."):
         with pytest.raises(ValueError):
             Topic(name=bad, schema="x long", spark=spark)
+
+
+def test_at_most_once_rejects_processing_time(topic, tmp_path):
+    """Phase 1 under a processingTime trigger never terminates, so phase 2
+    (the delivery) is unreachable — records would stage unboundedly and
+    never flow. The combination is rejected loudly."""
+    sub = topic.subscribe("amo-pt")
+    sub.processing_time = "1 seconds"
+    with pytest.raises(ValueError, match="bounded replay"):
+        sub.at_most_once(lambda df, e: None, staging_dir=str(tmp_path / "s"))
+
+
+def test_at_most_once_purges_unmarked_foreign_epochs(topic, tmp_path):
+    """A dead incarnation that crashed in PHASE 1 leaves staged epochs and
+    no _DONE marker — only the _OWNER file written before its first epoch.
+    A different subscriber over the same staging dir must purge them
+    (identity mismatch), not deliver the dead run's records or let epoch
+    99 poison its watermark so its own epochs get skipped and GC'd."""
+    import json
+    import os
+
+    staging = str(tmp_path / "shared")
+    spark = topic.spark
+    n = _n_events()
+
+    # make subscriber b's checkpoint non-fresh first (the marker-only
+    # foreign check never fired in this state before _OWNER existed)
+    sub_b = topic.subscribe("amo-owner-b")
+    warm = []
+    sub_b.at_most_once(
+        lambda df, e: warm.append(df.count()), staging_dir=str(tmp_path / "w")
+    )
+    assert sum(warm) == n
+
+    # dead incarnation's phase-1-only leftovers: _OWNER + epoch 99, no _DONE
+    os.makedirs(staging, exist_ok=True)
+    with open(os.path.join(staging, "_OWNER"), "w") as f:
+        json.dump({"checkpoint": "dead-run-identity"}, f)
+    stale = spark.read.schema(topic.schema).parquet(topic.source_path).limit(7)
+    stale.write.mode("overwrite").parquet(f"{staging}/__epoch=99")
+
+    delivered = []
+    # b has fully caught up above, so nothing of its OWN is staged — any
+    # delivery here would be the dead run's records
+    assert sub_b.at_most_once(
+        lambda df, e: delivered.append((e, df.count())), staging_dir=staging
+    ) == []
+    assert delivered == []
+    assert not os.path.exists(f"{staging}/__epoch=99")
+    # and the dead owner file is gone, replaced on b's next staged epoch
+    assert not os.path.exists(os.path.join(staging, "_OWNER"))
