@@ -54,6 +54,13 @@ def asof_join(
     # null-extend: they sort before all (filtered) right rows, so the
     # running frame holds no payload there.
     right = right.filter(F.col(ts).isNotNull())
+    # NULL equality keys never match under SQL join semantics, but a
+    # window's partitionBy groups NULLs into ONE partition — unfiltered,
+    # a NULL-keyed right row would fill every NULL-keyed left row with a
+    # phantom match. Dropping them leaves NULL-keyed left rows alone in
+    # their partition, so they null-extend exactly like DuckDB.
+    for c in by:
+        right = right.filter(F.col(c).isNotNull())
     r = right.select(
         *by,
         ts,
@@ -81,16 +88,21 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # The running last is taken over ONE struct of the whole right payload,
+    # not per column: a per-column last(ignorenulls) cannot distinguish
+    # "no prior right row" from "the matching right row's field is NULL" —
+    # it would back-fill that field from an OLDER right row, and with
+    # several payload columns could stitch together a row that never
+    # existed. The struct is non-null exactly when a right row is present
+    # (even if every field inside is NULL), so row integrity holds.
+    row_struct = F.when(
+        F.col(_SIDE) == 0, F.struct(*[F.col(c) for c in right_payload])
+    )
     filled = unioned.select(
         "*",
-        *[
-            F.last(F.when(F.col(_SIDE) == 0, F.col(c)), ignorenulls=True)
-            .over(w)
-            .alias(f"__filled_{c}")
-            for c in right_payload
-        ],
+        F.last(row_struct, ignorenulls=True).over(w).alias("__filled"),
     )
     return filled.filter(F.col(_SIDE) == 1).select(
         *left_cols,
-        *[F.col(f"__filled_{c}").alias(c) for c in right_payload],
+        *[F.col(f"__filled.{c}").alias(c) for c in right_payload],
     )

@@ -26,6 +26,11 @@ def connected_components(
 ) -> DataFrame:
     """(id, cluster_id) for every node in ``pairs``; cluster_id = min node
     id of the component. Deterministic; fixpoint-checked each round."""
+    if max_iter < 1:
+        # The non-convergence diagnostic below references the last round's
+        # change count; with zero rounds it would raise a NameError instead
+        # of the intended message.
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     # Materialize the edge list ONCE: every iteration joins against it, and
     # without truncation each round would re-run the (potentially expensive)

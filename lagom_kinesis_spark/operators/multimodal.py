@@ -67,6 +67,10 @@ def decode_features(blobs: DataFrame) -> DataFrame:
         # Deterministic fake feature: byte statistics. Unrounded — callers
         # needing cross-engine determinism apply SQL-side round (helpers.r6),
         # whose half-up rule differs from Python's banker's rounding.
+        if payload is None:
+            # A NULL blob (e.g. upstream encode of a NULL text) is an empty
+            # payload, not a task-killing TypeError from len(None).
+            return 0, 0.0, width, height
         mean = (sum(payload) / len(payload)) if payload else 0.0
         return len(payload), mean, width, height
 

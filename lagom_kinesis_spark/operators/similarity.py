@@ -60,7 +60,13 @@ def cosine_pandas(a: Column, b: Column) -> Column:
         B = np.vstack(ys.values).astype(np.float64)
         num = np.einsum("ij,ij->i", A, B)
         den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-        return pd.Series(num / den)
+        # A zero-norm vector has no direction: 0/0 would yield NaN, which
+        # Spark orders ABOVE every double — a NaN row would win every
+        # descending top-k window. Score it -inf so it ranks last,
+        # deterministically, instead of poisoning the ranking.
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = num / den
+        return pd.Series(np.where(den == 0.0, -np.inf, sims))
 
     return _cos(a, b)
 
@@ -97,8 +103,17 @@ def batch_topk_cosine(
             if not len(pdf):
                 continue
             V = np.vstack(pdf[vec_col].values).astype(np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            vnorm = np.linalg.norm(V, axis=1, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Vn = V / vnorm
+            # Zero-norm corpus vectors: NaN cosines would rank ABOVE every
+            # real score in Spark's desc ordering AND survive-or-drop
+            # depending on batch size (np.lexsort places NaN last only on
+            # the pruned path) — batch-partitioning-dependent results.
+            # -inf ranks them last, deterministically.
+            Vn = np.where(vnorm == 0.0, 0.0, Vn)
             sims = Vn @ qn.T  # (N, |Q|)
+            sims = np.where(vnorm == 0.0, -np.inf, sims)
             ids = pdf[id_col].values
             out = {"q_id": [], "vec_id": [], "cos_sim": []}
             for j in range(sims.shape[1]):
@@ -175,6 +190,14 @@ def minhash_signatures(
     """MinHash signatures (Broder 1997): per seed i, min over shingles of
     xxhash64(s, i); P(two docs share a min-hash) = their Jaccard similarity.
 
+    Documents whose shingle array is EMPTY (shorter than the n-gram width)
+    get no signature — the explode emits nothing — so they can never
+    appear in a candidate pair. Consistent with the exact-Jaccard oracle
+    (an empty shingle set has Jaccard 0 with everything, including another
+    empty set, under the 0/0=0 convention); a pipeline that must also
+    dedup ultra-short documents should route them through exact
+    fingerprint dedup, where whole-content equality is well-defined.
+
     Formulated as explode → groupBy(min…): ONE evaluation of the shingle
     array and map-side partial mins before the shuffle — at 100 TB the
     shuffle carries one num_hashes-long row per (partition, doc), never the
@@ -216,6 +239,13 @@ def lsh_candidate_pairs(
     on the band key; bucket sizes stay small so the per-bucket pairing is
     bounded. Returns distinct (id_a, id_b).
     """
+    if num_hashes % bands:
+        # Trailing hashes would be computed, aggregated and shuffled but
+        # never feed a band — the caller would get a silently weaker
+        # S-curve (rows = num_hashes // bands) than the design asked for.
+        raise ValueError(
+            f"num_hashes={num_hashes} must be divisible by bands={bands}"
+        )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, id_col, shingle_col, num_hashes)
     # All band keys in ONE pass over the signatures (a per-band union would

@@ -194,7 +194,12 @@ def cms_counters(occurrences: DataFrame, key: Column) -> DataFrame:
 def cms_estimate(queries: DataFrame, key: Column, counters: DataFrame) -> DataFrame:
     """Point-frequency estimates for `queries` rows: min over the d
     counters the key hashes to (always >= the true count). Broadcast
-    hash-join against the 4096-row counter table — map-only at any scale."""
+    hash-join against the 4096-row counter table — map-only at any scale.
+
+    Precondition (same as bloom_maybe_contains): `queries` rows must be
+    DISTINCT — the final groupBy over the probe columns collapses
+    duplicate probe rows into one output row — and must not already carry
+    columns named ``j``/``pos``/``__c`` (internal join keys)."""
     qcells = queries.select(
         "*", F.explode(_cms_cells(key)).alias("__c")
     ).select("*", F.col("__c.j").alias("j"), F.col("__c.pos").alias("pos"))

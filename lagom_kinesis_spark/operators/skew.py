@@ -27,6 +27,13 @@ def salted_sum_count(
 ) -> DataFrame:
     """groupBy(keys) → (sum(value) AS total, count(*) AS n), skew-safely.
 
+    ``n`` counts ROWS (count(*)), while ``total`` skips NULL values — so
+    ``total / n`` is the average over rows, NOT ``avg(value)``, whenever
+    ``value`` is nullable. Reconstruct a null-skipping mean from a
+    non-null-counting aggregate (add ``count(__v)``) if you need one; the
+    fixture metrics this serves are non-null, so row-count semantics are
+    the contract here.
+
     Phase 1 groups on (keys + salt) — the hot key's rows spread over
     ``n_salts`` reducers; phase 2 merges the ``n_salts`` partials per key.
     Phase-2 input is tiny (n_salts rows per key), so the merge is free.

@@ -661,3 +661,68 @@ def test_fan_out_filter_pushdown_and_shared_exchange(spark):
     filter_pos = plan.index("(doc_id")  # the %50 predicate
     exchange_pos = plan.index("Exchange")
     assert filter_pos > exchange_pos, "filter not pushed below the fan-out"
+
+
+def test_asof_join_null_payload_and_null_key_semantics(spark):
+    """DuckDB ASOF parity on two edges the fixture never exercises:
+    (a) the matching right row's NULL payload field must NOT be back-
+    filled from an older right row (row integrity: the whole right row
+    attaches, or nothing); (b) NULL equality keys never match — a NULL-
+    keyed left row null-extends even when NULL-keyed right rows exist."""
+    from lagom_kinesis_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 3), (None, 5)], "k string, ts int"
+    )
+    right = spark.createDataFrame(
+        [("u", 1, "a", 10), ("u", 2, None, 20), (None, 3, "ghost", 30)],
+        "k string, ts int, v string, w int",
+    )
+    out = {
+        (r["k"], r["ts"]): (r["v"], r["w"])
+        for r in asof_join(left, right, "ts", ["k"], ["v", "w"]).collect()
+    }
+    # ts=3 matches the ts=2 right row AS A WHOLE: v=NULL (not 'a'), w=20
+    assert out[("u", 3)] == (None, 20)
+    # NULL-keyed left row matches nothing despite a NULL-keyed right row
+    assert out[(None, 5)] == (None, None)
+
+
+def test_zero_norm_vectors_rank_last_not_first(spark):
+    """A zero-norm embedding has no direction: its cosine must rank LAST
+    (-inf), not first — NaN sorts above every double in Spark desc order
+    and would win every top-k window."""
+    from lagom_kinesis_spark.operators.similarity import (
+        batch_topk_cosine,
+        cosine_pandas,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.707, 0.707])],
+        "vec_id long, embedding array<float>",
+    )
+    scored = df.select(
+        "vec_id",
+        cosine_pandas(F.col("embedding"), F.array(F.lit(1.0), F.lit(0.0))).alias("c"),
+    ).collect()
+    by_id = {r["vec_id"]: r["c"] for r in scored}
+    assert by_id[2] == float("-inf")
+
+    import numpy as np
+
+    rows = batch_topk_cosine(
+        df, "vec_id", "embedding", [0], np.array([[1.0, 0.0]]), k=2
+    ).collect()
+    ranked = sorted(rows, key=lambda r: -r["cos_sim"])
+    assert [r["vec_id"] for r in ranked][:2] == [1, 3]
+    assert ranked[-1]["cos_sim"] == float("-inf")
+
+
+def test_connected_components_rejects_zero_iterations(spark):
+    from lagom_kinesis_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_iter"):
+        connected_components(pairs, max_iter=0)
