@@ -582,6 +582,46 @@ def pq_code_cols(codebooks: "np.ndarray") -> list:
     return cols
 
 
+def _adc_table(qv: "np.ndarray", codebooks: "np.ndarray") -> list:
+    """Per-query (m × n_codes) subspace squared-distance table — ONE
+    definition shared by pq_adc_topk and ivfpq_topk so the load-bearing
+    ADC construction cannot drift between the two (both must also match
+    the generated SQL oracle's per-subspace d_r terms)."""
+    m, n_codes, sub_dim = codebooks.shape
+    return [
+        [
+            float(((qv[s * sub_dim : (s + 1) * sub_dim] - codebooks[s, j]) ** 2).sum())
+            for j in range(n_codes)
+        ]
+        for s in range(m)
+    ]
+
+
+def _adc_expr(m: int) -> Column:
+    """Asymmetric distance: per-term F.round (HALF_UP, same as SQL ROUND)
+    BEFORE the fixed-order m-term sum, then a final round-6 — the
+    order-determinism discipline that lets an unordered SQL SUM oracle
+    match exactly (already-quantized addends cannot shift a rank)."""
+    return F.round(
+        sum(
+            F.round(
+                F.element_at(F.element_at("tab", s + 1), F.col(f"code_{s}") + 1), 6
+            )
+            for s in range(m)
+        ),
+        6,
+    )
+
+
+def _topk_by_adc(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k by (round-6 ADC asc, vec_id) — the shared tie-pinned
+    ranking of both PQ paths."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), "vec_id")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     codebooks: "np.ndarray",
@@ -603,42 +643,19 @@ def pq_adc_topk(
     unordered SUM — operates on already-quantized addends and cannot
     shift a rank.
     """
-    m, n_codes, sub_dim = codebooks.shape
+    m = codebooks.shape[0]
     coded = pq_encode(corpus, codebooks)
     qm = np.asarray(q_vecs, dtype=np.float64)
     qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)  # unit sphere, as corpus
-    rows = []
-    for qi, qid in enumerate(q_ids):
-        tab = [
-            [
-                float(((qm[qi, s * sub_dim:(s + 1) * sub_dim] - codebooks[s, j]) ** 2).sum())
-                for j in range(n_codes)
-            ]
-            for s in range(m)
-        ]
-        rows.append((int(qid), tab))
+    rows = [
+        (int(qid), _adc_table(qm[qi], codebooks)) for qi, qid in enumerate(q_ids)
+    ]
     spark = corpus.sparkSession
     qdf = spark.createDataFrame(rows, "q_id long, tab array<array<double>>")
-    # per-term F.round (HALF_UP, same as SQL ROUND) before the fixed-order
-    # sum: see docstring's order-determinism argument.
-    adc = F.round(
-        sum(
-            F.round(
-                F.element_at(F.element_at("tab", s + 1), F.col(f"code_{s}") + 1), 6
-            )
-            for s in range(m)
-        ),
-        6,
-    )
     scored = coded.crossJoin(F.broadcast(qdf)).select(
-        "q_id", "vec_id", adc.alias("adc")
+        "q_id", "vec_id", _adc_expr(m).alias("adc")
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), "vec_id")
-    return scored.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= k
-    )
+    return _topk_by_adc(scored, k)
 
 
 def ivfpq_topk(
@@ -664,7 +681,7 @@ def ivfpq_topk(
     per vector — candidate generation is a cluster equi-join and the only
     shuffle is the final per-query top-k window.
     """
-    m, n_codes, sub_dim = codebooks.shape
+    m = codebooks.shape[0]
     ranked = centroid_rank(centroids)
     assigned = corpus.select(
         "vec_id", ranked[0]["cid"].alias("cluster"), *pq_code_cols(codebooks)
@@ -694,36 +711,14 @@ def ivfpq_topk(
         # n_probe nearest lists by (round-6 cosine desc, cid asc) — the
         # same deterministic rule centroid_rank applies corpus-side.
         order = np.lexsort((np.arange(len(cos)), -cos))[:n_probe]
-        tab = [
-            [
-                float(((qv[s * sub_dim:(s + 1) * sub_dim] - codebooks[s, j]) ** 2).sum())
-                for j in range(n_codes)
-            ]
-            for s in range(m)
-        ]
+        tab = _adc_table(qv, codebooks)
         for cid in order:
             rows.append((int(qid), int(cid), tab))
     spark = corpus.sparkSession
     qdf = spark.createDataFrame(
         rows, "q_id long, cluster int, tab array<array<double>>"
     )
-    # per-term F.round before the fixed-order sum, matching pq_adc_topk's
-    # order-determinism discipline (and the oracle's per-subspace d_r).
-    adc = F.round(
-        sum(
-            F.round(
-                F.element_at(F.element_at("tab", s + 1), F.col(f"code_{s}") + 1), 6
-            )
-            for s in range(m)
-        ),
-        6,
-    )
     scored = assigned.join(F.broadcast(qdf), "cluster").select(
-        "q_id", "vec_id", adc.alias("adc")
+        "q_id", "vec_id", _adc_expr(m).alias("adc")
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), "vec_id")
-    return scored.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= k
-    )
+    return _topk_by_adc(scored, k)
