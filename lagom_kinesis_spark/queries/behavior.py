@@ -33,9 +33,7 @@ from pyspark.sql import functions as F
 
 from lagom_kinesis_spark.catalog import load
 from lagom_kinesis_spark.functions import (
-    dec,
     events_cte,
-    money,
     money_sum_units,
     r6,
     units,
@@ -345,8 +343,6 @@ def behavior_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same scores come from approx_percentile boundaries + a map-side
     bucket join; ties pinned by custkey keep both engines identical.
     """
-    from lagom_kinesis_spark.functions import dec, money
-
     o = load(spark, sf_dir, "orders")
     base = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),

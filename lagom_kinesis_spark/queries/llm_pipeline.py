@@ -37,6 +37,26 @@ def _md5_prefix(col: F.Column, n: int) -> F.Column:
     return F.substring(F.md5(col.cast("string").cast("binary")), 1, n)
 
 
+def _eight_grams(d: DataFrame) -> DataFrame:
+    """(doc_id, g): distinct space-joined 8-grams per document — the ONE
+    definition of the decontamination contract (gram width 8, short-doc
+    guard, array_distinct), shared by the n-gram overlap, the Bloom
+    prefilter, and the composed audit so they can never disagree on what
+    a contaminated gram is. Spark's sequence() DESCENDS when end < start
+    (unlike DuckDB's empty generate_series), hence the explicit guard."""
+    w = F.split(F.lower("text"), " ")
+    grams_expr = F.when(
+        F.size(w) >= 8,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 7),
+                lambda i: F.array_join(F.slice(w, i, 8), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select("doc_id", F.explode(grams_expr).alias("g"))
+
+
 @register(
     "sample_stratified_hash",
     oracle="""
@@ -131,17 +151,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's sequence() descends when end < start (unlike DuckDB's empty
     generate_series), hence the explicit short-doc guard."""
     d = load(spark, sf_dir, "documents")
-    w = F.split(F.lower("text"), " ")
-    grams_expr = F.when(
-        F.size(w) >= 8,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - 7),
-                lambda i: F.array_join(F.slice(w, i, 8), " "),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = d.select("doc_id", F.explode(grams_expr).alias("g"))
+    grams = _eight_grams(d)
     bench = grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
     corpus = grams.filter(F.col("doc_id") % 50 != 0)
     return (
@@ -205,17 +215,7 @@ def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
     The bit relation is engine-neutral, so the oracle rebuilds the filter
     bit-for-bit — an exactly-checked approximate data structure."""
     d = load(spark, sf_dir, "documents")
-    w = F.split(F.lower("text"), " ")
-    grams_expr = F.when(
-        F.size(w) >= 8,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - 7),
-                lambda i: F.array_join(F.slice(w, i, 8), " "),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = d.select("doc_id", F.explode(grams_expr).alias("g"))
+    grams = _eight_grams(d)
     bench = grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
     corpus = grams.filter(F.col("doc_id") % 50 != 0)
     bits = sketches.bloom_bits(bench, F.col("g"))
@@ -387,9 +387,9 @@ def text_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH scaled AS (
       SELECT vec_id,
-             CAST(127 AS DOUBLE)
-               / CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
-               AS scale,
+             coalesce(CAST(127 AS DOUBLE)
+               / nullif(CAST(list_max(list_transform(embedding, x -> abs(x)))
+                             AS DOUBLE), 0), 0) AS scale,
              embedding
       FROM embeddings
     )
@@ -411,7 +411,10 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bit-identical."""
     e = load(spark, sf_dir, "embeddings")
     mx = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
-    scale = F.lit(127.0) / mx
+    # An all-zero vector has max|x| = 0: 127/0 diverges across engines
+    # (Spark Infinity → NaN → NULL ints; DuckDB errors on CAST(NaN AS
+    # INT)). scale = 0 quantizes it to all zeros, identically on both.
+    scale = F.when(mx == 0, F.lit(0.0)).otherwise(F.lit(127.0) / mx)
     q = F.transform("embedding", lambda x: F.floor(x * F.col("scale") + 0.5).cast("int"))
     return (
         e.select("vec_id", scale.alias("scale"), "embedding")
@@ -598,19 +601,52 @@ def _bpe_pair_ranks(seqdf: DataFrame) -> DataFrame:
 
 def _bpe_apply_merge(seqdf: DataFrame, ranks: DataFrame) -> DataFrame:
     """Apply the argmax merge from ``ranks`` to every symbol sequence:
-    broadcast the 1-row merge, single-pass left-to-right ``replace`` —
-    identical non-overlapping semantics in both engines."""
+    broadcast the 1-row merge, then a SYMBOL-BOUNDARY-SAFE left-to-right
+    replace. A bare ``replace(seq, 'a b', 'ab')`` matches SUBSTRINGS of
+    multi-char symbols — with merges ('t','h') then ('h','e'), the word
+    'the' is 'th e' after round 1, and 'h e' matches inside it even
+    though the symbol pair is ('th','e'): true BPE gives 2 tokens, the
+    naive replace gives 1. The fix is the doubled-separator trick:
+    double every internal space (each boundary then owns TWO spaces, so
+    consecutive matches never fight over one), pad the ends, match the
+    fully-anchored ``' a  b '``, then collapse and trim. Same
+    non-overlapping left-to-right semantics in both engines; exhaustive
+    within the pass ('l l l' under ('l','l') → 'll l', like BPE)."""
     m = ranks.filter(F.col("rn") == 1).select(
         F.col("a").alias("ma"), F.col("b").alias("mb")
+    )
+    doubled = F.concat(
+        F.lit(" "), F.replace(F.col("seq"), F.lit(" "), F.lit("  ")), F.lit(" ")
+    )
+    merged = F.replace(
+        doubled,
+        F.concat(F.lit(" "), F.col("ma"), F.lit("  "), F.col("mb"), F.lit(" ")),
+        F.concat(F.lit(" "), F.col("ma"), F.col("mb"), F.lit(" ")),
     )
     return seqdf.crossJoin(F.broadcast(m)).select(
         "word",
         "freq",
-        F.replace(
-            F.col("seq"),
-            F.concat_ws(" ", "ma", "mb"),
-            F.concat("ma", "mb"),
-        ).alias("seq"),
+        F.trim(F.replace(merged, F.lit("  "), F.lit(" "))).alias("seq"),
+    )
+
+
+def _bpe_merge_sql(seq: str, a: str, b: str) -> str:
+    """The same boundary-safe merge application in DuckDB SQL (see
+    _bpe_apply_merge): doubled separators + anchored match + collapse."""
+    doubled = f"' ' || replace({seq}, ' ', '  ') || ' '"
+    pat = f"' ' || {a} || '  ' || {b} || ' '"
+    rep = f"' ' || {a} || {b} || ' '"
+    return f"trim(replace(replace({doubled}, {pat}, {rep}), '  ', ' '))"
+
+
+def _bpe_char_seq(words: DataFrame) -> DataFrame:
+    """(word, freq, seq): the char-spaced symbol sequence every BPE round
+    starts from — ONE definition shared by train and encode, so the two
+    halves of the tokenizer can never derive different vocabularies."""
+    return words.select(
+        "word",
+        "freq",
+        F.rtrim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"),
     )
 
 
@@ -648,8 +684,7 @@ def _bpe_pairs_sql(src: str, alias: str) -> str:
     ),{_bpe_pairs_sql("seq0", "p1")},
     m1 AS (SELECT a, b FROM p1_r WHERE rn = 1),
     seq1 AS (
-      SELECT word, freq,
-             replace(seq, m1.a || ' ' || m1.b, m1.a || m1.b) AS seq
+      SELECT word, freq, {_bpe_merge_sql("seq", "m1.a", "m1.b")} AS seq
       FROM seq0 CROSS JOIN m1
     ),{_bpe_pairs_sql("seq1", "p2")}
     SELECT 1 AS round, a, b, pair_count, rn FROM p1_r WHERE rn <= 5
@@ -684,11 +719,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
-    seq0 = words.select(
-        "word",
-        "freq",
-        F.rtrim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"),
-    )
+    seq0 = _bpe_char_seq(words)
 
     p1 = _bpe_pair_ranks(seq0)
     seq1 = _bpe_apply_merge(seq0, p1)
@@ -732,25 +763,31 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages join on. Map-only at any scale: chunk starts come from a
     per-row integer sequence (always ascending — n_chunks ≥ 1), the
     explode fans out ~n/24 rows per document, and no chunk ever crosses
-    a row boundary, so there is no shuffle at all."""
+    a row boundary, so there is no shuffle at all.
+
+    The per-chunk struct (idx, size, md5) is computed ARRAY-SIDE in one
+    ``transform`` and only the small structs are exploded: exploding the
+    chunk INDEX and slicing afterwards would project a copy of the full
+    token array into every chunk row — O(n²/stride) materialized tokens
+    per long document (the trap dedup_cdc_chunks documents)."""
     d = fan_out(load(spark, sf_dir, "documents"))
     t = F.split(F.lower("text"), " ")
     base = d.select("doc_id", t.alias("t")).filter(F.size("t") > 0)
     n_chunks = 1 + F.floor(
         (F.greatest(F.size("t") - 32, F.lit(0)) + 23) / 24
     ).cast("int")
-    chunk = lambda k: F.slice(F.col("t"), k * 24 + 1, 32)  # noqa: E731
-    return base.select(
-        "doc_id",
-        "t",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("k"),
-    ).select(
-        "doc_id",
-        F.col("k").cast("int").alias("chunk_idx"),
-        F.size(chunk(F.col("k"))).alias("n_tokens"),
-        F.md5(
-            F.concat_ws(" ", chunk(F.col("k"))).cast("binary")
-        ).alias("chunk_md5"),
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.struct(
+            k.cast("int").alias("chunk_idx"),
+            F.size(F.slice(F.col("t"), k * 24 + 1, 32)).alias("n_tokens"),
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("t"), k * 24 + 1, 32)).cast("binary")
+            ).alias("chunk_md5"),
+        ),
+    )
+    return base.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_idx", "c.n_tokens", "c.chunk_md5"
     )
 
 
@@ -890,6 +927,13 @@ def _u16_sql(h: str) -> str:
     )
 
 
+def _u16_col(col: F.Column) -> F.Column:
+    """Spark twin of :func:`_u16_sql`: md5's first 4 hex chars as a long in
+    [0, 65535]. ONE definition (it was copy-pasted at three sampling call
+    sites) so the hash width/cast can never desync from the oracle side."""
+    return F.conv(_md5_prefix(col, 4), 16, 10).cast("long")
+
+
 @register(
     "sample_weighted_threshold",
     oracle=f"""
@@ -918,11 +962,7 @@ def sample_weighted_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     and longer documents are proportionally favored (the summary shows
     kept-mean length > corpus-mean length per stratum)."""
     d = load(spark, sf_dir, "documents")
-    u16 = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
-        16,
-        10,
-    ).cast("long")
+    u16 = _u16_col(F.col("doc_id"))
     kept = (u16 < F.col("n_chars") * 100).cast("int")
     nc = F.col("n_chars")
     return (
@@ -1042,11 +1082,7 @@ def mix_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("t16"),
     )
-    u16 = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
-        16,
-        10,
-    ).cast("long")
+    u16 = _u16_col(F.col("doc_id"))
     u = d.select("doc_id", "source", u16.alias("u16"))
     return (
         u.join(F.broadcast(thr), "source")
@@ -1199,11 +1235,7 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same finding as pipeline_corpus_filter: −37 % at sf10 there).
     dedup_w = W.partitionBy(F.md5(F.col("text").cast("binary")))
     tokc = F.size(F.split("text", " ")).cast("long")
-    u16 = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
-        16,
-        10,
-    ).cast("long")
+    u16 = _u16_col(F.col("doc_id"))
     kept = (
         d.withColumn("mn", F.min("doc_id").over(dedup_w))
         .filter(F.col("doc_id") == F.col("mn"))
@@ -1450,17 +1482,7 @@ def pipeline_decontamination_audit(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("source")
         .agg(F.count_distinct("doc_id").alias("n_crossdup_docs"))
     )
-    w = F.split(F.lower("text"), " ")
-    grams_expr = F.when(
-        F.size(w) >= 8,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - 7),
-                lambda i: F.array_join(F.slice(w, i, 8), " "),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = d.select("doc_id", F.explode(grams_expr).alias("g"))
+    grams = _eight_grams(d)
     bench = grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
     corpus = grams.filter(F.col("doc_id") % 50 != 0)
     bits = sketches.bloom_bits(bench, F.col("g"))
@@ -1899,14 +1921,14 @@ def mix_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),{_bpe_pairs_sql("seq0", "e1")},
     mm1 AS (SELECT a, b FROM e1_r WHERE rn = 1),
     seq1 AS (
-      SELECT word, freq, replace(seq, mm1.a || ' ' || mm1.b, mm1.a || mm1.b) AS seq
+      SELECT word, freq, {_bpe_merge_sql("seq", "mm1.a", "mm1.b")} AS seq
       FROM seq0 CROSS JOIN mm1
     ),{_bpe_pairs_sql("seq1", "e2")},
     mm2 AS (SELECT a, b FROM e2_r WHERE rn = 1),
     enc AS (
       SELECT word,
              CAST(len(string_split(
-               replace(seq, mm2.a || ' ' || mm2.b, mm2.a || mm2.b), ' '))
+               {_bpe_merge_sql("seq", "mm2.a", "mm2.b")}, ' '))
                AS BIGINT) AS n_sym
       FROM seq1 CROSS JOIN mm2
     ), inst AS (
@@ -1944,11 +1966,7 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
     ).filter(F.col("word") != "")
     words = toks.groupBy("word").agg(F.count("*").alias("freq"))
-    seq0 = words.select(
-        "word",
-        "freq",
-        F.rtrim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"),
-    )
+    seq0 = _bpe_char_seq(words)
     seq1 = _bpe_apply_merge(seq0, _bpe_pair_ranks(seq0))
     seq2 = _bpe_apply_merge(seq1, _bpe_pair_ranks(seq1))
     enc = seq2.select(
@@ -2080,9 +2098,7 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: rank window per group — at scale the md5 rank with a group-limit
     pushes to per-partition top-k before the exchange (WindowGroupLimit),
     so the shuffle carries k·partitions rows, not the corpus."""
-    from lagom_kinesis_spark.catalog import load as _load
-
-    e = _load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events")
     w = W.partitionBy("event_type").orderBy(
         F.md5(F.col("event_id").cast("string").cast("binary")), "event_id"
     )

@@ -281,3 +281,31 @@ def test_cdc_chunks_resynchronize_after_insertion(spark, tmp_path):
     # the first cut after the insertion — the bulk of chunks still match.
     assert cdc[0]["shared_share"] >= 0.8
     assert cdc[0]["n_chunks"] > 20  # sanity: expected ~400/8 chunks
+
+
+def test_bpe_merge_respects_symbol_boundaries(spark):
+    """True BPE applies a merge to SYMBOL PAIRS, never to substrings of
+    multi-char symbols: with merges ('t','h') then ('h','e'), the word
+    'the' is ['th','e'] after round 1 and must STAY 2 symbols — a naive
+    replace(seq, 'h e', 'he') matches inside 'th e' and collapses it to
+    1. Also pins exhaustive left-to-right within a pass: 'l l l' under
+    ('l','l') gives ['ll','l']."""
+    from pyspark.sql import functions as F
+
+    from lagom_kinesis_spark.queries.llm_pipeline import _bpe_apply_merge
+
+    seqdf = spark.createDataFrame(
+        [("the", 1, "th e"), ("lll", 1, "l l l")],
+        "word string, freq long, seq string",
+    )
+    ranks_he = spark.createDataFrame(
+        [("h", "e", 1)], "a string, b string, rn int"
+    )
+    out = {r["word"]: r["seq"] for r in _bpe_apply_merge(seqdf, ranks_he).collect()}
+    assert out["the"] == "th e"  # not collapsed through the 'th' boundary
+
+    ranks_ll = spark.createDataFrame(
+        [("l", "l", 1)], "a string, b string, rn int"
+    )
+    out2 = {r["word"]: r["seq"] for r in _bpe_apply_merge(seqdf, ranks_ll).collect()}
+    assert out2["lll"] == "ll l"
