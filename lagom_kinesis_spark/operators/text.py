@@ -26,6 +26,30 @@ def tokens(text: Column | str) -> Column:
     return F.split(F.lower(c), " ")
 
 
+def bigrams(text: Column | str) -> Column:
+    """Adjacent-token bigram array (space-joined pairs), with the
+    short-doc guard Spark's descending ``sequence(0, -1)`` requires and
+    the ``let`` binding that keeps tokenization O(n), not O(n²) (Catalyst
+    inlines column expressions at every reference site). ONE definition —
+    it was copy-pasted in text_bigrams and quality_repetition_filter."""
+    from lagom_kinesis_spark.functions.helpers import let
+
+    return let(
+        tokens(text),
+        lambda t: F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(t, (i + 1).cast("int")),
+                    F.element_at(t, (i + 2).cast("int")),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+
+
 def shingles(toks: Column, n: int = 3) -> Column:
     """Distinct n-gram shingles (space-joined token windows).
 

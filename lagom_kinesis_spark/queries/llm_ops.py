@@ -26,9 +26,8 @@ from lagom_kinesis_spark.operators.similarity import (
 from lagom_kinesis_spark.operators import sketches
 from lagom_kinesis_spark.operators.text import (
     lang_guess_expr,
-    RK_BASE,
-    RK_MOD,
     STOPWORDS,
+    bigrams,
     fingerprint,
     jaccard,
     shingles,
@@ -594,23 +593,9 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram counts, top-5 per language (non-distinct n-grams)."""
-    from lagom_kinesis_spark.functions.helpers import let
 
     d = load(spark, sf_dir, "documents")
-    grams = let(
-        tokens("text"),
-        lambda t: F.when(
-            F.size(t) >= 2,
-            F.transform(
-                F.sequence(F.lit(0), F.size(t) - 2),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(t, (i + 1).cast("int")),
-                    F.element_at(t, (i + 2).cast("int")),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>")),
-    )
+    grams = bigrams("text")
     counted = (
         d.select("lang", F.explode(grams).alias("bigram"))
         .groupBy("lang", "bigram")
@@ -1085,7 +1070,6 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     to cluster-id equi-join buckets (n²/k per cluster vs n² global — with
     real KMeans centroids, cluster sizes are capacity-bounded); the rollup
     is a two-level aggregate on cluster id."""
-    import numpy as np
 
     from lagom_kinesis_spark.operators.similarity import centroid_rank
 
@@ -1300,7 +1284,6 @@ def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     form evaluates the scoring pipeline (tokenize + array_distinct +
     language markers) TWICE — measured 13.9 s vs 8.7 s at sf10
     (BENCH_NOTES.md round-7; .bench/ab_corpus_filter_window.py)."""
-    from lagom_kinesis_spark.functions.helpers import let
 
     # fan_out: the scoring map (tokenize + array_distinct + markers) is
     # CPU-bound and the compressed source yields 2 splits at sf10.
@@ -1629,12 +1612,20 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 3 == 0)
         .select("doc_id", F.col("n_chars").cast("long").alias("n_frames"))
     )
+    # Guard n_frames >= 1: Spark's sequence(0, -1, 25) THROWS on a
+    # zero-frame (empty) document where DuckDB's generate_series yields
+    # empty — the same sequence() hazard text_bigram_logprob guards.
+    # Exploding the empty array drops the row, matching the oracle.
+    idxs = F.when(
+        F.col("n_frames") >= 1,
+        F.sequence(
+            F.lit(0).cast("long"), F.col("n_frames") - 1, F.lit(25).cast("long")
+        ),
+    ).otherwise(F.array().cast("array<long>"))
     return v.select(
         "doc_id",
         "n_frames",
-        F.explode(
-            F.sequence(F.lit(0).cast("long"), F.col("n_frames") - 1, F.lit(25).cast("long"))
-        ).alias("frame_idx"),
+        F.explode(idxs).alias("frame_idx"),
     ).withColumn("byte_offset", F.col("frame_idx") * 1024)
 
 
@@ -1671,14 +1662,9 @@ def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket — no quadratic blowup on a 100 TB corpus.
     """
     d = load(spark, sf_dir, "documents")
-    sh = d.select(
-        "source",
-        F.md5(
-            F.concat_ws(
-                " ", F.array_sort(F.array_distinct(F.split(F.lower("text"), " ")))
-            ).cast("binary")
-        ).alias("h"),
-    ).distinct()
+    # The SAME canonical fingerprint() the other dedup queries group on —
+    # a hand-rolled copy here could silently drift from dedup_fingerprint.
+    sh = d.select("source", fingerprint("text").alias("h")).distinct()
     a = sh.select(F.col("source").alias("source_a"), "h")
     b = sh.select(F.col("source").alias("source_b"), "h")
     return (
@@ -2200,20 +2186,7 @@ def quality_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("s"),
     ).select("doc_id", "s.n_tokens", "s.n_distinct")
-    grams = let(
-        tokens("text"),
-        lambda t: F.when(
-            F.size(t) >= 2,
-            F.transform(
-                F.sequence(F.lit(0), F.size(t) - 2),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(t, (i + 1).cast("int")),
-                    F.element_at(t, (i + 2).cast("int")),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>")),
-    )
+    grams = bigrams("text")
     bg = (
         d.select("doc_id", F.explode(grams).alias("bigram"))
         .groupBy("doc_id", "bigram")
