@@ -22,7 +22,7 @@ def salted_sum_count(
     df: DataFrame,
     keys: Sequence[str],
     value: Column,
-    unique_col: str,
+    unique_col: str | Column,
     n_salts: int = 16,
 ) -> DataFrame:
     """groupBy(keys) → (sum(value) AS total, count(*) AS n), skew-safely.
@@ -39,7 +39,12 @@ def salted_sum_count(
     Phase-2 input is tiny (n_salts rows per key), so the merge is free.
     """
     keys = list(keys)
-    salt = F.pmod(F.xxhash64(F.col(unique_col)), F.lit(n_salts)).alias("__salt")
+    # unique_col may be a column NAME or a ready Column expression (e.g.
+    # xxhash64 over a compound key when no single column is row-unique —
+    # a non-unique salt source clumps same-key rows onto one sub-reducer
+    # and quietly degrades the very skew spread this operator promises).
+    ucol = F.col(unique_col) if isinstance(unique_col, str) else unique_col
+    salt = F.pmod(F.xxhash64(ucol), F.lit(n_salts)).alias("__salt")
     phase1 = (
         df.select(*keys, salt, value.alias("__v"))
         .groupBy(*keys, "__salt")

@@ -18,7 +18,6 @@ from lagom_kinesis_spark.functions import (
     money,
     money_sum_units,
     r6,
-    revenue_expr,
     revenue_sql,
     revenue_units,
     units,
@@ -53,7 +52,10 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen, finalized through decimal — bit-identical to
     the decimal path and the oracle's VARCHAR hop, ~2x faster (the
     decimal hash aggregate was this query's whole cost, BENCH_NOTES r6).
-    int64 bound: sum_charge accumulates 1e-6 units, ~2e17 at sf10."""
+    int64 bound: sum_charge accumulates 1e-6 units — MEASURED ~5.1e14
+    per group at sf0.01, i.e. ~5.1e17 at sf10 and ~5.1e18 at sf100, only
+    ~1.8x below int64 max: sf100 is the ceiling for this 1e-6-unit sum;
+    a larger tier must drop to 1e-4 units or the decimal path."""
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-09-02")
     cnt = F.count("*")
     qty_u, price_u = units("l_quantity"), units("l_extendedprice")
@@ -187,15 +189,15 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     regime (bounded memory, heavy hitters only); the mergeable
     accumulate/combine/estimate variants share the same state shape for
     partial aggregation across 1000 executors."""
-    from pyspark.sql import Window
+    from lagom_kinesis_spark.catalog import register_views
 
-    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    register_views(spark, sf_dir, ("part",))
     tk = spark.sql(
         "SELECT explode(approx_top_k(p_brand, 64, 10000)) AS e FROM part"
     ).select(
         F.col("e.item").alias("brand"), F.col("e.count").alias("cnt")
     )
-    w = Window.orderBy(F.col("cnt").desc(), "brand")
+    w = W.orderBy(F.col("cnt").desc(), "brand")
     return tk.withColumn("rn", F.row_number().over(w))
 
 
@@ -499,7 +501,6 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to a plain groupBy — the oracle — but the hot key's rows
     spread over 16 sub-reducers in phase 1. l_returnflag has only 3 values,
     the canonical low-cardinality/hot-key shape."""
-    from lagom_kinesis_spark.functions import money
     from lagom_kinesis_spark.operators.skew import salted_sum_count
 
     li = load(spark, sf_dir, "lineitem")
@@ -507,7 +508,10 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         li,
         keys=["l_returnflag"],
         value=dec("l_quantity"),
-        unique_col="l_orderkey",
+        # row-unique compound key: l_orderkey alone repeats across a
+        # whole order's lineitems, clumping them onto one sub-reducer
+        # (join_salted_skew got this right from the start)
+        unique_col=F.struct("l_orderkey", "l_linenumber"),
         n_salts=16,
     )
     return out.select("l_returnflag", money(F.col("total")).alias("total"), "n")
@@ -518,24 +522,33 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders o
-    WHERE o_totalprice > (
-      SELECT 2 * AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
-    )
+    WHERE CAST(o_totalprice AS DECIMAL(18,2))
+            * (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+          > (SELECT 2 * SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+             FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
     """,
     tags=("sql", "subquery"),
 )
 def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated scalar subquery — Catalyst decorrelates it into an
+    """Correlated scalar subqueries — Catalyst decorrelates them into an
     aggregate + join (no per-row re-execution, unlike a naive interpreter);
-    the SQL API and DataFrame API share the same plan."""
+    the SQL API and DataFrame API share the same plan.
+
+    The 'price > 2×average' predicate is stated in EXACT integer/decimal
+    arithmetic (price·count > 2·sum, both sides exact decimals) rather
+    than a raw float AVG threshold: a double AVG can differ by an ulp
+    across engines' summation orders, and a row landing inside that ulp
+    would flip the kept set — the cross-engine float discipline every
+    other aggregate here follows (helpers.py header)."""
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(
         """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders o
-        WHERE o_totalprice > (
-          SELECT 2 * AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
-        )
+        WHERE CAST(o_totalprice AS DECIMAL(18,2))
+                * (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+              > (SELECT 2 * SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+                 FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         """
     )
 

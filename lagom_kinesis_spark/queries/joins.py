@@ -22,7 +22,6 @@ from lagom_kinesis_spark.functions import (
     hash_build,
     money,
     money_sum_units,
-    revenue_expr,
     revenue_sql,
     revenue_units,
     units,
@@ -459,20 +458,36 @@ def q_shipping_priority_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg", "tpch"),
 )
 def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: customers who returned the most revenue in 1999."""
-    c = load(spark, sf_dir, "customer")
+    """TPC-H Q10 shape: customers who returned the most revenue in 1999.
+
+    Revenue is aggregated by o_custkey BEFORE the customer join: c_custkey
+    is the customer PK, so grouping by (c_custkey, c_name, nation) after
+    the join is the same aggregation — but doing it first means the
+    customer join runs on a customer-cardinality relation instead of the
+    fact-sized join output, and c_name/n_name never travel through a fact
+    shuffle. The previous shape sort-merge-joined the full customer
+    dimension against fact-sized rows at sf10 — exactly the extra
+    exchange this module's header says dimension joins must never pay."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1999-01-01") & (F.col("o_orderdate") < "2000-01-01")
     )
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load(spark, sf_dir, "nation")
-    return (
+    per_cust = (
         li.join(hash_build(o), li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .groupBy("o_custkey")
         .agg(money_sum_units(revenue_units(), 4).alias("lost_revenue"))
-        .select("c_custkey", "c_name", "lost_revenue", "nation")
+    )
+    return (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "lost_revenue",
+            F.col("n_name").alias("nation"),
+        )
         .orderBy(F.col("lost_revenue").desc(), "c_custkey")
         .limit(20)
     )

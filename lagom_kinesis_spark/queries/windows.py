@@ -398,8 +398,6 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, so the window input is nation-cardinality, never fact rows).
     Share divides two already-rounded doubles, then rounds — identical
     arithmetic on both engines."""
-    from lagom_kinesis_spark.functions import dec, money
-
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
@@ -516,9 +514,9 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles: float error ≪ the round-6 quantum, the small-float
     discipline. Scale: one shuffle on user_id + a per-partition
     sort — the standard window envelope."""
-    from lagom_kinesis_spark.catalog import load as _load
+    from lagom_kinesis_spark.catalog import register_views
 
-    _load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    register_views(spark, sf_dir, ("events",))
     return spark.sql(
         """
         SELECT event_id, user_id,
