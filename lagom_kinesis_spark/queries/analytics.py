@@ -191,7 +191,7 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(hash_build(orders), li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -246,7 +246,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(hash_build(orders), li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
         .join(F.broadcast(region), F.col("c_rkey") == F.col("r_regionkey"))
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -385,7 +385,7 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_suppkey
     )
     SELECT s_suppkey, s_name,
-           round(CAST(total_rev AS DOUBLE), 6) AS total_rev
+           round(CAST(CAST(total_rev AS VARCHAR) AS DOUBLE), 6) AS total_rev
     FROM revenue JOIN supplier ON supplier_no = s_suppkey
     WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
     """,
@@ -480,7 +480,7 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",

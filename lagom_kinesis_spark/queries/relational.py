@@ -17,10 +17,8 @@ from lagom_kinesis_spark.catalog import io_scratch, load, stable_tag
 from lagom_kinesis_spark.functions import (
     dec,
     hash_build,
-    money,
     money_sum_units,
     r6,
-    revenue_expr,
     revenue_sql,
     revenue_units,
     units,
@@ -535,8 +533,6 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """partitionBy parquet sink + partition-pruned re-read: the at-rest
     topic layout (SURVEY.md §1.1) — partition values become directories,
     enabling partition pruning on read."""
-    from lagom_kinesis_spark.functions import dec, money
-
     tmp = io_scratch("orders_part", sf_dir, source="orders")
     load(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
         "o_orderpriority"
@@ -574,8 +570,6 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     (tests/test_plans.py asserts the dynamicpruning subquery; a
     constant-foldable dim filter would degrade to static IN pruning and
     prove nothing). Oracle: same join over the unpartitioned source."""
-    from lagom_kinesis_spark.functions import dec, money
-
     tmp = io_scratch("cust_nat", sf_dir, source="customer")
     load(spark, sf_dir, "customer").select(
         "c_custkey", "c_acctbal", "c_nationkey"
@@ -724,25 +718,32 @@ def _ensure_bucketed(
     Superseded spec versions are GC'd when the new one is ensured —
     concurrent processes derive the same count from the same fixture, so
     a different-suffix sibling dir is always a dead layout."""
+    from lagom_kinesis_spark.catalog import fixture_fingerprint
+
     base_name = table
-    table = f"{table}_b{n_buckets}"
+    # Spec-versioned name: bucket count AND the source fixture's
+    # mtime/size fingerprint. Without the fingerprint, a fixture
+    # regenerated at the same sf_dir would hit the session-catalog
+    # shortcut (or cross-process _SUCCESS adoption) and serve a layout
+    # built from the OLD rows while the oracle reads the fresh parquet —
+    # the staleness class load()/io_scratch(source=...) already defend
+    # against everywhere else.
+    table = f"{table}_b{n_buckets}_f{fixture_fingerprint(sf_dir, src)}"
     if spark.catalog.tableExists(table):
         return table
     import fcntl
     import os
+    import re
     import shutil
 
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     os.makedirs(wh, exist_ok=True)
+    spec_re = re.compile(rf"^{re.escape(base_name)}_b\d+(_f[0-9a-f]{{8}})?$")
     with open(os.path.join(wh, f".lock_{table}"), "w") as lk:
         fcntl.flock(lk, fcntl.LOCK_EX)
         for entry in os.listdir(wh):
             stale = entry.removeprefix(".lock_")
-            dead_version = (
-                stale.startswith(f"{base_name}_b")
-                and stale != table
-                and stale[len(base_name) + 2 :].isdigit()
-            )
+            dead_version = spec_re.match(stale) and stale != table
             if dead_version or stale == base_name:  # or pre-versioning name
                 target = os.path.join(wh, entry)
                 try:
@@ -1033,9 +1034,23 @@ def fact_bucketed_layout(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     the same layout and can adopt another's files."""
     import os
 
+    def _fixture_bytes(path: str) -> int:
+        # A fixture may be one file or a directory of part files
+        # (catalog.fixture_fingerprint supports both); getsize on a
+        # directory returns the ~4 KB inode size, which would silently
+        # clamp every large directory fixture to 8 buckets — the exact
+        # 2x underparallelization this formula exists to prevent.
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _dirs, files in os.walk(path)
+                for f in files
+            )
+        return os.path.getsize(path)
+
     n_buckets = max(
         8,
-        min(64, os.path.getsize(f"{sf_dir}/lineitem.parquet") >> 26),
+        min(64, _fixture_bytes(f"{sf_dir}/lineitem.parquet") >> 26),
     )
     tag = stable_tag(sf_dir)
     bo = _ensure_bucketed(
@@ -1140,20 +1155,29 @@ def scan_binaryfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     tmp = io_scratch("docs_bin", sf_dir, source="documents")
-    sub = (
-        load(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 25 == 0)
-        .select("doc_id", "text")
-    )
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
+    done = os.path.join(tmp, "_BLOBS_DONE")
+    if not os.path.exists(done):
+        # Adopt a completed blob layout like the sibling fixtures
+        # (bloom/recursive-lookup): without the marker every invocation —
+        # each bench best-of-N iteration — re-ran the distributed write
+        # job. The path is fingerprint-keyed (source=), so a regenerated
+        # fixture still rebuilds at a fresh path.
+        sub = (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 25 == 0)
+            .select("doc_id", "text")
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
 
-    def _write_files(rows) -> None:
-        for row in rows:
-            with open(os.path.join(tmp, f"{row.doc_id}.txt"), "wb") as f:
-                f.write(row.text.encode("utf-8"))
+        def _write_files(rows) -> None:
+            for row in rows:
+                with open(os.path.join(tmp, f"{row.doc_id}.txt"), "wb") as f:
+                    f.write(row.text.encode("utf-8"))
 
-    sub.foreachPartition(_write_files)
+        sub.foreachPartition(_write_files)
+        with open(done, "w") as f:
+            f.write("")
     bf = spark.read.format("binaryFile").load(tmp)
     return bf.select(
         F.regexp_extract("path", r"(\d+)\.txt$", 1).alias("doc_key"),
@@ -1185,8 +1209,6 @@ def sink_clustered_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     same aggregate over the unclustered source — layout must never
     change results.
     """
-    from lagom_kinesis_spark.functions import dec, money
-
     tmp = io_scratch("lineitem_clustered", sf_dir, source="lineitem")
     li = load(spark, sf_dir, "lineitem").select(
         "l_shipdate", "l_orderkey", "l_returnflag", "l_extendedprice"
@@ -1224,8 +1246,6 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions touched) — the directory-level analogue of row-group
     skipping, and the layout every at-rest topic store uses
     (SURVEY.md §1.1)."""
-    from lagom_kinesis_spark.functions import dec, money
-
     tmp = io_scratch("orders_pruned", sf_dir, source="orders")
     load(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
         "o_orderpriority"
@@ -1495,8 +1515,6 @@ def sink_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     interleave is a pure codegen bit expression; the oracle is the same
     aggregate over the unclustered source (layout must never change
     results)."""
-    from lagom_kinesis_spark.functions import dec, money
-
     tmp = io_scratch("lineitem_zorder", sf_dir, source="lineitem")
     # 25-bit × 2 Morton interleave: bit i of partkey -> bit 2i, bit i of
     # suppkey -> bit 2i+1; 50-bit key, fits BIGINT. The width must cover
@@ -1664,8 +1682,6 @@ def scan_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the quarantine flag is map-side; one 2-key rollup. The
     corrupt-line column is the reprocessing queue a real pipeline writes
     to a dead-letter sink."""
-    from lagom_kinesis_spark.functions import dec, money
-
     tmp = io_scratch("customer_csvbad", sf_dir, source="customer")
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     bal = F.when(

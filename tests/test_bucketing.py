@@ -183,12 +183,15 @@ def test_split_bucket_layout_is_rebuilt_not_adopted(spark):
     import os
     import shutil
 
+    from lagom_kinesis_spark.catalog import fixture_fingerprint
     from lagom_kinesis_spark.queries.relational import _ensure_bucketed
 
     name = "bq_splitprobe"
-    spark.sql(f"DROP TABLE IF EXISTS {name}_b4")
+    # the layout name is spec-versioned: bucket count + source fingerprint
+    versioned = f"{name}_b4_f{fixture_fingerprint(SF_DIR, 'nation')}"
+    spark.sql(f"DROP TABLE IF EXISTS {versioned}")
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    path = os.path.join(wh, f"{name}_b4")
+    path = os.path.join(wh, versioned)
     shutil.rmtree(path, ignore_errors=True)
     t = _ensure_bucketed(
         spark, SF_DIR, name, "nation",
