@@ -78,33 +78,47 @@ def _events_dir_with_sentinel(sf_dir: str) -> str:
     import os
 
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    from lagom_kinesis_spark.catalog import path_of
+    from lagom_kinesis_spark.catalog import fixture_fingerprint, path_of
 
-    d = f"/tmp/lagom_kinesis_spark/stream_src/{stable_tag(sf_dir)}_events_eos"
+    # Fingerprint-keyed like every other fixture-derived cache: a
+    # regenerated events fixture (same encoding, longer time span) would
+    # otherwise keep a stale max(ts)+2h sentinel that is no longer
+    # far-future — outer-join tails and timer sessions silently never
+    # finalize. A new fingerprint lands at a fresh dir instead.
+    d = (
+        "/tmp/lagom_kinesis_spark/stream_src/"
+        f"{stable_tag(sf_dir)}_{fixture_fingerprint(sf_dir, 'events')}_events_eos"
+    )
     link = f"{d}/events.parquet"
     sentinel = f"{d}/zz_sentinel.parquet"
+    src_schema = pq.read_schema(path_of(sf_dir, "events"))
     # A cached sentinel written under a PREVIOUS fixture encoding would
     # mismatch the source schema; rewrite whenever the ts types differ.
     stale = False
     if os.path.exists(sentinel):
-        stale = pq.read_schema(sentinel).field("ts").type != pq.read_schema(
-            path_of(sf_dir, "events")
-        ).field("ts").type
+        stale = (
+            pq.read_schema(sentinel).field("ts").type
+            != src_schema.field("ts").type
+        )
     if stale or not (os.path.islink(link) and os.path.exists(sentinel)):
         os.makedirs(d, exist_ok=True)
         if not os.path.islink(link):
-            os.symlink(path_of(sf_dir, "events"), link)
+            try:
+                os.symlink(path_of(sf_dir, "events"), link)
+            except FileExistsError:
+                pass  # a sibling process won the race (shared cache dir)
         # Sentinel ts must be written in the file's NATIVE encoding (int64
         # ns for legacy fixtures, timestamp[us] for current ones) so both
         # parts read under one schema and one canonicalization.
-        ts_type = pq.read_schema(path_of(sf_dir, "events")).field("ts").type
-        raw_max = max(
+        ts_type = src_schema.field("ts").type
+        # arrow-side max: no million-element Python list at larger tiers
+        raw_max = pc.max(
             pq.read_table(path_of(sf_dir, "events"), columns=["ts"])["ts"]
             .cast(pa.int64())
-            .to_pylist()
-        )
+        ).as_py()
         if pa.types.is_int64(ts_type):
             eos_vals = pa.array([raw_max + 2 * 3600 * 10**9] * 2, pa.int64())
         else:  # timestamp[unit]: int64 cast above is in that unit
@@ -804,8 +818,10 @@ def stream_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
-        q.stop()
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()  # a failed batch must not leak the running query
 
     run_once()
     committed = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
@@ -1280,6 +1296,7 @@ def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # safely disabled for this query (production continuous mode would use
     # append + watermark finalization instead).
     check_key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    prev_check = spark.conf.get(check_key)
     spark.conf.set(check_key, "false")
     try:
         l1 = (
@@ -1304,7 +1321,9 @@ def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return memory_sink_table(l2, "complete")
     finally:
-        spark.conf.set(check_key, "true")
+        # restore the SAVED value, not a hardcoded "true" — clobbering
+        # would silently flip a caller's own setting for the session
+        spark.conf.set(check_key, prev_check)
 
 
 @register(
@@ -1860,10 +1879,11 @@ def _resume_run_round(agg: DataFrame, name: str, ck: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    prog = [p for p in q.recentProgress]
-    q.stop()
-    return prog
+    try:
+        q.awaitTermination()
+        return [p for p in q.recentProgress]
+    finally:
+        q.stop()  # a failed batch must not leak the running query
 
 
 def incremental_resume_scenario(spark: SparkSession, sf_dir: str):
@@ -2010,8 +2030,8 @@ def stream_union_fan_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from lagom_kinesis_spark.catalog import load
 
-    src_a = io_scratch("fanin_a", sf_dir)
-    src_b = io_scratch("fanin_b", sf_dir)
+    src_a = io_scratch("fanin_a", sf_dir, source="events")
+    src_b = io_scratch("fanin_b", sf_dir, source="events")
     e = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
