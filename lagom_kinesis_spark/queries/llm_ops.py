@@ -649,20 +649,27 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
     )
-    # Bounded driver-side scalar (one column-pruned count over the sample),
-    # broadcast into the expression — not a per-row subquery. Counted on
-    # the UN-fanned scan: a global count needs no parallel map work, and
-    # Catalyst does not remove a user repartition under it.
-    n_docs = (
-        load(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0).count()
+    # N (sample size) rides IN the plan as a broadcast 1-row aggregate
+    # (cross join), not a driver-side .count(): the count was a whole
+    # second Spark job per invocation — scan + schedule + collect — timed
+    # at 0.12 s of the 0.66 s sf10 total. Folding it in is one extra
+    # column-pruned scan leg under the same job (−27 % sf10, −29 % sf0.1,
+    # A/B in BENCH_NOTES.md round-8 late). Counted on the UN-fanned scan:
+    # a global count needs no parallel map work, and Catalyst does not
+    # remove a user repartition under it.
+    n = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .agg(F.count("*").cast("double").alias("n_docs"))
     )
     return (
         tf.withColumn("df", F.count("*").over(W.partitionBy("token")))
         .filter(F.col("tf") >= 2)
+        .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "token",
-            r6(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+            r6(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf"),
         )
     )
 
