@@ -497,3 +497,70 @@ def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) PIVOT (SUM(q) FOR l_linestatus IN ('O' AS qty_open, 'F' AS qty_filled))
         """
     )
+
+
+@register(
+    "sql_scripting_while",
+    oracle="""
+    WITH ks AS (SELECT range AS k FROM range(0, 64)),
+         counts AS (
+           SELECT k, 1000.0 * power(2, k) AS thr,
+                  (SELECT COUNT(*) FROM orders o
+                   WHERE o.o_totalprice > 1000.0 * power(2, k)) AS n_above
+           FROM ks
+         ),
+         fixpoint AS (
+           SELECT thr FROM counts
+           WHERE n_above * 2 <= (SELECT COUNT(*) FROM orders)
+           ORDER BY k LIMIT 1
+         )
+    SELECT o_orderpriority,
+           CAST((SELECT thr FROM fixpoint) AS BIGINT) AS threshold,
+           COUNT(*) AS n
+    FROM orders WHERE o_totalprice > (SELECT thr FROM fixpoint)
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "modern", "scripting"),
+)
+def sql_scripting_while(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 ``BEGIN … END`` with ``DECLARE``/``WHILE``/
+    ``SET``): procedural control flow whose loop condition is a live query
+    — double a price threshold until at most HALF the orders clear it,
+    then report the surviving orders per priority at the converged
+    threshold. The iterative-driver surface (think: convergence loops,
+    retry-until-empty maintenance jobs) expressed INSIDE the SQL front
+    door rather than in Python host code.
+
+    Determinism: thresholds are 1000·2^k — exact doubles for every
+    reachable k — so both engines compare against bit-identical
+    constants; the oracle states the loop's fixpoint in closed form
+    (smallest k with 2·count ≤ total). The exit condition is RELATIVE
+    (share of orders, not an absolute count) so the fixpoint is
+    scale-invariant and non-empty at every fixture size — the TPC-H
+    price distribution tops out just under 512k, so any absolute exit
+    bound lands the loop on the empty 512k tier at some scale (the
+    0-row-oracle trap, ARCHITECTURE.md round-8). Each iteration is a
+    column-pruned COUNT over orders; the loop depth is data-bounded at
+    ~log2(max price/1000) ≈ 9 iterations regardless of scale, and the
+    final SELECT is one ordinary aggregate — scripting adds driver-side
+    control flow only, never a per-row surface."""
+    register_views(spark, sf_dir, ("orders",))
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE total BIGINT DEFAULT 0;
+          DECLARE thr DOUBLE DEFAULT 1000.0;
+          SET total = (SELECT COUNT(*) FROM orders);
+          WHILE (SELECT COUNT(*) FROM orders WHERE o_totalprice > thr) * 2
+                > total DO
+            SET thr = thr * 2;
+          END WHILE;
+          SELECT o_orderpriority,
+                 CAST(thr AS BIGINT) AS threshold,
+                 COUNT(*) AS n
+          FROM orders WHERE o_totalprice > thr
+          GROUP BY o_orderpriority;
+        END
+        """
+    )
