@@ -308,6 +308,17 @@ def main() -> None:
     else:
         transport = _transport_bench(spark, sf_dir)
 
+    # Streaming steady state: the amortized per-micro-batch number the
+    # cold-query headline protocol cannot show (see _stream_steady_state).
+    steady: dict = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_STEADY", "1") == "0":
+        print("# steady-state bench disabled via env", file=sys.stderr)
+    else:
+        try:
+            steady = _stream_steady_state(spark, sf_dir)
+        except Exception as e:  # noqa: BLE001 — metric is best-effort
+            print(f"# steady-state bench skipped: {e}", file=sys.stderr)
+
     ratios: dict[str, float | str] = {
         k: round(times[k] / duck_times[k], 2)
         for k in duck_times
@@ -330,6 +341,7 @@ def main() -> None:
                 "duckdb_queries": duck_times,
                 "spark_over_duckdb_ratio": ratios,
                 "transport": transport,
+                "stream_steady_state": steady,
             }
         )
     )
@@ -481,6 +493,91 @@ def scaling_main(out_path: str, skip_sf10: bool = False) -> None:
     with open(out_path, "w") as f:
         f.write(line + "\n")
     print(line)
+
+
+def _stream_steady_state(spark, sf_dir: str, n_chunks: int = 8) -> dict:
+    """Amortized per-micro-batch cost of the tumbling-window aggregation.
+
+    The headline `stream_*` ratios are dominated by per-query-START
+    machinery — planning, WAL/offset commit, state-store provider init,
+    start/stop — decomposed at ~0.6-0.8 s in BENCH_NOTES.md. A production
+    continuous query pays that once per LIFETIME, then processes
+    micro-batches forever; the headline protocol (cold query per run, the
+    only honest way to time a bounded replay against a batch oracle)
+    cannot show the amortized cost, so this measures it directly: the
+    SAME aggregation over the SAME rows, once as a single availableNow
+    batch and once as ``n_chunks`` maxFilesPerTrigger=1 micro-batches.
+    The time difference divided by the extra batches is the marginal
+    micro-batch cost, and marginal rows/s follows — the number that
+    actually scales to a long-running stream.
+
+    Both runs pay one full lifecycle, so the subtraction cancels it;
+    chunking is done once outside the timed region."""
+    import shutil
+    import uuid as _uuid
+
+    from lagom_kinesis_spark.catalog import load, stable_tag
+    from lagom_kinesis_spark.queries.streaming_ops import (
+        _events_raw_schema,
+    )
+    from pyspark.sql import functions as F2
+
+    from lagom_kinesis_spark.catalog import normalize_event_ts
+
+    root = f"/tmp/lagom_kinesis_spark/steady/{stable_tag(sf_dir)}"
+    chunk_dir = os.path.join(root, f"chunks{n_chunks}")
+    if not os.path.exists(os.path.join(chunk_dir, "_SUCCESS")):
+        shutil.rmtree(chunk_dir, ignore_errors=True)
+        load(spark, sf_dir, "events").repartition(n_chunks).write.mode(
+            "overwrite"
+        ).parquet(chunk_dir)
+    n_rows = load(spark, sf_dir, "events").count()
+    schema = _events_raw_schema(spark, sf_dir)
+
+    def run(max_files: int | None) -> float:
+        reader = spark.readStream.schema(schema)
+        if max_files is not None:
+            reader = reader.option("maxFilesPerTrigger", str(max_files))
+        agg = (
+            normalize_event_ts(reader.parquet(chunk_dir))
+            .groupBy(F2.window("ts", "5 minutes"), "event_type")
+            .agg(F2.count("*").alias("n"), F2.sum("value").alias("total_value"))
+        )
+        ckpt = os.path.join(root, "ckpt", _uuid.uuid4().hex[:12])
+        t0 = time.time()
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        dt = time.time() - t0
+        shutil.rmtree(ckpt, ignore_errors=True)
+        return dt
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        run(None)  # warm (lifecycle + codegen), untimed
+        t_single = min(run(None) for _ in range(2))
+        t_multi = min(run(1) for _ in range(2))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    marginal = max(0.0, (t_multi - t_single) / (n_chunks - 1))
+    out = {
+        "n_batches": n_chunks,
+        "t_single_batch_s": round(t_single, 3),
+        "t_n_batches_s": round(t_multi, 3),
+        "marginal_batch_s": round(marginal, 4),
+        "marginal_rows_per_s": (
+            round((n_rows / n_chunks) / marginal) if marginal > 0 else None
+        ),
+    }
+    print(f"# stream steady-state: {out}", file=sys.stderr)
+    return out
 
 
 def _transport_bench(spark, sf_dir: str) -> dict:
