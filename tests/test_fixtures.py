@@ -121,6 +121,26 @@ def test_fixture_schema(sf_dir: str, table: str) -> None:
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_events_value_is_two_decimal(sf_dir: str) -> None:
+    """events.value is a 2-decimal quantity stored as double (each stored
+    value is the double nearest to k/100). The exact int64 fast path
+    (helpers.units on "value" — win_running_total's window accumulation)
+    depends on this: round-to-nearest of value*100 must recover the exact
+    unit count. If a future fixture generation ships full-precision
+    doubles here, this must fail loudly rather than the units() view
+    silently changing the query's semantics."""
+    import pyarrow.compute as pc
+
+    v = pq.read_table(f"{sf_dir}/events.parquet", columns=["value"])["value"]
+    scaled = pc.multiply(v, pa.scalar(100.0))
+    # |value*100 - round(value*100)| stays at float-noise scale (≪ 0.5)
+    # for doubles that round-trip a 2-decimal literal.
+    err = pc.abs(pc.subtract(scaled, pc.round(scaled)))
+    worst = pc.max(err).as_py()
+    assert worst is not None and worst < 1e-6, worst
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
 def test_events_ts_unit_is_canonicalizable(sf_dir: str) -> None:
     """If events.ts is a timestamp it must be an epoch-anchored unit we map
     exactly to µs; if int64 it is the legacy ns encoding. Anything else is a
