@@ -33,10 +33,22 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Coalesce to the advisory size instead of maximizing parallelism —
-    # Spark's own recommendation; measured ~2× on small-shuffle queries
-    # (fewer tiny tasks) and the right behavior on a busy 1000-exec cluster.
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # Keep Spark's DEFAULT parallelismFirst=true: coalesce only down to
+    # defaultParallelism (respecting the 1MB minPartitionSize floor), not
+    # to the 64MB advisory target. An earlier round pinned this false for
+    # "fewer tiny tasks on small shuffles" — re-measured r8 with a proper
+    # two-scale sweep, that was the wrong trade: size-targeted coalescing
+    # squashes a CPU-heavy post-shuffle stage (sort+window, multi-distinct
+    # expand) into ~⌈bytes/64MB⌉ tasks, serializing 32 cores down to 3 —
+    # sf10: win_running_total 4.78→1.06 s, join_asof 3.74→0.96 s,
+    # agg_count_distinct_multi 2.07→0.71 s, win_topk 1.84→1.00 s; sf0.1
+    # is neutral-to-better (flagship 0.95→0.84 s, worst regression
+    # +0.05 s). On a busy multi-tenant cluster size-targeted coalescing
+    # saves scheduler load, but there defaultParallelism is the full
+    # cluster width — parallelismFirst=true still caps tasks at that,
+    # so the default remains the right call beyond this box. The 64MB
+    # advisory stays for what still reads it (skew-split targets,
+    # rebalance).
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64MB",
     # Arrow for every pandas interchange (pandas UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
