@@ -524,7 +524,7 @@ def _stream_steady_state(spark, sf_dir: str, n_chunks: int = 8) -> dict:
     import shutil
     import uuid as _uuid
 
-    from lagom_kinesis_spark.catalog import load, stable_tag
+    from lagom_kinesis_spark.catalog import io_scratch, load
     from lagom_kinesis_spark.queries.streaming_ops import (
         _events_raw_schema,
     )
@@ -532,7 +532,10 @@ def _stream_steady_state(spark, sf_dir: str, n_chunks: int = 8) -> dict:
 
     from lagom_kinesis_spark.catalog import normalize_event_ts
 
-    root = f"/tmp/lagom_kinesis_spark/steady/{stable_tag(sf_dir)}"
+    # io_scratch folds the events fixture fingerprint into the path: a
+    # regenerated fixture gets fresh chunks instead of a stale _SUCCESS
+    # adoption (the staleness class fixed for the IVF/catalog layouts).
+    root = io_scratch("steady", sf_dir, source="events")
     chunk_dir = os.path.join(root, f"chunks{n_chunks}")
     if not os.path.exists(os.path.join(chunk_dir, "_SUCCESS")):
         shutil.rmtree(chunk_dir, ignore_errors=True)
