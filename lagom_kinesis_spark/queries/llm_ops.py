@@ -621,7 +621,9 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tfc JOIN dfc ON tfc.token = dfc.token CROSS JOIN n
     WHERE tfc.tf >= 2
     """,
-    tags=("llm", "text"),
+    # "cross" acknowledges the deliberate 1-row broadcast N (sample size
+    # folded into the plan; audit_plans exemption).
+    tags=("llm", "text", "cross"),
 )
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf over a 1/50 sample: tf per (doc, token), df via distinct-doc

@@ -323,6 +323,44 @@ def test_asof_join_matches_pandas_reference(spark, left, right):
         assert got[i] == want, (i, g, t, cands, got[i])
 
 
+@given(left=ASOF_LEFT, right=ASOF_RIGHT)
+@SETTINGS
+def test_asof_join_timestamp_packed_path_matches_reference(spark, left, right):
+    """The TIMESTAMP branch of asof_join orders by ONE packed long
+    (unix_micros·2 + side) instead of the generic (ts, side) pair — a
+    different code path from the int-ts test above, so it gets its own
+    reference check. The same random integers are mapped to µs-distinct
+    timestamps (second granularity keeps the mapping order-isomorphic),
+    with the same duplicate-ts tie coverage driving the struct-max
+    pre-reduce."""
+    import datetime as _dt
+
+    from lagom_kinesis_spark.operators.asof import asof_join
+
+    def ts_of(t: int) -> _dt.datetime:
+        return _dt.datetime(2024, 1, 1) + _dt.timedelta(seconds=t)
+
+    ldf = spark.createDataFrame(
+        [(g, ts_of(t), i) for i, (g, t) in enumerate(left)],
+        "g int, ts timestamp, lid int",
+    )
+    rdf = spark.createDataFrame(
+        [(g, ts_of(t), i) for (g, t, i) in right]
+        or [(99, ts_of(0), 0)],
+        "g int, ts timestamp, rid int",
+    ).limit(len(right))
+    got = {
+        (r["lid"]): r["rid"]
+        for r in asof_join(
+            ldf, rdf, ts="ts", by=["g"], right_payload=["rid"], tie="rid"
+        ).collect()
+    }
+    for i, (g, t) in enumerate(left):
+        cands = [(rt, rid) for (rg, rt, rid) in right if rg == g and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, g, t, cands, got[i])
+
+
 @given(data=st.data())
 @SETTINGS
 def test_scd2_apply_matches_reference(spark, data):
