@@ -142,19 +142,31 @@ def all_queries() -> dict[str, Query]:
 #: operator (tie pre-reduce + packed sort key), and text_tfidf folded its
 #: sample count into the plan. All four re-proven green in this session's
 #: full gate + sf1 sweep + fresh-untuned-session checks, but the driver's
-#: own row predates the change, so they re-row. Clear after the next
-#: driver CORRECTNESS round records them.
+#: own row predates the change, so they re-row.
 _NEEDS_REROW: tuple[str, ...] = (
     "win_running_total",
     "join_asof",
     "join_asof_tolerance",
     "text_tfidf",
 )
+#: The force-listing above SELF-EXPIRES: once a CORRECTNESS artifact from
+#: this round or later records a name (the changes landed mid-round-8, and
+#: no CORRECTNESS_r08 exists yet — the driver writes it after this tree),
+#: the stale-evidence condition is gone and the name must stop consuming a
+#: front slot. Without this, a hand-listed name burns a re-row slot every
+#: subsequent round until someone remembers to clear the tuple — the same
+#: staleness-by-forgetting failure the derived sampled/failed sets were
+#: built to prevent.
+_NEEDS_REROW_MIN_ROUND = 8
 
 
-def _driver_history(root=None) -> tuple[frozenset[str], frozenset[str]]:
-    """(sampled, failed_latest) from CORRECTNESS_r*.json at ``root``
-    (default: the repo root; tests pass a tmp dir with synthetic artifacts).
+def _driver_history(
+    root=None,
+) -> tuple[frozenset[str], frozenset[str], dict[str, int]]:
+    """(sampled, failed_latest, last_round) from CORRECTNESS_r*.json at
+    ``root`` (default: the repo root; tests pass a tmp dir with synthetic
+    artifacts). ``last_round`` maps each sampled name to the highest round
+    whose artifact records it — the expiry signal for _NEEDS_REROW.
 
     A row is green if its value-hash matched, or — for oracle-less queries,
     where the driver records ``err == "no_oracle"`` — if the rows-only check
@@ -181,6 +193,7 @@ def _driver_history(root=None) -> tuple[frozenset[str], frozenset[str]]:
         return int(m.group(1)) if m else -1
 
     latest: dict[str, dict] = {}
+    last_round: dict[str, int] = {}
     for path in sorted(glob.glob(str(root / "CORRECTNESS_r*.json")), key=round_of):
         try:
             with open(path) as f:
@@ -188,7 +201,11 @@ def _driver_history(root=None) -> tuple[frozenset[str], frozenset[str]]:
         except (OSError, ValueError):
             continue
         if isinstance(rows, dict):
-            latest.update({k: v for k, v in rows.items() if isinstance(v, dict)})
+            rnd = round_of(path)
+            for k, v in rows.items():
+                if isinstance(v, dict):
+                    latest[k] = v
+                    last_round[k] = max(last_round.get(k, rnd), rnd)
     failed = frozenset(
         name
         for name, rec in latest.items()
@@ -200,15 +217,23 @@ def _driver_history(root=None) -> tuple[frozenset[str], frozenset[str]]:
             or (rec.get("err") == "no_oracle" and (rec.get("spark_rows") or 0) > 0)
         )
     )
-    return frozenset(latest), failed
+    return frozenset(latest), failed, last_round
 
 
-_DRIVER_SAMPLED, _DRIVER_FAILED = _driver_history()
+_DRIVER_SAMPLED, _DRIVER_FAILED, _DRIVER_LAST_ROUND = _driver_history()
+
+#: _NEEDS_REROW minus the expired entries (driver row from
+#: _NEEDS_REROW_MIN_ROUND or later exists — see the tuple's doc).
+_ACTIVE_REROW = frozenset(
+    n
+    for n in _NEEDS_REROW
+    if _DRIVER_LAST_ROUND.get(n, -1) < _NEEDS_REROW_MIN_ROUND
+)
 
 
 def driver_order(registry: dict[str, Query]) -> list[str]:
     """Sweep order per the priority above (stable within each tier)."""
-    rerow_names = set(_NEEDS_REROW) | _DRIVER_FAILED
+    rerow_names = set(_ACTIVE_REROW) | _DRIVER_FAILED
     rerow = [n for n in registry if n in rerow_names]
     fresh = [n for n in registry if n not in _DRIVER_SAMPLED and n not in rerow_names]
     # Round-robin the fresh tier across modules for family coverage.

@@ -111,13 +111,22 @@ def test_driver_history_reads_artifacts(tmp_path):
             }
         )
     )
-    sampled, failed = R._driver_history(tmp_path)
+    sampled, failed, last_round = R._driver_history(tmp_path)
     assert sampled == frozenset({"q_green", "q_flaky", "q_rowsonly", "q_red", "q_err"})
     # latest record wins: q_flaky recovered; q_red and q_err are failures
     assert failed == frozenset({"q_red", "q_err"})
+    # last_round tracks the newest artifact recording each name — the
+    # _NEEDS_REROW expiry signal.
+    assert last_round == {
+        "q_green": 1,
+        "q_rowsonly": 1,
+        "q_flaky": 2,
+        "q_red": 2,
+        "q_err": 2,
+    }
     # corrupt artifacts degrade to never-sampled, not a crash
     (tmp_path / "CORRECTNESS_r03.json").write_text("{not json")
-    sampled2, failed2 = R._driver_history(tmp_path)
+    sampled2, failed2, _ = R._driver_history(tmp_path)
     assert sampled2 == sampled and failed2 == failed
 
 
@@ -128,9 +137,15 @@ def test_driver_history_live_artifacts_are_registered():
     from lagom_kinesis_spark import registry as R
     from lagom_kinesis_spark.registry import all_queries, driver_order
 
-    sampled, failed = R._driver_history()
+    sampled, failed, last_round = R._driver_history()
     reg = all_queries()
     assert sampled <= set(reg)
     order = driver_order(reg)
-    rerow_front = set(order[: len(failed | set(R._NEEDS_REROW))])
+    rerow_front = set(order[: len(failed | set(R._ACTIVE_REROW))])
     assert failed <= rerow_front
+    # Every force-listed re-row name must be registered, and expired
+    # entries (driver row from _NEEDS_REROW_MIN_ROUND or later) must NOT
+    # occupy front slots.
+    assert set(R._NEEDS_REROW) <= set(reg)
+    for n in set(R._NEEDS_REROW) - set(R._ACTIVE_REROW):
+        assert last_round.get(n, -1) >= R._NEEDS_REROW_MIN_ROUND
