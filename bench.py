@@ -524,13 +524,9 @@ def _stream_steady_state(spark, sf_dir: str, n_chunks: int = 8) -> dict:
     import shutil
     import uuid as _uuid
 
-    from lagom_kinesis_spark.catalog import io_scratch, load
-    from lagom_kinesis_spark.queries.streaming_ops import (
-        _events_raw_schema,
-    )
     from pyspark.sql import functions as F2
 
-    from lagom_kinesis_spark.catalog import normalize_event_ts
+    from lagom_kinesis_spark.catalog import io_scratch, load, normalize_event_ts
 
     # io_scratch folds the events fixture fingerprint into the path: a
     # regenerated fixture gets fresh chunks instead of a stale _SUCCESS
@@ -543,7 +539,13 @@ def _stream_steady_state(spark, sf_dir: str, n_chunks: int = 8) -> dict:
             "overwrite"
         ).parquet(chunk_dir)
     n_rows = load(spark, sf_dir, "events").count()
-    schema = _events_raw_schema(spark, sf_dir)
+    # Schema from the CHUNKS (what the stream reads), not the fixture:
+    # chunks are written from the normalized load() output (ts already
+    # TimestampType µs), so the fixture's raw encoding — int64 ns or
+    # timestamp-NTZ, which _events_raw_schema would report — is the wrong
+    # read schema here and would fail (ns fixture) or silently
+    # reinterpret under a non-UTC session (NTZ fixture).
+    schema = spark.read.parquet(chunk_dir).schema
 
     def run(max_files: int | None) -> float:
         reader = spark.readStream.schema(schema)

@@ -545,22 +545,33 @@ def sql_scripting_while(spark: SparkSession, sf_dir: str) -> DataFrame:
     final SELECT is one ordinary aggregate — scripting adds driver-side
     control flow only, never a per-row surface."""
     register_views(spark, sf_dir, ("orders",))
+    # Save/restore, like every other conf-touching query fn (the shared
+    # gate session must not stay mutated after this call): the conf only
+    # gates PARSING of the BEGIN block, which happens inside spark.sql(),
+    # so restoring after it returns cannot affect the returned DataFrame.
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
     spark.conf.set("spark.sql.scripting.enabled", "true")
-    return spark.sql(
-        """
-        BEGIN
-          DECLARE total BIGINT DEFAULT 0;
-          DECLARE thr DOUBLE DEFAULT 1000.0;
-          SET total = (SELECT COUNT(*) FROM orders);
-          WHILE (SELECT COUNT(*) FROM orders WHERE o_totalprice > thr) * 2
-                > total DO
-            SET thr = thr * 2;
-          END WHILE;
-          SELECT o_orderpriority,
-                 CAST(thr AS BIGINT) AS threshold,
-                 COUNT(*) AS n
-          FROM orders WHERE o_totalprice > thr
-          GROUP BY o_orderpriority;
-        END
-        """
-    )
+    try:
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE total BIGINT DEFAULT 0;
+              DECLARE thr DOUBLE DEFAULT 1000.0;
+              SET total = (SELECT COUNT(*) FROM orders);
+              WHILE (SELECT COUNT(*) FROM orders WHERE o_totalprice > thr) * 2
+                    > total DO
+                SET thr = thr * 2;
+              END WHILE;
+              SELECT o_orderpriority,
+                     CAST(thr AS BIGINT) AS threshold,
+                     COUNT(*) AS n
+              FROM orders WHERE o_totalprice > thr
+              GROUP BY o_orderpriority;
+            END
+            """
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)

@@ -457,3 +457,16 @@ def test_ivf_persisted_probe_is_partition_pruned(spark):
     plan = _plan(QS["sim_ann_ivf_persisted"].fn(spark, SF_DIR))
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "cluster" in pf[0] and " IN (" in pf[0]
+
+
+def test_tfidf_single_bounded_nlj(spark):
+    """text_tfidf's 'cross' tag whitelists it from audit_plans' NLJ check
+    (the deliberate 1-row broadcast N cross join); cap the exemption here
+    exactly as merge_scd2 does — the plan must contain exactly ONE
+    BroadcastNestedLoopJoin, so a dropped join condition anywhere else in
+    the query cannot hide behind the known bounded one."""
+    import re
+
+    plan = _plan(QS["text_tfidf"].fn(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    assert "CartesianProduct" not in plan
