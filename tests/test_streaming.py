@@ -407,3 +407,29 @@ def test_incremental_resume_second_round_reads_only_new_files(spark):
     rows2 = sum(p["numInputRows"] for p in p2)
     assert rows1 == n_even
     assert rows2 == n_odd
+
+
+def test_bench_stream_steady_state_contract(spark):
+    """bench.py's steady-state metric is a per-round driver artifact; a
+    broken implementation degrades to a silent {} in the JSON (main()
+    wraps it best-effort), so pin the contract here: it must produce all
+    keys, a multi-batch run strictly slower than the single batch, and a
+    non-negative marginal — at the floor fixture with 2 chunks so the
+    smoke stays cheap."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    out = bench._stream_steady_state(spark, "/root/testdata/sf0.001", n_chunks=2)
+    assert set(out) == {
+        "n_batches",
+        "t_single_batch_s",
+        "t_n_batches_s",
+        "marginal_batch_s",
+        "marginal_rows_per_s",
+    }
+    assert out["n_batches"] == 2
+    assert out["t_n_batches_s"] > out["t_single_batch_s"] > 0
+    assert out["marginal_batch_s"] >= 0
