@@ -565,8 +565,12 @@ def _stream_steady_state(spark, sf_dir: str, n_chunks: int = 8) -> dict:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
-        q.stop()
+        try:
+            q.awaitTermination()
+        finally:
+            # stop() even when awaitTermination raises — a failed run must
+            # not leak an active stream into the next measurement.
+            q.stop()
         dt = time.time() - t0
         shutil.rmtree(ckpt, ignore_errors=True)
         return dt
