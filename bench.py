@@ -567,12 +567,15 @@ def _stream_steady_state(spark, sf_dir: str, n_chunks: int = 8) -> dict:
         )
         try:
             q.awaitTermination()
+            dt = time.time() - t0
         finally:
             # stop() even when awaitTermination raises — a failed run must
-            # not leak an active stream into the next measurement.
+            # not leak an active stream into the next measurement — and the
+            # per-run uuid checkpoint dir is removed on BOTH paths (a
+            # success-only cleanup leaked one dir per failed invocation
+            # under the scratch root; ADVICE r8).
             q.stop()
-        dt = time.time() - t0
-        shutil.rmtree(ckpt, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
         return dt
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")

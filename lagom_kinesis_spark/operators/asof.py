@@ -68,6 +68,12 @@ def asof_join(
         identical (by, ts) — the row with the greatest ``tie`` wins
         (NULL ``tie`` loses to any non-NULL one). Without it, the winner
         among tied right rows is engine-arbitrary.
+
+    Contract: when ``tie`` is given, every ``right_payload`` column must be
+    of an ORDERABLE type (the tie winner is pre-reduced with a struct-max
+    whose trailing fields are the payload; a map-typed payload fails at
+    analysis time). Payloads containing maps need a max_by formulation
+    instead — none of the in-repo callers do.
     """
     by = list(by)
     left_cols = left.columns

@@ -136,28 +136,28 @@ def all_queries() -> dict[str, Query]:
 #: failure (e.g. a fixture swap invalidating an old green row). Empty when
 #: no such event is pending; the failed-latest-row tier is automatic.
 #:
-#: Round-8 second session: these four queries changed AFTER their last
-#: driver-green row — win_running_total's oracle moved to the int64-units
-#: formulation, join_asof/join_asof_tolerance run the rewritten asof
-#: operator (tie pre-reduce + packed sort key), and text_tfidf folded its
-#: sample count into the plan. All four re-proven green in this session's
-#: full gate + sf1 sweep + fresh-untuned-session checks, but the driver's
-#: own row predates the change, so they re-row.
-_NEEDS_REROW: tuple[str, ...] = (
-    "win_running_total",
-    "join_asof",
-    "join_asof_tolerance",
-    "text_tfidf",
-)
+#: Round-9: empty. The round-8 listing (win_running_total, join_asof,
+#: join_asof_tolerance, text_tfidf — changed after their last driver-green
+#: row) expired as designed: CORRECTNESS_r08 records all four green on the
+#: changed code.
+_NEEDS_REROW: tuple[str, ...] = ()
 #: The force-listing above SELF-EXPIRES: once a CORRECTNESS artifact from
-#: this round or later records a name (the changes landed mid-round-8, and
-#: no CORRECTNESS_r08 exists yet — the driver writes it after this tree),
-#: the stale-evidence condition is gone and the name must stop consuming a
+#: round ``_NEEDS_REROW_MIN_ROUND`` or later records a name, the
+#: stale-evidence condition is gone and the name must stop consuming a
 #: front slot. Without this, a hand-listed name burns a re-row slot every
 #: subsequent round until someone remembers to clear the tuple — the same
 #: staleness-by-forgetting failure the derived sampled/failed sets were
 #: built to prevent.
-_NEEDS_REROW_MIN_ROUND = 8
+#:
+#: CONVENTION (round-9, after ADVICE r8): set MIN_ROUND to the round
+#: AFTER the one in which the change lands, never the current round. A
+#: same-round artifact cannot prove it postdates a mid-round change (the
+#: driver may have written it before the change landed); an artifact from
+#: the NEXT round provably ran against the committed tree. The cost — one
+#: extra re-row round for names the driver happened to sample post-change
+#: anyway — is one redundant green row; the alternative is silently
+#: expiring an unverified change.
+_NEEDS_REROW_MIN_ROUND = 9
 
 
 def _driver_history(

@@ -431,5 +431,10 @@ def test_bench_stream_steady_state_contract(spark):
         "marginal_rows_per_s",
     }
     assert out["n_batches"] == 2
-    assert out["t_n_batches_s"] > out["t_single_batch_s"] > 0
+    # >= with 10% tolerance, not strict >: with only ONE extra micro-batch
+    # at the floor fixture, timing noise on a loaded box can cross the two
+    # min-of-2 timings; the contract under test is "both runs complete and
+    # produce sane keys", not micro-timing (ADVICE r8).
+    assert out["t_single_batch_s"] > 0
+    assert out["t_n_batches_s"] >= out["t_single_batch_s"] * 0.9
     assert out["marginal_batch_s"] >= 0
