@@ -63,6 +63,7 @@ TRAJECTORY = [
     # are the direct evidence of whether the ratio collapses with volume.
     "agg_pricing_summary",
     "agg_count_distinct_multi",
+    "agg_count_distinct_multi_bitmap",
     "win_running_total",
     "win_topk_per_group",
     "join_asof",

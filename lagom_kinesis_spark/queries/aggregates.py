@@ -112,12 +112,82 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg",),
 )
 def agg_count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multiple exact distinct aggregates (expand-based plan in Spark)."""
+    """Multiple exact distinct aggregates (expand-based plan in Spark).
+
+    Cost note (measured, BENCH_NOTES r8): Spark plans N distinct
+    aggregates as an Expand that replicates every input row N+1 times
+    before the shuffle — sf10 8.02× vs DuckDB, and the replication factor
+    rides to any scale. This query IS the declared surface (the plan a
+    user gets from `countDistinct(...)` twice); the scale path for
+    integer-keyed columns is the bitmap two-level plan registered as the
+    twin `agg_count_distinct_multi_bitmap` (same oracle, identical
+    results, 0.66 s vs 1.00 s at sf10 in the r8 A/B)."""
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("n_custs"),
         F.countDistinct(F.year("o_orderdate").cast("int")).alias("n_years"),
         F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "agg_count_distinct_multi_bitmap",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(DISTINCT CAST(year(o_orderdate) AS INT)) AS n_years,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "sketch", "bitmap"),
+)
+def agg_count_distinct_multi_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-path twin of ``agg_count_distinct_multi`` (same oracle,
+    identical results): N exact distinct aggregates WITHOUT the Expand.
+
+    Spark's multi-distinct plan replicates every row N+1 times into the
+    shuffle (the 8.02× sf10 ratio documented on the twin). This plan
+    instead makes ONE scan, stacks the N distinct columns into
+    (col_id, value) pairs — a 2× fan-out that map-side partials collapse
+    to (group × col_id × 32768-wide bucket) bitmaps before the exchange —
+    then ORs bit positions per bucket (``bitmap_construct_agg``) and sums
+    ``bitmap_count`` per (group, col_id). The shuffle carries ≤4 KB
+    bitmaps per bucket instead of one row per (input row × aggregate):
+    at 100 TB, gigabytes instead of terabytes. n_orders rides the same
+    exchange as the col_id=0 leg's per-bucket row counts (o_custkey is
+    non-null by fixture contract), so no extra scan. Exact by
+    construction — the bitmap path is a set representation, not a sketch.
+    Mirrors the bucketed-twin pattern: declared surface and scale answer
+    side by side in the registry."""
+    o = load(spark, sf_dir, "orders")
+    stacked = o.select(
+        "o_orderpriority",
+        F.expr(
+            "stack(2, 0, CAST(o_custkey AS BIGINT),"
+            " 1, CAST(year(o_orderdate) AS BIGINT)) AS (cid, v)"
+        ),
+    )
+    per_bucket = (
+        stacked.select(
+            "o_orderpriority",
+            "cid",
+            F.expr("bitmap_bucket_number(v)").alias("b"),
+            F.expr("bitmap_bit_position(v)").alias("p"),
+        )
+        .groupBy("o_orderpriority", "cid", "b")
+        .agg(
+            F.expr("bitmap_construct_agg(p)").alias("bm"),
+            F.count("*").alias("c"),
+        )
+    )
+    per_col = per_bucket.groupBy("o_orderpriority", "cid").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("nd"),
+        F.sum("c").cast("long").alias("nrows"),
+    )
+    return per_col.groupBy("o_orderpriority").agg(
+        F.max(F.when(F.col("cid") == 0, F.col("nd"))).alias("n_custs"),
+        F.max(F.when(F.col("cid") == 1, F.col("nd"))).alias("n_years"),
+        F.max(F.when(F.col("cid") == 0, F.col("nrows"))).alias("n_orders"),
     )
 
 

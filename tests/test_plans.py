@@ -63,6 +63,19 @@ def test_aggregate_is_partial_then_final(spark):
     assert "Exchange" in plan
 
 
+def test_count_distinct_bitmap_twin_has_no_expand(spark):
+    """The bitmap twin's whole point is deleting the Expand that
+    replicates every row N+1 times into the shuffle; its declared-surface
+    twin keeps one (the reference plan). One scan only — n_orders rides
+    the bitmap legs' exchange instead of a second pass."""
+    plan = _plan(QS["agg_count_distinct_multi_bitmap"].fn(spark, SF_DIR))
+    assert "Expand" not in plan
+    # formatted explain prints each node twice (tree + details): 2 == one scan
+    assert plan.count("Scan parquet") == 2
+    twin = _plan(QS["agg_count_distinct_multi"].fn(spark, SF_DIR))
+    assert "Expand" in twin
+
+
 def test_semi_join_planned_as_semi(spark):
     plan = _plan(QS["join_left_semi"].fn(spark, SF_DIR))
     assert "LeftSemi" in plan
