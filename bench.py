@@ -58,6 +58,7 @@ TRAJECTORY = [
     "text_tfidf",
     "pipeline_corpus_filter",
     "stream_tumbling_window",
+    "stream_session_window",
     # The remaining sf0.1 ratio-table rows marked `weak` in VERDICT r7 —
     # all floor-dominated at sf0.1 (sub-second absolute); their tiers here
     # are the direct evidence of whether the ratio collapses with volume.
@@ -323,10 +324,11 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_STEADY", "1") == "0":
         print("# steady-state bench disabled via env", file=sys.stderr)
     else:
-        try:
-            steady = _stream_steady_state(spark, sf_dir)
-        except Exception as e:  # noqa: BLE001 — metric is best-effort
-            print(f"# steady-state bench skipped: {e}", file=sys.stderr)
+        for shp in ("tumbling", "session"):
+            try:
+                steady[shp] = _stream_steady_state(spark, sf_dir, shape=shp)
+            except Exception as e:  # noqa: BLE001 — metric is best-effort
+                print(f"# steady-state [{shp}] skipped: {e}", file=sys.stderr)
 
     ratios: dict[str, float | str] = {
         k: round(times[k] / duck_times[k], 2)
@@ -339,6 +341,23 @@ def main() -> None:
     for k in headline:
         if k not in ratios and "oracle_quadratic" in qs[k].tags:
             ratios[k] = "no-baseline (oracle_quadratic)"
+    # Streaming rows: the RECORDED basis is the amortized resident-query
+    # number (VERDICT r8 ask #2b) — cold ratio kept alongside in the same
+    # cell and, as a float series, under spark_over_duckdb_ratio_cold.
+    ratios_cold = {k: v for k, v in ratios.items() if isinstance(v, float)}
+    for q, shp in (
+        ("stream_tumbling_window", "tumbling"),
+        ("stream_session_window", "session"),
+    ):
+        if isinstance(ratios.get(q), float) and steady.get(shp, {}).get(
+            "amortized_one_batch_s"
+        ) is not None and duck_times.get(q):
+            am = steady[shp]["amortized_one_batch_s"] / duck_times[q]
+            ratios[q] = (
+                f"amortized {round(am, 2)}x resident-basis "
+                f"(recorded; cold {ratios[q]}x one-shot incl. "
+                f"query-start lifecycle — see stream_steady_state)"
+            )
     print(
         json.dumps(
             {
@@ -349,6 +368,18 @@ def main() -> None:
                 "sf": sf,
                 "duckdb_queries": duck_times,
                 "spark_over_duckdb_ratio": ratios,
+                "spark_over_duckdb_ratio_cold": ratios_cold,
+                "streaming_protocol_note": (
+                    "stream_* headline seconds time a COLD bounded-replay "
+                    "query per run (start + incremental planning + "
+                    "WAL/offset commit + state-store init + stop) — "
+                    "machinery a resident query pays once per lifetime. "
+                    "The recorded comparison basis for streaming rows is "
+                    "the amortized resident-query number in "
+                    "stream_steady_state (t_single - t_lifecycle vs the "
+                    "same DuckDB batch); cold numbers are retained "
+                    "alongside for round-over-round comparability."
+                ),
                 "transport": transport,
                 "stream_steady_state": steady,
             }
@@ -374,11 +405,20 @@ def scaling_tier_main(sf_dir: str, tier_out: str) -> None:
     except Exception as e:  # noqa: BLE001
         print(f"# duckdb @ {sf_dir} skipped: {e}", file=sys.stderr)
         duck_t = {}
+    # Scale-evidence for the amortized streaming basis (VERDICT r8 #2b):
+    # the steady-state protocol at EVERY tier, both headline shapes.
+    steady: dict = {}
+    for shp in ("tumbling", "session"):
+        try:
+            steady[shp] = _stream_steady_state(spark, sf_dir, shape=shp)
+        except Exception as e:  # noqa: BLE001
+            print(f"# steady [{shp}] @ {sf_dir} skipped: {e}", file=sys.stderr)
     with open(tier_out, "w") as f:
         json.dump(
             {
                 "spark": spark_t,
                 "duckdb": duck_t,
+                "stream_steady_state": steady,
                 "ratio": {
                     k: (
                         round(spark_t[k] / duck_t[k], 2)
@@ -504,30 +544,44 @@ def scaling_main(out_path: str, skip_sf10: bool = False) -> None:
     print(line)
 
 
-def _stream_steady_state(spark, sf_dir: str, n_chunks: int = 8) -> dict:
-    """Amortized per-micro-batch cost of the tumbling-window aggregation.
+def _stream_steady_state(
+    spark, sf_dir: str, n_chunks: int = 8, shape: str = "tumbling"
+) -> dict:
+    """Amortized (resident-query) cost of a streaming aggregation — the
+    RECORDED basis for the stream_* rows (VERDICT r8 ask #2b).
 
-    The headline `stream_*` ratios are dominated by per-query-START
-    machinery — planning, WAL/offset commit, state-store provider init,
-    start/stop — decomposed at ~0.6-0.8 s in BENCH_NOTES.md. A production
-    continuous query pays that once per LIFETIME, then processes
-    micro-batches forever; the headline protocol (cold query per run, the
-    only honest way to time a bounded replay against a batch oracle)
-    cannot show the amortized cost, so this measures it directly: the
-    SAME aggregation over the SAME rows, once as a single availableNow
-    batch and once as ``n_chunks`` maxFilesPerTrigger=1 micro-batches.
-    The time difference divided by the extra batches is the marginal
-    micro-batch cost, and marginal rows/s follows — the number that
-    actually scales to a long-running stream.
+    The headline `stream_*` ratios time a COLD query per run (the only
+    honest way to compare a bounded replay against a batch oracle), so
+    they are dominated by per-query-START machinery a production
+    continuous query pays once per LIFETIME. This measures the amortized
+    numbers directly, for both headline shapes (``tumbling`` and
+    ``session``):
 
-    Both runs pay one full lifecycle, so the subtraction cancels it;
-    chunking is done once outside the timed region."""
+    - t_lifecycle_s: the same query over an EMPTY source — pure
+      start/plan/stop lifecycle, zero batches (decomposition: cold ≈
+      lifecycle + per-batch machinery + data work).
+    - t_single_batch_s: one availableNow batch over all rows.
+    - amortized_one_batch_s = t_single − t_lifecycle: what a RESIDENT
+      query pays to process the same rows as one micro-batch — the
+      number compared against DuckDB in the headline's amortized ratio.
+    - marginal_batch_s = (t_n_batches − t_single)/(n−1): the
+      steady-state per-micro-batch increment when the same rows arrive
+      as ``n_chunks`` maxFilesPerTrigger=1 batches (per-batch offset-log
+      + planning floor dominates when chunks are small; batch VOLUME is
+      what a deployment scales).
+
+    Partitions follow the volume-aware rule the queries themselves use
+    (streaming_ops.stream_shuffle_partitions); chunking happens once
+    outside the timed region."""
     import shutil
     import uuid as _uuid
 
     from pyspark.sql import functions as F2
 
     from lagom_kinesis_spark.catalog import io_scratch, load, normalize_event_ts
+    from lagom_kinesis_spark.queries.streaming_ops import (
+        stream_shuffle_partitions,
+    )
 
     # io_scratch folds the events fixture fingerprint into the path: a
     # regenerated fixture gets fresh chunks instead of a stale _SUCCESS
@@ -539,6 +593,8 @@ def _stream_steady_state(spark, sf_dir: str, n_chunks: int = 8) -> dict:
         load(spark, sf_dir, "events").repartition(n_chunks).write.mode(
             "overwrite"
         ).parquet(chunk_dir)
+    empty_dir = os.path.join(root, "empty")
+    os.makedirs(empty_dir, exist_ok=True)
     n_rows = load(spark, sf_dir, "events").count()
     # Schema from the CHUNKS (what the stream reads), not the fixture:
     # chunks are written from the normalized load() output (ts already
@@ -548,15 +604,23 @@ def _stream_steady_state(spark, sf_dir: str, n_chunks: int = 8) -> dict:
     # reinterpret under a non-UTC session (NTZ fixture).
     schema = spark.read.parquet(chunk_dir).schema
 
-    def run(max_files: int | None) -> float:
+    def run(max_files: int | None, src: str = chunk_dir) -> float:
         reader = spark.readStream.schema(schema)
         if max_files is not None:
             reader = reader.option("maxFilesPerTrigger", str(max_files))
-        agg = (
-            normalize_event_ts(reader.parquet(chunk_dir))
-            .groupBy(F2.window("ts", "5 minutes"), "event_type")
-            .agg(F2.count("*").alias("n"), F2.sum("value").alias("total_value"))
-        )
+        s = normalize_event_ts(reader.parquet(src))
+        if shape == "session":
+            agg = s.groupBy(
+                F2.session_window("ts", "5 minutes"), "user_id"
+            ).agg(F2.count("*").alias("n_events"))
+        else:
+            agg = (
+                s.groupBy(F2.window("ts", "5 minutes"), "event_type")
+                .agg(
+                    F2.count("*").alias("n"),
+                    F2.sum("value").alias("total_value"),
+                )
+            )
         ckpt = os.path.join(root, "ckpt", _uuid.uuid4().hex[:12])
         t0 = time.time()
         q = (
@@ -580,24 +644,30 @@ def _stream_steady_state(spark, sf_dir: str, n_chunks: int = 8) -> dict:
         return dt
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(stream_shuffle_partitions(sf_dir))
+    )
     try:
         run(None)  # warm (lifecycle + codegen), untimed
         t_single = min(run(None) for _ in range(2))
         t_multi = min(run(1) for _ in range(2))
+        t_life = min(run(None, src=empty_dir) for _ in range(2))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     marginal = max(0.0, (t_multi - t_single) / (n_chunks - 1))
     out = {
+        "shape": shape,
         "n_batches": n_chunks,
+        "t_lifecycle_s": round(t_life, 3),
         "t_single_batch_s": round(t_single, 3),
         "t_n_batches_s": round(t_multi, 3),
+        "amortized_one_batch_s": round(max(0.0, t_single - t_life), 3),
         "marginal_batch_s": round(marginal, 4),
         "marginal_rows_per_s": (
             round((n_rows / n_chunks) / marginal) if marginal > 0 else None
         ),
     }
-    print(f"# stream steady-state: {out}", file=sys.stderr)
+    print(f"# stream steady-state [{shape}]: {out}", file=sys.stderr)
     return out
 
 

@@ -90,6 +90,14 @@ def register(
                 spark.catalog.clearCache()
             except Exception:
                 pass
+            # A volume hint left by a query that sourced events_stream but
+            # sank outside memory_sink_table must not leak into this one.
+            try:
+                from lagom_kinesis_spark.streaming import topics as _topics
+
+                _topics._PARTS_HINT = None
+            except Exception:
+                pass
             _periodic_gc(spark)
             return fn(spark, sf_dir)
 

@@ -634,9 +634,28 @@ def fresh_scratch_dir(tag: str) -> str:
 #: number of state-store instances per stateful op == shuffle partitions at
 #: query start; fixture replays are single-batch and small, so 4 keeps state
 #: provider count (and per-query setup) low — measured ~20% off each
-#: harness streaming query vs 8. A production continuous job sizes this to
-#: cluster cores like any other shuffle.
+#: harness streaming query vs 8 (r4, custom tiny-source queries). A
+#: production continuous job sizes this to cluster cores like any other
+#: shuffle — which is exactly what the volume hint below does for the
+#: events-fixture replays.
 _STREAM_SHUFFLE_PARTITIONS = "4"
+
+#: One-shot volume-aware override, set by source constructors that know
+#: their input size (streaming_ops.events_stream) and consumed by the next
+#: memory_sink_table run. The r9 A/B showed the pinned 4 serializing the
+#: data work at scale (sf10 session window 2.15 s @4 → 1.09 s @16, sf10
+#: tumbling 0.89 → 0.80 @8) while 8 is also neutral-to-better at sf0.1.
+#: A hint, not a conf: the source constructor runs at plan time, but the
+#: partition count must be set around the sink's start() — and it must
+#: not leak past one run (cleared in memory_sink_table's finally).
+_PARTS_HINT: str | None = None
+
+
+def hint_stream_shuffle_partitions(n: int) -> None:
+    """Declare the shuffle/state partition count for the NEXT
+    memory_sink_table run (volume-aware sources only; see _PARTS_HINT)."""
+    global _PARTS_HINT
+    _PARTS_HINT = str(int(n))
 
 
 def memory_sink_table(df: DataFrame, output_mode: str = "append") -> DataFrame:
@@ -649,9 +668,12 @@ def memory_sink_table(df: DataFrame, output_mode: str = "append") -> DataFrame:
             spark.catalog.dropTempView(_prior_sinks.pop())
         except Exception:
             pass
+    global _PARTS_HINT
     name = f"ms_{uuid.uuid4().hex[:12]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", _PARTS_HINT or _STREAM_SHUFFLE_PARTITIONS
+    )
     q = None
     # Registered BEFORE start(): the memory sink creates the temp view as
     # soon as the query starts, so a failure in awaitTermination() (batch
@@ -675,6 +697,7 @@ def memory_sink_table(df: DataFrame, output_mode: str = "append") -> DataFrame:
     finally:
         if q is not None:
             q.stop()
+        _PARTS_HINT = None
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         # bench.py opts out (SPARK_GRAFT_STREAM_UNLOAD=0) and does NOT
         # unload at all for the bench process: stop() costs ~70 ms

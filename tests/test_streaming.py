@@ -452,19 +452,30 @@ def test_bench_stream_steady_state_contract(spark):
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import bench
 
-    out = bench._stream_steady_state(spark, "/root/testdata/sf0.001", n_chunks=2)
-    assert set(out) == {
+    keys = {
+        "shape",
         "n_batches",
+        "t_lifecycle_s",
         "t_single_batch_s",
         "t_n_batches_s",
+        "amortized_one_batch_s",
         "marginal_batch_s",
         "marginal_rows_per_s",
     }
-    assert out["n_batches"] == 2
-    # >= with 10% tolerance, not strict >: with only ONE extra micro-batch
-    # at the floor fixture, timing noise on a loaded box can cross the two
-    # min-of-2 timings; the contract under test is "both runs complete and
-    # produce sane keys", not micro-timing (ADVICE r8).
-    assert out["t_single_batch_s"] > 0
-    assert out["t_n_batches_s"] >= out["t_single_batch_s"] * 0.9
-    assert out["marginal_batch_s"] >= 0
+    for shape in ("tumbling", "session"):
+        out = bench._stream_steady_state(
+            spark, "/root/testdata/sf0.001", n_chunks=2, shape=shape
+        )
+        assert set(out) == keys
+        assert out["shape"] == shape
+        assert out["n_batches"] == 2
+        # >= with 10% tolerance, not strict >: with only ONE extra
+        # micro-batch at the floor fixture, timing noise on a loaded box
+        # can cross the two min-of-2 timings; the contract under test is
+        # "both runs complete and produce sane keys", not micro-timing
+        # (ADVICE r8).
+        assert out["t_single_batch_s"] > 0
+        assert out["t_lifecycle_s"] > 0
+        assert out["t_n_batches_s"] >= out["t_single_batch_s"] * 0.9
+        assert out["marginal_batch_s"] >= 0
+        assert out["amortized_one_batch_s"] >= 0
