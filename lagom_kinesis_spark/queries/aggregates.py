@@ -114,14 +114,17 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiple exact distinct aggregates (expand-based plan in Spark).
 
-    Cost note (measured, BENCH_NOTES r8): Spark plans N distinct
+    Cost note (measured, BENCH_NOTES r8/r9): Spark plans N distinct
     aggregates as an Expand that replicates every input row N+1 times
-    before the shuffle — sf10 8.02× vs DuckDB, and the replication factor
-    rides to any scale. This query IS the declared surface (the plan a
-    user gets from `countDistinct(...)` twice); the scale path for
-    integer-keyed columns is the bitmap two-level plan registered as the
-    twin `agg_count_distinct_multi_bitmap` (same oracle, identical
-    results, 0.66 s vs 1.00 s at sf10 in the r8 A/B)."""
+    before the shuffle — sf10 ~6.5-8× vs DuckDB, and the replication
+    factor rides to any scale. This query IS the declared surface (the
+    plan a user gets from `countDistinct(...)` twice); the
+    integer-keyed shuffle-volume alternative is the bitmap plan
+    registered as the twin `agg_count_distinct_multi_bitmap` (same
+    oracle, identical results) — on this box's memory-speed shuffle the
+    expand plan is end-to-end faster, but it shuffles ~40× more bytes
+    (the r9 volume measurement on the twin's docstring), which is the
+    binding constraint on a network-bound cluster."""
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("n_custs"),
@@ -142,52 +145,52 @@ def agg_count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "sketch", "bitmap"),
 )
 def agg_count_distinct_multi_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scale-path twin of ``agg_count_distinct_multi`` (same oracle,
-    identical results): N exact distinct aggregates WITHOUT the Expand.
+    """The shuffle-volume twin of ``agg_count_distinct_multi`` (same
+    oracle, identical results): N exact distinct aggregates WITHOUT the
+    row-replicating Expand.
 
-    Spark's multi-distinct plan replicates every row N+1 times into the
-    shuffle (the 8.02× sf10 ratio documented on the twin). This plan
-    instead makes ONE scan, stacks the N distinct columns into
-    (col_id, value) pairs — a 2× fan-out that map-side partials collapse
-    to (group × col_id × 32768-wide bucket) bitmaps before the exchange —
-    then ORs bit positions per bucket (``bitmap_construct_agg``) and sums
-    ``bitmap_count`` per (group, col_id). The shuffle carries ≤4 KB
-    bitmaps per bucket instead of one row per (input row × aggregate):
-    at 100 TB, gigabytes instead of terabytes. n_orders rides the same
-    exchange as the col_id=0 leg's per-bucket row counts (o_custkey is
-    non-null by fixture contract), so no extra scan. Exact by
-    construction — the bitmap path is a set representation, not a sketch.
-    Mirrors the bucketed-twin pattern: declared surface and scale answer
-    side by side in the registry."""
+    One column-pruned leg per distinct column: bit positions OR into a
+    ≤4 KB bitmap per (group, 32768-wide bucket) map-side
+    (``bitmap_construct_agg``), ``bitmap_count`` sums per group, legs
+    join on the |groups|-row key. n_orders rides the custkey leg's
+    per-bucket row counts (o_custkey non-null by fixture contract).
+    Exact by construction — a set representation, not a sketch.
+
+    The trade, measured honestly at sf10 (.bench/ab_bitmap_twin_r9.py):
+    END-TO-END on local[32] the expand surface is FASTER (0.79 s vs
+    1.12 s) — this box's shuffle is memory-speed, so expand's cheap
+    codegen'd pair-dedup beats the per-row bitmap expression work. What
+    the bitmap plan wins is the exchange itself: post-partial shuffle
+    volume is 320 bitmap groups × ~4 KB ≈ 1.3 MB vs the expand plan's
+    2.07 M surviving (group, custkey) pairs ≈ ~50 MB — a ~40× reduction
+    in the quantity that dominates on a network-bound 1000-executor
+    cluster, where high-cardinality distinct shuffles are the classic
+    bottleneck. Registered next to the declared surface so both numbers
+    stay visible (the bucketed-twin pattern)."""
     o = load(spark, sf_dir, "orders")
-    stacked = o.select(
-        "o_orderpriority",
-        F.expr(
-            "stack(2, 0, CAST(o_custkey AS BIGINT),"
-            " 1, CAST(year(o_orderdate) AS BIGINT)) AS (cid, v)"
-        ),
-    )
-    per_bucket = (
-        stacked.select(
-            "o_orderpriority",
-            "cid",
-            F.expr("bitmap_bucket_number(v)").alias("b"),
-            F.expr("bitmap_bit_position(v)").alias("p"),
+
+    def leg(alias: str, expr: str, with_count: bool):
+        aggs = [F.expr("bitmap_construct_agg(p)").alias("bm")]
+        if with_count:
+            aggs.append(F.count("*").alias("c"))
+        per_bucket = (
+            o.select(
+                "o_orderpriority",
+                F.expr(f"bitmap_bucket_number({expr})").alias("b"),
+                F.expr(f"bitmap_bit_position({expr})").alias("p"),
+            )
+            .groupBy("o_orderpriority", "b")
+            .agg(*aggs)
         )
-        .groupBy("o_orderpriority", "cid", "b")
-        .agg(
-            F.expr("bitmap_construct_agg(p)").alias("bm"),
-            F.count("*").alias("c"),
-        )
-    )
-    per_col = per_bucket.groupBy("o_orderpriority", "cid").agg(
-        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("nd"),
-        F.sum("c").cast("long").alias("nrows"),
-    )
-    return per_col.groupBy("o_orderpriority").agg(
-        F.max(F.when(F.col("cid") == 0, F.col("nd"))).alias("n_custs"),
-        F.max(F.when(F.col("cid") == 1, F.col("nd"))).alias("n_years"),
-        F.max(F.when(F.col("cid") == 0, F.col("nrows"))).alias("n_orders"),
+        final = [F.sum(F.expr("bitmap_count(bm)")).cast("long").alias(alias)]
+        if with_count:
+            final.append(F.sum("c").cast("long").alias("n_orders"))
+        return per_bucket.groupBy("o_orderpriority").agg(*final)
+
+    cust = leg("n_custs", "CAST(o_custkey AS BIGINT)", True)
+    years = leg("n_years", "CAST(year(o_orderdate) AS BIGINT)", False)
+    return cust.join(years, "o_orderpriority").select(
+        "o_orderpriority", "n_custs", "n_years", "n_orders"
     )
 
 

@@ -2857,3 +2857,138 @@ def dedup_incremental_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("known").isNull()).alias("n_new"),
         r6(dup / F.count("*")).alias("dup_share"),
     )
+
+
+@register(
+    "text_normalize_ws",
+    oracle="""
+    WITH norm AS (
+      SELECT lang, text,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ntext
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN ntext <> text THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(SUM(length(text) - length(ntext)) AS BIGINT) AS chars_removed
+    FROM norm GROUP BY lang
+    """,
+    tags=("llm", "text"),
+)
+def text_normalize_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization audit — lowercase + whitespace collapse + trim,
+    the first mechanical pass of every web-text pipeline (before dedup,
+    so near-identical documents differing only in case/spacing hash
+    together). Reports, per language, how many documents the pass
+    changes and how many characters it removes — the numbers that tell
+    you whether upstream extraction is clean.
+
+    Scale: pure map-only string work fused into the scan (Java regex,
+    codegen'd, no UDF), one |langs|-cardinality aggregate. The regex is
+    the portable subset ('\\s+' means the same class in Java and RE2);
+    DuckDB needs the explicit 'g' flag for replace-all, Spark replaces
+    all by default — pinned here so the engines can't diverge."""
+    d = load(spark, sf_dir, "documents")
+    ntext = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    n = d.select("lang", "text", ntext.alias("ntext"))
+    return n.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("ntext") != F.col("text")).cast("long")).alias(
+            "n_changed"
+        ),
+        F.sum(F.length("text") - F.length("ntext"))
+        .cast("long")
+        .alias("chars_removed"),
+    )
+
+
+@register(
+    "sim_mips_norm_prune",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.q_id, e.vec_id,
+                  round(list_dot_product(q.qv, e.embedding::DOUBLE[]), 6)
+                    AS dot
+           FROM q CROSS JOIN embeddings e
+         )
+    SELECT * FROM (
+      SELECT q_id, vec_id, dot,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY dot DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+    tags=("llm", "similarity", "cross"),
+)
+def sim_mips_norm_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact maximum-inner-product top-10 with Cauchy-Schwarz norm
+    pruning — the retrieval mode of un-normalized embedding models
+    (recommendation towers, late-interaction scores), where cosine's
+    normalization is wrong and the norm bound dot(q,x) ≤ ‖q‖·‖x‖ makes
+    most of the corpus provably non-competitive.
+
+    Two declarative phases, exact by construction:
+    1. seed: the 50 largest-norm corpus vectors are scored against every
+       query; the 10th-best seed score θ_q is a LOWER bound on the true
+       10th-best.
+    2. prune: only vectors with ‖q‖·‖x‖ ≥ θ_q − 1e-6 can reach the
+       top-10 (anything below has dot < θ_q by Cauchy-Schwarz; the 1e-6
+       guard keeps candidates within the round-6 tie window); exact dot
+       + rank over the surviving sliver.
+
+    Everything is JVM-side expression work: norms and dots via
+    zip_with/aggregate over array<double> (no UDF, no matmul library),
+    the 5-query panel and the θ table ride broadcast 1-row/5-row joins
+    ("cross" tag = the audited bounded-broadcast pattern). Scale: the
+    corpus is scanned map-only twice (norm pass + pruned exact pass);
+    the candidate set after pruning is data-dependent but the top-50
+    seed makes θ tight on real norm distributions (IVF/PQ remain the
+    approximate paths)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    norm = F.sqrt(dot(F.col("v"), F.col("v")))
+    xn = e.select("vec_id", "v", norm.alias("xnorm"))
+    q = (
+        e.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            norm.alias("qnorm"),
+        )
+    )
+    # Phase 1: exact scores on the 50 largest-norm vectors (5×50 dots).
+    seeds = xn.orderBy(F.col("xnorm").desc(), "vec_id").limit(50)
+    wq = W.partitionBy("q_id").orderBy(
+        F.col("dot").desc(), "vec_id"
+    )
+    theta = (
+        seeds.crossJoin(F.broadcast(q))
+        .select("q_id", "vec_id", dot(F.col("v"), F.col("qv")).alias("dot"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 10)
+        .select("q_id", F.col("dot").alias("theta"))
+    )
+    # Phase 2: Cauchy-Schwarz prune, exact dot on survivors only.
+    qt = q.join(theta, "q_id")
+    cand = xn.crossJoin(F.broadcast(qt)).filter(
+        F.col("xnorm") * F.col("qnorm") >= F.col("theta") - F.lit(1e-6)
+    )
+    scored = cand.select(
+        "q_id", "vec_id", r6(dot(F.col("v"), F.col("qv"))).alias("dot")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 10)
+    )

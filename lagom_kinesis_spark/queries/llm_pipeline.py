@@ -2172,3 +2172,54 @@ def pack_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame
             "waste_share"
         ),
     )
+
+
+@register(
+    "pipeline_source_blocklist",
+    oracle="""
+    WITH stats AS (
+      SELECT source, round(AVG(n_chars), 6) AS avg_chars
+      FROM documents GROUP BY source
+    ),
+    global_avg AS (SELECT round(AVG(n_chars), 6) AS g FROM documents),
+    blocked AS (
+      SELECT source FROM stats CROSS JOIN global_avg WHERE avg_chars < g
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_kept,
+           CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+    FROM documents d
+    WHERE d.source NOT IN (SELECT source FROM blocked)
+    GROUP BY d.lang
+    """,
+    tags=("llm", "pipeline", "filter"),
+)
+def pipeline_source_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/domain blocklist filtering — the curation step every web
+    corpus applies before quality scoring (UT1-style blocklists, spam
+    domain kill-lists). The blocklist here is DERIVED in-plan (sources
+    whose mean document length falls below the corpus mean — a
+    scale-stable, share-relative rule that stays non-empty at every sf)
+    rather than read from a file, so the oracle states it exactly; a
+    production run swaps the derivation for a curated table and the plan
+    shape is unchanged.
+
+    Scale shape: the blocklist side is post-aggregation (|sources| rows)
+    → broadcast LEFT ANTI join against the corpus scan, zero corpus
+    shuffles before the final per-lang aggregate. The corpus is scanned
+    twice (once to derive the list, once to filter) — at 100 TB the
+    derivation scan reads only (source, n_chars), column-pruned; a
+    file-based blocklist drops it entirely. Threshold comparison happens
+    on round-6 values on BOTH engines so a float ulp can never flip a
+    source's membership."""
+    d = load(spark, sf_dir, "documents")
+    stats = d.groupBy("source").agg(r6(F.avg("n_chars")).alias("avg_chars"))
+    g = d.agg(r6(F.avg("n_chars")).alias("g"))
+    blocked = stats.crossJoin(F.broadcast(g)).filter(
+        F.col("avg_chars") < F.col("g")
+    ).select("source")
+    kept = d.join(F.broadcast(blocked), "source", "left_anti")
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+    )

@@ -521,6 +521,36 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_json_gzip",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    tags=("scan", "json", "compression"),
+)
+def scan_json_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzipped JSONL ingestion — the dominant at-rest format of public web
+    corpora (Common-Crawl-derived dumps ship as .json.gz). gzip is NOT a
+    splittable codec: one .gz file = one input split = one task, so the
+    100 TB posture is MANY moderate files (the writer here emits one
+    gzip member per input partition — exactly what a distributed producer
+    does), never one giant archive; the read side then parallelizes
+    file-per-task. Spark decompresses transparently by extension. The
+    aggregate proves the decompressed roundtrip character-exactly against
+    the source table: total_chars is length(text) computed AFTER the
+    JSON-escape → gzip → decompress → unescape cycle."""
+    tmp = io_scratch("documents_json_gz", sf_dir, source="documents")
+    src = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    src.write.mode("overwrite").option("compression", "gzip").json(tmp)
+    back = spark.read.schema("doc_id long, lang string, text string").json(tmp)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
+
+
+@register(
     "sink_parquet_partitioned",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n,

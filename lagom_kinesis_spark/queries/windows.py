@@ -658,6 +658,77 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_forward",
+    oracle=events_cte(
+        """
+    , ev AS (
+      SELECT event_id, user_id, ts, event_type,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_c
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), o AS (
+      SELECT *,
+             first_value(CASE WHEN event_type = 'click' THEN event_id END
+                         IGNORE NULLS) OVER wf AS click_id,
+             first_value(CASE WHEN event_type = 'click' THEN ts END
+                         IGNORE NULLS) OVER wf AS click_ts
+      FROM ev
+      WINDOW wf AS (PARTITION BY user_id ORDER BY ts, is_c, event_id
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id AS purchase_id, click_id,
+           CASE WHEN click_ts IS NULL THEN NULL
+                ELSE epoch_us(click_ts) - epoch_us(ts) END AS gap_us
+    FROM o WHERE event_type = 'purchase'
+    """
+    ),
+    tags=("join", "asof"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, FORWARD direction (pandas merge_asof
+    direction='forward', allow_exact_matches=True): each purchase matches
+    the FIRST same-user click at-or-after its timestamp — the
+    'next-action after conversion' shape (post-purchase click, next
+    quote after an order). Completes the direction trio next to
+    join_asof (backward) and join_asof_nearest.
+
+    Same join-free single-exchange plan as the rest of the as-of family:
+    one user-keyed ordered window carries the running FIRST forward
+    click. Exact-match inclusion is encoded in the sort key — at equal
+    ts, purchases order BEFORE clicks (is_click secondary key), so a
+    same-microsecond click lands in the purchase's following frame on
+    both engines; ties among same-ts clicks resolve by event_id."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    is_click = F.col("event_type") == "click"
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("ts", is_click.cast("int"), "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    return (
+        e.select(
+            "event_id",
+            "event_type",
+            "ts",
+            F.first(F.when(is_click, F.col("event_id")), ignorenulls=True)
+            .over(wf)
+            .alias("click_id"),
+            F.first(F.when(is_click, F.col("ts")), ignorenulls=True)
+            .over(wf)
+            .alias("click_ts"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "click_id",
+            (us(F.col("click_ts")) - us(F.col("ts"))).alias("gap_us"),
+        )
+    )
+
+
+@register(
     "win_distinct_count",
     oracle=events_cte(
         """

@@ -66,12 +66,12 @@ def test_aggregate_is_partial_then_final(spark):
 def test_count_distinct_bitmap_twin_has_no_expand(spark):
     """The bitmap twin's whole point is deleting the Expand that
     replicates every row N+1 times into the shuffle; its declared-surface
-    twin keeps one (the reference plan). One scan only — n_orders rides
-    the bitmap legs' exchange instead of a second pass."""
+    twin keeps one (the reference plan). One column-pruned scan per
+    distinct leg (two legs), n_orders riding the custkey leg."""
     plan = _plan(QS["agg_count_distinct_multi_bitmap"].fn(spark, SF_DIR))
     assert "Expand" not in plan
-    # formatted explain prints each node twice (tree + details): 2 == one scan
-    assert plan.count("Scan parquet") == 2
+    # formatted explain prints each node twice (tree + details): 2 per scan
+    assert plan.count("Scan parquet") == 4
     twin = _plan(QS["agg_count_distinct_multi"].fn(spark, SF_DIR))
     assert "Expand" in twin
 
