@@ -2192,7 +2192,10 @@ def pack_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame
     WHERE d.source NOT IN (SELECT source FROM blocked)
     GROUP BY d.lang
     """,
-    tags=("llm", "pipeline", "filter"),
+    # "cross" acknowledges the deliberate 1-row broadcast of the corpus
+    # mean (the same bounded pattern as text_tfidf's N; audit_plans
+    # exemption).
+    tags=("llm", "pipeline", "filter", "cross"),
 )
 def pipeline_source_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source/domain blocklist filtering — the curation step every web
