@@ -769,6 +769,85 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rocksdb_sink(spark, out, "update")
 
 
+@register(
+    "stream_tws_ttl",
+    oracle=events_cte(
+        """
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """
+    ),
+    tags=("streaming", "stateful"),
+)
+def stream_tws_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL-configured ValueState — the last piece of the arbitrary-state
+    v2 surface (ValueState/ListState/MapState/timers landed r8): state
+    registered with ``ttlDurationMs`` is evicted by the store once its
+    processing-time lease lapses, which is how a 100 TB resident job
+    bounds per-key state without hand-rolled timer cleanup.
+
+    TTL is PROCESSING-time — inherently wall-clock — so the oracle pins
+    the non-expiry contract instead: with a 1-hour TTL no lease can
+    lapse inside a bounded replay, and the per-user counts must equal
+    the batch aggregate exactly. The expiry side is proven mechanically
+    in tests/test_streaming.py::test_tws_ttl_state_expires (two batches
+    separated by a sleep longer than a short TTL → the count restarts).
+
+    noDataMicroBatches is disabled for exactly this run: in
+    ProcessingTime mode Spark keeps scheduling empty batches to advance
+    the TTL clock, so Trigger.AvailableNow NEVER terminates on a bounded
+    replay (measured: 300+ zero-row batches and counting). Lease
+    enforcement does not need them — expiration is checked on access —
+    which the expiry test demonstrates across two restarts."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    tune(spark)
+    _enable_transform_with_state(spark)
+    state_schema = StructType([StructField("count", LongType())])
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+
+    class TtlCount(StatefulProcessor):
+        def init(self, handle) -> None:
+            self.state = handle.getValueState(
+                "cnt", state_schema, ttlDurationMs=3_600_000
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            count = self.state.get()[0] if self.state.exists() else 0
+            for pdf in rows:
+                count += len(pdf)
+            self.state.update((count,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [count]})
+
+        def close(self) -> None:
+            pass
+
+    out = (
+        events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            TtlCount(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="ProcessingTime",
+        )
+    )
+    nd_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev = spark.conf.get(nd_key)
+    spark.conf.set(nd_key, "false")
+    try:
+        return _rocksdb_sink(spark, out, "update")
+    finally:
+        spark.conf.set(nd_key, prev)
+
+
 @register("stream_rate_source_smoke", oracle=None, tags=("streaming", "smoke"))
 def stream_rate_source_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rate source smoke (dev/diagnostic source, SURVEY.md §2B scans)."""

@@ -418,6 +418,112 @@ def test_transform_with_state_degrades_without_protobuf(spark, monkeypatch):
     assert dict(spark.sparkContext.environment) == env_before
 
 
+def test_tws_ttl_state_expires(spark, tmp_path):
+    """The expiry half of stream_tws_ttl's contract (the registered query
+    pins non-expiry under a 1 h TTL): with a SHORT ttlDurationMs and a
+    wall-clock gap longer than it between two availableNow rounds over
+    one checkpoint, the second round must see the key's state as absent —
+    the count restarts instead of accumulating."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from lagom_kinesis_spark.queries.streaming_ops import (
+        TransformWithStateUnavailable,
+        _enable_transform_with_state,
+    )
+
+    try:
+        _enable_transform_with_state(spark)
+    except TransformWithStateUnavailable as e:
+        pytest.skip(str(e))
+
+    src = tmp_path / "ttl_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ttl_ck")
+    state_schema = StructType([StructField("count", LongType())])
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+
+    class TtlCount(StatefulProcessor):
+        def init(self, handle) -> None:
+            self.state = handle.getValueState(
+                "cnt", state_schema, ttlDurationMs=500
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            count = self.state.get()[0] if self.state.exists() else 0
+            for pdf in rows:
+                count += len(pdf)
+            self.state.update((count,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [count]})
+
+        def close(self) -> None:
+            pass
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "value"])
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src / name))
+
+    def run_round():
+        # memory sink cannot recover from a checkpoint; foreachBatch can —
+        # it is the restart-capable sink the topics layer itself uses
+        got: list = []
+        provider_key = "spark.sql.streaming.stateStore.providerClass"
+        nd_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+        prev = spark.conf.get(provider_key)
+        prev_nd = spark.conf.get(nd_key)
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        # ProcessingTime mode + availableNow never terminates with no-data
+        # batches on (they keep advancing the TTL clock) — same scoping as
+        # the registered query
+        spark.conf.set(nd_key, "false")
+        try:
+            # batches land as subdirectories: glob one level like the
+            # tws cross-batch test above
+            stream = spark.readStream.schema(
+                "user_id long, value double"
+            ).parquet(str(src) + "/*")
+            out = stream.groupBy("user_id").transformWithStateInPandas(
+                TtlCount(),
+                outputStructType=out_schema,
+                outputMode="Update",
+                timeMode="ProcessingTime",
+            )
+            q = (
+                out.writeStream.foreachBatch(
+                    lambda df, bid: got.extend(
+                        (r["user_id"], r["n_events"]) for r in df.collect()
+                    )
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            q.stop()
+        finally:
+            spark.conf.set(provider_key, prev)
+            spark.conf.set(nd_key, prev_nd)
+        return got
+
+    write("b1", [(1, 10.0), (1, 2.0)])
+    assert run_round() == [(1, 2)]
+    time.sleep(1.5)  # let the 500 ms lease lapse
+    write("b2", [(1, 7.0)])
+    # expired: the second round restarts at 1, never 3
+    assert run_round() == [(1, 1)]
+
+
 def test_incremental_resume_second_round_reads_only_new_files(spark):
     """stream_incremental_resume's exactly-once evidence is the oracle
     hash; this pins the INCREMENTAL half: round 2 (same checkpoint) must
