@@ -81,6 +81,18 @@ def test_semi_join_planned_as_semi(spark):
     assert "LeftSemi" in plan
 
 
+def test_source_blocklist_is_broadcast_anti_join(spark):
+    """The blocklist side is post-aggregation (|sources| rows) and must
+    broadcast as a LEFT ANTI probe — a shuffled anti join here would
+    shuffle the whole corpus on a low-cardinality string key."""
+    plan = _plan(QS["pipeline_source_blocklist"].fn(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    anti_lines = [
+        ln for ln in plan.splitlines() if "LeftAnti" in ln
+    ]
+    assert any("Broadcast" in ln for ln in anti_lines), anti_lines
+
+
 def test_analytics_dims_broadcast_no_nested_loop(spark):
     """The TPC-H-adapted suite must broadcast every dimension and keep the
     single fact-fact shuffle: no SortMergeJoin against nation/supplier/
