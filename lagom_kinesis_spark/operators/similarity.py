@@ -27,6 +27,55 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 
+#: (path, mtime_ns, size, n) -> (q_ids, raw_lists, q_vecs float64). Keyed on
+#: fixture file identity like every other fixture-derived cache.
+_PANEL_CACHE: dict = {}
+
+
+def embedding_query_panel(sf_dir: str, n: int):
+    """The bounded |Q|=n query panel (vec_id < n) read DRIVER-SIDE.
+
+    The panel is by construction driver-resident — every caller collects
+    it to a numpy matrix and broadcasts it into an Arrow-batch matmul —
+    so fetching it with a Spark job is pure overhead: one
+    scan+schedule+collect cost ~0.13 s per query invocation (measured
+    r9), where a pyarrow footer-filtered read of the same ≤n rows is
+    ~7 ms and caches to zero on the fixture fingerprint. Semantics are
+    identical (same rows, same float32 values; ids pinned ascending —
+    callers key everything by q_id, so order was never load-bearing).
+
+    Returns (q_ids, raw_lists, q_vecs): ids, the float32 values as
+    python lists (for callers that re-ship the raw vectors), and the
+    float64 matrix every scoring path uses."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from lagom_kinesis_spark.catalog import path_of
+
+    p = path_of(sf_dir, "embeddings")
+    try:
+        st = os.stat(p)
+        key = (p, st.st_mtime_ns, st.st_size, n)
+    except OSError:
+        key = None
+    if key is not None and key in _PANEL_CACHE:
+        return _PANEL_CACHE[key]
+    t = pq.read_table(
+        p, columns=["vec_id", "embedding"], filters=[("vec_id", "<", n)]
+    )
+    ids = t["vec_id"].to_pylist()
+    raw = t["embedding"].to_pylist()
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    ids = [int(ids[i]) for i in order]
+    raw = [[float(x) for x in raw[i]] for i in order]
+    vecs = np.array(raw, dtype=np.float64)
+    out = (ids, raw, vecs)
+    if key is not None:
+        _PANEL_CACHE[key] = out
+    return out
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-order double dot product of two float arrays."""
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))

@@ -305,16 +305,14 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scan; the final window ranks only the per-batch survivors.
     Ranking is on the *rounded* cosine (+ vec_id pin) so both engines rank
     identically. sim_ann_lsh / sim_ann_ivf are the indexed paths."""
-    import numpy as np
-
-    from lagom_kinesis_spark.operators.similarity import batch_topk_cosine
+    from lagom_kinesis_spark.operators.similarity import (
+        batch_topk_cosine,
+        embedding_query_panel,
+    )
 
     e = load(spark, sf_dir, "embeddings")
-    qrows = (
-        e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
-    )  # |Q| = 5 rows — bounded query set, never the corpus
-    q_ids = [r["vec_id"] for r in qrows]
-    q_vecs = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    # |Q| = 5 — bounded panel, driver-side footer read (no Spark job; r9)
+    q_ids, _, q_vecs = embedding_query_panel(sf_dir, 5)
     scored = batch_topk_cosine(e, "vec_id", "embedding", q_ids, q_vecs, k=10)
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
     return (
@@ -1347,16 +1345,14 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_topk_cosine, same map-only mapInPandas matmul shape; the threshold
     is applied to the ROUNDED cosine on both engines so the boundary never
     flips."""
-    import numpy as np
-
-    from lagom_kinesis_spark.operators.similarity import batch_range_cosine
+    from lagom_kinesis_spark.operators.similarity import (
+        batch_range_cosine,
+        embedding_query_panel,
+    )
 
     e = load(spark, sf_dir, "embeddings")
-    qrows = (
-        e.filter(F.col("vec_id") < 3).select("vec_id", "embedding").collect()
-    )  # bounded query set, never the corpus
-    q_ids = [r["vec_id"] for r in qrows]
-    q_vecs = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    # bounded panel, driver-side footer read (no Spark job; r9)
+    q_ids, _, q_vecs = embedding_query_panel(sf_dir, 3)
     scored = batch_range_cosine(e, "vec_id", "embedding", q_ids, q_vecs, tau=0.25)
     return scored.select(
         "q_id", "vec_id", r6(F.col("cos_sim")).alias("cos_sim")
@@ -1774,11 +1770,12 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     S = md5_sample_matrix(e, 8)  # 8 × dim — model-sized driver-safe collect
     Sn = S / np.linalg.norm(S, axis=1, keepdims=True)  # unit sphere, as corpus
     codebooks = Sn.reshape(8, 4, 16).transpose(1, 0, 2)  # (m, n_codes, sub_dim)
-    qrows = e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
-    q_ids = [r["vec_id"] for r in qrows]
-    q_vecs = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    from lagom_kinesis_spark.operators.similarity import pq_adc_topk
+    from lagom_kinesis_spark.operators.similarity import (
+        embedding_query_panel,
+        pq_adc_topk,
+    )
 
+    q_ids, _, q_vecs = embedding_query_panel(sf_dir, 5)
     return pq_adc_topk(e, codebooks, q_ids, q_vecs, k=10)
 
 
@@ -1858,16 +1855,14 @@ def sim_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from lagom_kinesis_spark.operators.similarity import (
+        embedding_query_panel,
         pq_adc_topk,
         train_pq_codebooks,
     )
 
     e = load(spark, sf_dir, "embeddings")
-    qrows = (
-        e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
-    )  # bounded query set, as sim_topk_cosine
-    q_ids = [r["vec_id"] for r in qrows]
-    q_vecs = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    # bounded panel, driver-side footer read (no Spark job; r9)
+    q_ids, _, q_vecs = embedding_query_panel(sf_dir, 5)
     trained = train_pq_codebooks(e)
 
     # In-sample quantization MSE of a codebook over the SAME md5-ordered
@@ -2000,15 +1995,16 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped past the encoding projection."""
     import numpy as np
 
-    from lagom_kinesis_spark.operators.similarity import ivfpq_topk
+    from lagom_kinesis_spark.operators.similarity import (
+        embedding_query_panel,
+        ivfpq_topk,
+    )
 
     e = load(spark, sf_dir, "embeddings")
     S = md5_sample_matrix(e, 8)  # 8 × dim — model-sized driver-safe collect
     Sn = S / np.linalg.norm(S, axis=1, keepdims=True)
     codebooks = Sn.reshape(8, 4, 16).transpose(1, 0, 2)
-    qrows = e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
-    q_ids = [r["vec_id"] for r in qrows]
-    q_vecs = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    q_ids, _, q_vecs = embedding_query_panel(sf_dir, 5)
     return ivfpq_topk(e, S, codebooks, q_ids, q_vecs, k=10, n_probe=2)
 
 
@@ -2462,6 +2458,7 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from lagom_kinesis_spark.operators.similarity import (
         batch_topk_cosine,
+        embedding_query_panel,
         ivf_topk,
     )
 
@@ -2470,11 +2467,8 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = ivf_topk(e, C, F.col("vec_id") < 5, k=10, n_probe=2).select(
         "q_id", "vec_id", F.lit(1).alias("hit")
     )
-    qrows = (
-        e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
-    )  # |Q| = 5 — bounded query panel
-    q_ids = [r["vec_id"] for r in qrows]
-    q_vecs = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    # |Q| = 5 — bounded panel, driver-side footer read (no Spark job; r9)
+    q_ids, _, q_vecs = embedding_query_panel(sf_dir, 5)
     scored = batch_topk_cosine(e, "vec_id", "embedding", q_ids, q_vecs, k=10)
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
     exact = (
@@ -2756,20 +2750,18 @@ def sim_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
 
-    qrows = (
-        e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
-    )  # |Q| = 5 — bounded query panel
+    from lagom_kinesis_spark.operators.similarity import embedding_query_panel
+
+    # |Q| = 5 — bounded panel, driver-side footer read (no Spark job; r9)
+    q_ids, q_raw, q_vecs = embedding_query_panel(sf_dir, 5)
     cn = np.asarray(C, dtype=np.float64)
     cn = cn / np.linalg.norm(cn, axis=1, keepdims=True)
     probe_rows = []
-    for r in qrows:
-        qv = np.asarray(r["embedding"], dtype=np.float64)
+    for qid, raw, qv in zip(q_ids, q_raw, q_vecs):
         cos = cn @ (qv / np.linalg.norm(qv))
         order = sorted(range(len(cos)), key=lambda c: (-r6_half_up(cos[c]), c))
         for cid in order[:2]:
-            probe_rows.append(
-                (int(r["vec_id"]), [float(x) for x in r["embedding"]], cid)
-            )
+            probe_rows.append((qid, raw, cid))
     probes = spark.createDataFrame(
         probe_rows, "q_id long, qv array<float>, cluster int"
     )

@@ -2030,16 +2030,14 @@ def emb_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     arm scans 16-wide slices, which at 100 TB is the actual saving being
     measured. Audit join is |queries|x10 rows. Oracle: the all-pairs
     phrasing with DuckDB list slicing."""
-    import numpy as np
-
-    from lagom_kinesis_spark.operators.similarity import batch_topk_cosine
+    from lagom_kinesis_spark.operators.similarity import (
+        batch_topk_cosine,
+        embedding_query_panel,
+    )
 
     e = load(spark, sf_dir, "embeddings")
-    qrows = (
-        e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
-    )  # |Q| = 5 — bounded query panel
-    q_ids = [r["vec_id"] for r in qrows]
-    q_full = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    # |Q| = 5 — bounded panel, driver-side footer read (no Spark job; r9)
+    q_ids, _, q_full = embedding_query_panel(sf_dir, 5)
     corpus16 = e.select(
         "vec_id", F.slice("embedding", 1, 16).alias("embedding")
     )
