@@ -545,6 +545,40 @@ def test_incremental_resume_second_round_reads_only_new_files(spark):
     assert rows2 == n_odd
 
 
+def test_stream_shuffle_partitions_volume_rule(monkeypatch):
+    """The volume rule is the r9 scale fix (state partitioning follows
+    input volume, clamp [8,16]); pin the formula at the boundary volumes
+    so a future edit can't silently serialize sf10 again."""
+    from lagom_kinesis_spark.queries import streaming_ops as so
+
+    cases = {1_000: 8, 100_000: 8, 5_000_000: 8, 6_250_000: 10, 10_000_000: 16,
+             100_000_000: 16}
+    for rows, want in cases.items():
+        monkeypatch.setattr(so, "_events_num_rows", lambda _sf, r=rows: r)
+        assert so.stream_shuffle_partitions("/any") == want, rows
+
+
+def test_parts_hint_consumed_once(spark):
+    """The one-shot hint must apply to exactly the next memory_sink_table
+    run and never leak (a stale hint would repartition an unrelated tiny
+    custom-source query)."""
+    from lagom_kinesis_spark.streaming import topics
+
+    topics.hint_stream_shuffle_partitions(11)
+    assert topics._PARTS_HINT == "11"
+    df = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "1")
+        .load()
+        .groupBy("value")
+        .count()
+    )
+    # run a trivial bounded query through the sink; rate + availableNow
+    # terminates after one batch
+    topics.memory_sink_table(df, "complete")
+    assert topics._PARTS_HINT is None
+
+
 def test_bench_stream_steady_state_contract(spark):
     """bench.py's steady-state metric is a per-round driver artifact; a
     broken implementation degrades to a silent {} in the JSON (main()
