@@ -2224,3 +2224,62 @@ def pipeline_source_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_kept"),
         F.sum("n_chars").cast("long").alias("kept_chars"),
     )
+
+
+@register(
+    "sample_temporal_split",
+    oracle=events_cte(
+        """
+    , bounds AS (
+      SELECT MIN(epoch_us(ts)) AS lo,
+             MIN(epoch_us(ts)) + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) * 4 // 5
+               AS cutoff
+      FROM events
+    )
+    SELECT CASE WHEN epoch_us(ts) < cutoff THEN 'train' ELSE 'eval' END AS split,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events CROSS JOIN bounds
+    GROUP BY split
+    """
+    ),
+    # "cross" = the deliberate 1-row bounds broadcast (audit exemption).
+    tags=("llm", "pipeline", "sample", "cross"),
+)
+def sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/eval split — the leakage-safe alternative to hash
+    splitting for time-dependent data (forecasting, recommendation,
+    behavior models): everything before the cutoff trains, everything
+    after evaluates, so the model never sees the future. The cutoff is
+    the 80% point of the observed time span, computed IN-PLAN as exact
+    integer microseconds (a 1-row broadcast aggregate — no driver
+    round-trip, no float quantile whose rounding could flip a boundary
+    row between engines). The per-split distinct-user count is the
+    overlap report that tells you whether user-level leakage needs a
+    second split dimension.
+
+    Scale: one column-pruned bounds scan + one map-side classification
+    fused into the main scan + a 2-group aggregate — two passes, no
+    wide shuffle (the distinct rides a (split, user) partial)."""
+    from lagom_kinesis_spark.catalog import normalize_event_ts
+
+    e = normalize_event_ts(load(spark, sf_dir, "events"))
+    us = F.unix_micros(F.col("ts"))
+    bounds = e.agg(
+        (
+            F.min(us)
+            + ((F.max(us) - F.min(us)) * F.lit(4)).cast("long") / F.lit(5)
+        )
+        .cast("long")
+        .alias("cutoff")
+    )
+    split = F.when(us < F.col("cutoff"), "train").otherwise("eval")
+    return (
+        e.crossJoin(F.broadcast(bounds))
+        .select(split.alias("split"), "user_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -432,6 +432,102 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_semi_join",
+    oracle=events_cte(
+        """
+    , clicks AS (SELECT event_id AS click_id, user_id, ts FROM events
+                 WHERE event_type = 'click'),
+      purchases AS (SELECT user_id, ts FROM events
+                    WHERE event_type = 'purchase')
+    SELECT c.click_id FROM clicks c
+    WHERE EXISTS (
+      SELECT 1 FROM purchases p
+      WHERE p.user_id = c.user_id
+        AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 10 MINUTE
+    )
+    """
+    ),
+    tags=("streaming", "join"),
+)
+def stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI join: clicks that convert within 10
+    minutes, emitted ONCE regardless of how many purchases match — the
+    existence-check shape (an inner join would fan out per match and
+    need a downstream dedup carrying its own state). Completes the
+    stream-join matrix next to inner/left/full outer. Both sides
+    watermarked, the time-range condition bounds both state stores —
+    same 100 TB state contract as the inner join."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_semi",
+    ).select("click_id")
+    return memory_sink_table(joined, "append")
+
+
+@register(
+    "stream_key_compaction",
+    oracle=events_cte(
+        """
+    SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+           value AS last_value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """
+    ),
+    tags=("streaming", "stateful"),
+)
+def stream_key_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-style key compaction as a streaming aggregate: the LATEST
+    record per key, maintained incrementally — the changelog→table
+    materialization every CDC consumer builds (contrast
+    stream_watermark_dedup, which keeps the FIRST occurrence). One
+    ``max_by`` over a (ts, event_id) struct: per-key state is exactly one
+    row forever, merge-order free, and the event_id tiebreak makes the
+    compacted table deterministic under equal timestamps on both
+    engines."""
+    s = events_stream(spark, sf_dir)
+    last = F.max_by(
+        F.struct("ts", "event_type", "value"), F.struct("ts", "event_id")
+    ).alias("l")
+    compacted = (
+        s.groupBy("user_id")
+        .agg(last)
+        .select(
+            "user_id",
+            F.col("l.ts").alias("last_ts"),
+            F.col("l.event_type").alias("last_event_type"),
+            F.col("l.value").alias("last_value"),
+        )
+    )
+    return memory_sink_table(compacted, "complete")
+
+
+@register(
     "stream_static_join",
     oracle=events_cte(
         """
