@@ -2283,3 +2283,81 @@ def sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@register(
+    "mix_token_budget_allocation",
+    oracle="""
+    WITH stats AS (
+      SELECT source,
+             CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS t FROM stats),
+    alloc AS (
+      SELECT source, tokens,
+             (t // 2) * tokens // t AS base,
+             ((t // 2) * tokens) % t AS rem,
+             t
+      FROM stats CROSS JOIN tot
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+             (t // 2) - SUM(base) OVER () AS leftover
+      FROM alloc
+    )
+    SELECT source, tokens,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS quota
+    FROM ranked
+    """,
+    # "cross" = the 1-row corpus-total broadcast (audit exemption).
+    tags=("llm", "pipeline", "mix", "cross"),
+)
+def mix_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation across sources by the LARGEST-REMAINDER
+    method — the planning step that turns 'train on 50% of the corpus,
+    proportionally by source' into per-source integer quotas that sum to
+    the budget EXACTLY. Naive floor(B·t_s/T) under-allocates by up to
+    |sources|−1 tokens and float rounding can over-allocate; largest
+    remainder distributes the shortfall to the sources with the biggest
+    truncated fraction, all in exact int64 arithmetic (remainders are
+    compared as (B·t_s) mod T — no float ever enters, so no engine can
+    disagree at a boundary).
+
+    Scale: one token-count aggregate over the corpus (map-side partial),
+    then all window work happens on the |sources|-row stats relation —
+    the global rank window is over the mixture table, never the data."""
+    d = load(spark, sf_dir, "documents")
+    tok = F.size(F.split(F.lower("text"), " "))
+    stats = d.groupBy("source").agg(
+        F.sum(tok).cast("long").alias("tokens")
+    )
+    tot = stats.agg(F.sum("tokens").cast("long").alias("t"))
+    alloc = stats.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        F.expr("(t div 2) * tokens div t").alias("base"),
+        F.expr("((t div 2) * tokens) % t").alias("rem"),
+        "t",
+    )
+    w_all = W.orderBy(F.col("rem").desc(), "source")
+    ranked = alloc.select(
+        "source",
+        "tokens",
+        "base",
+        F.row_number().over(w_all).alias("rk"),
+        (
+            F.expr("t div 2") - F.sum("base").over(W.partitionBy())
+        ).alias("leftover"),
+    )
+    return ranked.select(
+        "source",
+        "tokens",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("quota"),
+    )

@@ -551,6 +551,90 @@ def scan_json_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_csv_dropmalformed",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n,
+           round(SUM(s_acctbal), 6) AS total_acctbal
+    FROM supplier GROUP BY s_nationkey
+    """,
+    tags=("scan", "csv"),
+)
+def scan_csv_dropmalformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV DROPMALFORMED mode: rows that fail type parsing are silently
+    dropped at the scan — the third parse posture next to PERMISSIVE
+    (+corrupt-record column, `scan_csv_permissive_corrupt`) and the
+    default FAILFAST-on-demand. The fixture prep plants a file of
+    garbage lines alongside the valid export; the aggregate must equal
+    the clean source exactly — the garbage must vanish WITHOUT failing
+    the scan. At 100 TB this is the 'ingest the feed, quarantine
+    nothing, count what parsed' posture; PERMISSIVE+corrupt-column is
+    the auditable one.
+
+    Caveat this query pins deliberately: with CSV column pruning (the
+    default) malformed detection applies to the PARSED columns only —
+    a wrong-arity line or a type error in an unprojected column sails
+    through as nulls. The planted rows therefore carry type failures in
+    the projected columns themselves (the semantics a user actually
+    gets); rows relying on arity checks would need
+    spark.sql.csv.parser.columnPruning.enabled=false."""
+    import os
+
+    tmp = io_scratch("supplier_csv_malformed", sf_dir, source="supplier")
+    marker = os.path.join(tmp, "zz_bad.csv")
+    if not os.path.exists(marker):
+        load(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+        ).write.mode("overwrite").csv(tmp)
+        # malformed rows: type failures in the projected (parsed)
+        # columns — written AFTER the csv job so the dir carries both
+        with open(marker, "w") as f:
+            f.write("10000001,Bad One,xx,12.5\n")
+            f.write("10000002,Bad Two,5,notadouble\n")
+            f.write("10000003,Bad Three,yy,zz\n")
+    back = (
+        spark.read.schema(
+            "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+        )
+        .option("mode", "DROPMALFORMED")
+        .csv(tmp)
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n"),
+        r6(F.sum("s_acctbal")).alias("total_acctbal"),
+    )
+
+
+@register(
+    "sink_parquet_max_records_per_file",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("sink", "parquet"),
+)
+def sink_parquet_max_records_per_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-size governance on write: ``maxRecordsPerFile`` caps every
+    output file, turning a skewed task's giant part-file into several
+    bounded ones — the writer-side half of the small/large-files problem
+    (the reader-side half is maxPartitionBytes). At 100 TB unbounded
+    part-files break downstream readers' parallelism and retries; this
+    is the knob that bounds them without an extra repartition job. The
+    file-count contract is pinned in tests/test_operators.py; the query
+    verifies the roundtrip content exactly."""
+    tmp = io_scratch("orders_maxrec", sf_dir, source="orders")
+    load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    ).write.mode("overwrite").option("maxRecordsPerFile", 1000).parquet(tmp)
+    back = spark.read.parquet(tmp)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@register(
     "sink_parquet_partitioned",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n,

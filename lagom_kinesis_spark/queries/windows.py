@@ -761,3 +761,68 @@ def win_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.size(F.collect_set("user_id").over(w)).alias("distinct_users_10"),
     )
+
+
+@register(
+    "win_conditional_streak",
+    oracle=events_cte(
+        """
+    , marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = lag(event_type) OVER w THEN 0 ELSE 1 END
+               AS new_island
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), islands AS (
+      SELECT user_id,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS island_id
+      FROM marked
+    ), streaks AS (
+      SELECT user_id, island_id, COUNT(*) AS len
+      FROM islands GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           COUNT(*) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """
+    ),
+    tags=("window",),
+)
+def win_conditional_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive same-value run per key (value-change
+    gaps-and-islands) — the streak metric behind habit/engagement
+    features ('longest run of the same action'). The CONDITION-change
+    variant of sessionization's time-gap islands: island boundaries are
+    value transitions, not silent gaps.
+
+    Plan shape: the island marking and numbering ride ONE user-keyed
+    exchange+sort (two window expressions over the same spec), then two
+    shrinking aggregates whose keys contain user_id — partial-agg
+    friendly at any key cardinality. Ties at identical ts are pinned by
+    event_id so the lag comparison is a total order on both engines."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == F.lag("event_type").over(w), 0
+        )
+        .otherwise(1)
+        .alias("new_island"),
+    )
+    islands = marked.select(
+        "user_id", F.sum("new_island").over(wrun).alias("island_id")
+    )
+    streaks = islands.groupBy("user_id", "island_id").agg(
+        F.count("*").alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+    )

@@ -726,3 +726,26 @@ def test_connected_components_rejects_zero_iterations(spark):
 
     with _pytest.raises(ValueError, match="max_iter"):
         connected_components(pairs, max_iter=0)
+
+
+def test_max_records_per_file_bounds_every_part_file(spark):
+    """sink_parquet_max_records_per_file's file-count contract (not
+    SQL-oracle-able): every part file must hold <= the cap, so the file
+    count is >= ceil(rows/cap)."""
+    import glob
+    import math
+    import os
+
+    import pyarrow.parquet as pq
+
+    from lagom_kinesis_spark.catalog import io_scratch, load
+    from lagom_kinesis_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    all_queries()["sink_parquet_max_records_per_file"].fn(spark, sf).collect()
+    tmp = io_scratch("orders_maxrec", sf, source="orders")
+    files = glob.glob(os.path.join(tmp, "*.parquet"))
+    n_rows = load(spark, sf, "orders").count()
+    assert len(files) >= math.ceil(n_rows / 1000)
+    for f in files:
+        assert pq.ParquetFile(f).metadata.num_rows <= 1000, f
