@@ -526,3 +526,74 @@ def behavior_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         r6(F.col("dau") / F.col("wau").cast("double")).alias("stickiness"),
     )
+
+
+@register(
+    "behavior_attribution_first_touch",
+    oracle=events_cte(
+        """
+    , ev AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ), marked AS (
+      SELECT event_id, event_type,
+             MIN(CASE WHEN event_type = 'click'
+                      THEN CAST(us AS HUGEINT) * 100000000 + event_id
+                 END) OVER w AS packed
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id AS purchase_id,
+           CAST(packed % 100000000 AS BIGINT) AS click_id
+    FROM marked WHERE event_type = 'purchase'
+    """
+    ),
+    tags=("behavior", "attribution"),
+)
+def behavior_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-touch attribution — the other canonical credit model next to
+    `behavior_attribution_last_touch`: each purchase is credited to the
+    EARLIEST click inside its 1-hour lookback (NULL when organic). Last
+    touch is a running-last over a growing frame; first touch needs the
+    earliest event after a MOVING boundary, which is exactly a
+    RANGE-interval frame: one window, `RANGE 1 hour PRECEDING`, min over
+    the frame. Same-microsecond clicks are included (peer rows) on both
+    engines by RANGE semantics, and determinism among tied-earliest
+    clicks comes from packing (µs, event_id) into ONE wide-integer min:
+    epoch-µs × 1e8 + event_id overflows int64 (~1.7e23), so the pack is
+    DECIMAL(38,0) on the Spark side and HUGEINT in the oracle — exact
+    integers both ways, compared identically; event_id < 1e8 by fixture
+    contract keeps the two fields disjoint.
+
+    Scale: identical envelope to every behavior query — one user-keyed
+    exchange + sort, zero joins, one output row per purchase."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    us = F.unix_micros(F.col("ts"))
+    is_click = F.col("event_type") == "click"
+    packed = F.when(
+        is_click,
+        us.cast("decimal(38,0)") * F.lit(100000000).cast("decimal(38,0)")
+        + F.col("event_id").cast("decimal(38,0)"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        e.select(
+            "event_id",
+            "event_type",
+            F.min(packed).over(w).alias("packed"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            (F.col("packed") % F.lit(100000000).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("click_id"),
+        )
+    )
