@@ -597,3 +597,81 @@ def behavior_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFr
             .alias("click_id"),
         )
     )
+
+
+@register(
+    "behavior_session_entry_exit",
+    oracle=events_cte(
+        """
+    , flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT)
+                  AS session_seq
+      FROM flagged
+    ),
+    bounded AS (
+      SELECT user_id, session_seq,
+             arg_min(event_type,
+                     CAST(epoch_us(ts) AS HUGEINT) * 100000000 + event_id)
+               AS entry_type,
+             arg_max(event_type,
+                     CAST(epoch_us(ts) AS HUGEINT) * 100000000 + event_id)
+               AS exit_type,
+             COUNT(*) AS n_events
+      FROM sessions GROUP BY 1, 2
+    )
+    SELECT entry_type, exit_type,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS total_events
+    FROM bounded GROUP BY entry_type, exit_type
+    """
+    ),
+    tags=("behavior", "window"),
+)
+def behavior_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session entry/exit-action matrix — 'what do sessions start and end
+    with' (landing vs exit pages in web analytics; the drop-off report
+    funnels summarize away). Composes the 30-min gap sessionization with
+    per-session min_by/max_by over the (ts, event_id) order, then a
+    |event_types|²-bounded aggregate — the output never grows with the
+    corpus.
+
+    Same plan envelope as every sessionization: two window passes over
+    ONE user-keyed exchange, a (user, session) aggregate whose keys
+    contain the partition key, then the tiny matrix rollup. The
+    (ts, event_id) argmin/argmax tiebreak makes entry/exit total orders
+    on both engines."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sessions = flagged.withColumn("session_seq", F.sum("is_new").over(run))
+    order_key = F.struct("ts", "event_id")
+    bounded = sessions.groupBy("user_id", "session_seq").agg(
+        F.min_by("event_type", order_key).alias("entry_type"),
+        F.max_by("event_type", order_key).alias("exit_type"),
+        F.count("*").alias("n_events"),
+    )
+    return bounded.groupBy("entry_type", "exit_type").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("total_events"),
+    )

@@ -492,6 +492,71 @@ def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_text_wholefile",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_files,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id % 25 = 0 AND doc_id < 50000 GROUP BY lang
+    """,
+    tags=("scan", "text"),
+)
+def scan_text_wholefile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``wholetext`` ingestion: one FILE = one record, newlines preserved —
+    the document-per-file corpus layout (crawl dumps exploded to files,
+    books, transcripts) where line-oriented text() would shred every
+    document. File identity rides the path: lang is encoded in the
+    filename and recovered with input_file_name(), the standard pattern
+    for metadata-in-layout corpora. Fixture prep materializes a bounded
+    1-in-25 document sample as real files (driver-side, ≤n_docs/25
+    writes, cached on the fixture fingerprint via io_scratch); the read
+    side is the distributed part. Scale caveat pinned by the pattern
+    itself: wholetext makes a file the split unit, so the layout must be
+    many files — exactly what doc-per-file is. The sample is capped at
+    2000 files (doc_id < 50000) so the prep collect is BOUNDED at every
+    scale, not merely proportional."""
+    import os
+
+    d = load(spark, sf_dir, "documents")
+    tmp = io_scratch("documents_wholefile", sf_dir, source="documents")
+    marker = os.path.join(tmp, "_DOCS_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(tmp, exist_ok=True)
+        # bounded sample (doc_id % 25) written as one file per document;
+        # newline content survives wholetext where text() would split it
+        rows = (
+            d.filter((F.col("doc_id") % 25 == 0) & (F.col("doc_id") < 50000))
+            .select("doc_id", "lang", "text")
+            .collect()
+        )  # ≤2000 rows by the doc_id cap — bounded fixture prep
+        for r in rows:
+            with open(
+                os.path.join(tmp, f"{r['lang']}__{r['doc_id']}.txt"),
+                "w",
+                encoding="utf-8",
+            ) as f:
+                f.write(r["text"])
+        with open(marker, "w") as f:
+            f.write(str(len(rows)))
+    back = (
+        spark.read.option("wholetext", True)
+        .text(os.path.join(tmp, "*.txt"))
+        .select(
+            F.regexp_extract(
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+                r"^([a-z]+)__",
+                1,
+            ).alias("lang"),
+            F.length("value").alias("n_chars"),
+        )
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_files"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@register(
     "scan_csv_roundtrip",
     oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
     tags=("scan", "csv"),
