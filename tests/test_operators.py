@@ -749,3 +749,39 @@ def test_max_records_per_file_bounds_every_part_file(spark):
     assert len(files) >= math.ceil(n_rows / 1000)
     for f in files:
         assert pq.ParquetFile(f).metadata.num_rows <= 1000, f
+
+
+def test_token_budget_allocation_sums_exactly_to_budget(spark):
+    """Largest-remainder's whole point: per-source integer quotas sum to
+    floor(total/2) EXACTLY (floor-only under-allocates, float rounding
+    can over-allocate), and every quota stays within ±1 of its
+    proportional share."""
+    from pyspark.sql import functions as F
+
+    from lagom_kinesis_spark.catalog import load
+    from lagom_kinesis_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    out = all_queries()["mix_token_budget_allocation"].fn(spark, sf).collect()
+    total = sum(r["tokens"] for r in out)
+    budget = total // 2
+    assert sum(r["quota"] for r in out) == budget
+    for r in out:
+        exact = budget * r["tokens"] / total
+        assert exact - 1 < r["quota"] < exact + 1, (r, exact)
+
+
+def test_temporal_split_partitions_every_event(spark):
+    """The temporal split must be a PARTITION: train + eval event counts
+    equal the table exactly (a boundary row falling out of both splits is
+    the float-cutoff bug the integer-µs formulation exists to prevent)."""
+    from lagom_kinesis_spark.catalog import load
+    from lagom_kinesis_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    out = {
+        r["split"]: r["n_events"]
+        for r in all_queries()["sample_temporal_split"].fn(spark, sf).collect()
+    }
+    assert set(out) == {"train", "eval"}
+    assert sum(out.values()) == load(spark, sf, "events").count()
