@@ -2265,13 +2265,11 @@ def sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = normalize_event_ts(load(spark, sf_dir, "events"))
     us = F.unix_micros(F.col("ts"))
-    bounds = e.agg(
-        (
-            F.min(us)
-            + ((F.max(us) - F.min(us)) * F.lit(4)).cast("long") / F.lit(5)
-        )
-        .cast("long")
-        .alias("cutoff")
+    # Integer `div`, not float `/`: the span is non-negative so long div
+    # equals DuckDB's floor-div `// 5` at ANY magnitude — the previous
+    # double division only matched because epoch_us < 2^53 (ADVICE r9).
+    bounds = e.agg(F.min(us).alias("lo"), F.max(us).alias("hi")).select(
+        (F.col("lo") + F.expr("((hi - lo) * 4L) div 5")).alias("cutoff")
     )
     split = F.when(us < F.col("cutoff"), "train").otherwise("eval")
     return (
@@ -2296,8 +2294,8 @@ def sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS t FROM stats),
     alloc AS (
       SELECT source, tokens,
-             (t // 2) * tokens // t AS base,
-             ((t // 2) * tokens) % t AS rem,
+             CAST((CAST(t AS HUGEINT) // 2) * tokens // t AS BIGINT) AS base,
+             ((CAST(t AS HUGEINT) // 2) * tokens) % t AS rem,
              t
       FROM stats CROSS JOIN tot
     ),
@@ -2321,9 +2319,14 @@ def mix_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the budget EXACTLY. Naive floor(B·t_s/T) under-allocates by up to
     |sources|−1 tokens and float rounding can over-allocate; largest
     remainder distributes the shortfall to the sources with the biggest
-    truncated fraction, all in exact int64 arithmetic (remainders are
+    truncated fraction, all in exact WIDE-integer arithmetic: the product
+    B·t_s overflows int64 once T·t_s ≥ 2^63 (~9.2e18 tokens² — reachable
+    at corpus scale), so the base/remainder math runs in DECIMAL(38,0) on
+    the Spark side and HUGEINT in the oracle (the same wide-integer
+    pattern as behavior_attribution_first_touch; exact up to B·t_s <
+    1e38, i.e. any corpus whose token count fits int64). Remainders are
     compared as (B·t_s) mod T — no float ever enters, so no engine can
-    disagree at a boundary).
+    disagree at a boundary.
 
     Scale: one token-count aggregate over the corpus (map-side partial),
     then all window work happens on the |sources|-row stats relation —
@@ -2334,11 +2337,22 @@ def mix_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(tok).cast("long").alias("tokens")
     )
     tot = stats.agg(F.sum("tokens").cast("long").alias("t"))
+    # DECIMAL(38,0) product: (t div 2) * tokens < 1e38 for any int64 token
+    # total, where the int64 product overflows at ~2^63. rem = prod % t is
+    # exact (BigDecimal remainder); base = (prod - rem) / t divides evenly,
+    # so the scale-6 decimal quotient is an exact integer — no rounded
+    # division ever feeds a comparison.
+    prod = F.expr(
+        "CAST(t div 2 AS DECIMAL(38,0)) * CAST(tokens AS DECIMAL(38,0))"
+    )
+    remd = prod % F.col("t").cast("decimal(38,0)")
     alloc = stats.crossJoin(F.broadcast(tot)).select(
         "source",
         "tokens",
-        F.expr("(t div 2) * tokens div t").alias("base"),
-        F.expr("((t div 2) * tokens) % t").alias("rem"),
+        ((prod - remd) / F.col("t").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("base"),
+        remd.alias("rem"),
         "t",
     )
     w_all = W.orderBy(F.col("rem").desc(), "source")

@@ -542,9 +542,16 @@ def scan_text_wholefile(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.option("wholetext", True)
         .text(os.path.join(tmp, "*.txt"))
         .select(
-            F.regexp_extract(
-                F.element_at(F.split(F.input_file_name(), "/"), -1),
-                r"^([a-z]+)__",
+            # Split the basename on the literal '__' delimiter the writer
+            # used (not a [a-z]+ regex): a lang like 'zh_CN' or 'en-US'
+            # round-trips exactly instead of silently extracting ''
+            # (ADVICE r9). element_at(.., 1) is total here — the writer
+            # always emits 'lang__docid.txt', so the split has ≥2 parts.
+            F.element_at(
+                F.split(
+                    F.element_at(F.split(F.input_file_name(), "/"), -1),
+                    "__",
+                ),
                 1,
             ).alias("lang"),
             F.length("value").alias("n_chars"),

@@ -171,8 +171,11 @@ def _events_num_rows(sf_dir: str) -> int:
         key = None
     if key is not None and key in _EVENTS_ROWS_CACHE:
         return _EVENTS_ROWS_CACHE[key]
+    # Recursive glob: a nested/partitioned fixture layout (key=... dirs)
+    # must count its leaf files, not silently see 0 rows and floor the
+    # stream-partition rule to 8 at any scale (ADVICE r9).
     files = (
-        sorted(glob.glob(os.path.join(p, "*.parquet")))
+        sorted(glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
         if os.path.isdir(p)
         else [p]
     )

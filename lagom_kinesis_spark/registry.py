@@ -93,9 +93,11 @@ def register(
             # A volume hint left by a query that sourced events_stream but
             # sank outside memory_sink_table must not leak into this one.
             try:
-                from lagom_kinesis_spark.streaming import topics as _topics
+                from lagom_kinesis_spark.streaming.topics import (
+                    clear_stream_shuffle_hint,
+                )
 
-                _topics._PARTS_HINT = None
+                clear_stream_shuffle_hint()
             except Exception:
                 pass
             _periodic_gc(spark)

@@ -658,6 +658,17 @@ def hint_stream_shuffle_partitions(n: int) -> None:
     _PARTS_HINT = str(int(n))
 
 
+def clear_stream_shuffle_hint() -> None:
+    """Drop any pending one-shot partition hint. The public reset for
+    callers outside this module (the registry wrapper clears a hint left
+    by a query that sourced events_stream but sank outside
+    memory_sink_table) — keeping knowledge of _PARTS_HINT's lifecycle in
+    one place instead of letting callers poke the private global
+    (ADVICE r9)."""
+    global _PARTS_HINT
+    _PARTS_HINT = None
+
+
 def memory_sink_table(df: DataFrame, output_mode: str = "append") -> DataFrame:
     """Run a (bounded) streaming DataFrame to completion into a memory sink
     and return the result table — the harness device for batch-equivalence
