@@ -169,6 +169,105 @@ def _time_duck(qs, names, sf_dir: str) -> dict[str, float]:
     return duck_times
 
 
+def _burn_unit(n: int = 1_000_000) -> float:
+    """One calibrated CPU burn unit (n chained md5 digests) — the worker
+    for _contention_probe. Self-timed so pool spawn/teardown never lands
+    inside the measurement. Top-level for multiprocessing pickling."""
+    import hashlib
+    import time as _t
+
+    t0 = _t.time()
+    h = b"x"
+    for _ in range(n):
+        h = hashlib.md5(h).digest()
+    return _t.time() - t0
+
+
+def _contention_probe(n_hashes: int = 1_000_000) -> dict:
+    """Calibrated hypervisor-contention probe (VERDICT r9 ask #2).
+
+    Round 9 proved host-level CPU steal can inflate a whole driver bench
+    15-30% while every conventional guest-side diagnostic reads clean
+    (free memory, zero PSI pressure, no competing process). The detector
+    that worked — a 32-way burn of fixed work compared against the
+    single-process per-unit time, plus the /proc/stat steal column
+    sampled across the burn — lived in session notes; this puts it in
+    the protocol so a contended run is machine-detectable, not
+    forensically reconstructed.
+
+    Returns {} on any failure (non-Linux, fork unavailable) — the bench
+    must never die for its own diagnostics. Fields:
+    - single_unit_s: one burn unit, one process (clock-speed reference).
+    - parallel_unit_max_s: slowest of ncpu simultaneous units — under
+      steal every unit stretches; under SMT/turbo it stretches a fixed,
+      machine-characteristic amount.
+    - effective_cores: ncpu * single/parallel_max. NOT a contention
+      signal by itself: 32 vCPUs are 16 physical cores with SMT, so the
+      CLEAN value on this box is ~19-21 (r10 idle-window calibration:
+      single 0.51 s, parallel-mean 0.76 s, steal 1.2-1.6%) — the SMT
+      stretch, not steal. Recorded because its round-over-round drift IS
+      meaningful at fixed hardware.
+    - steal_pct: /proc/stat steal share across the burn window (steal
+      only accrues while vCPUs are runnable, so sampling across a full
+      burn is the honest read; near-idle steal under-reports).
+    - contended: steal_pct > 5%, or the single-unit time > 1.25x the
+      clean-window reference (r9's contended window read 0.76 s against
+      the 0.51 s clean reference — the single-thread clock is the
+      purest steal detector since SMT never touches it). Reference
+      overridable via SPARK_GRAFT_BURN_REF_S for other hardware.
+    """
+    import multiprocessing as mp
+
+    try:
+        def steal_snap() -> tuple[int, int] | None:
+            try:
+                with open("/proc/stat") as f:
+                    vals = [int(x) for x in f.readline().split()[1:]]
+            except (OSError, ValueError):
+                return None
+            return sum(vals), (vals[7] if len(vals) > 7 else 0)
+
+        ncpu = os.cpu_count() or 1
+        # fork context: 32 spawn starts would stagger the burn ~1s and
+        # let early finishers donate cores to late starters, hiding
+        # contention. The JVM is a child PROCESS (py4j socket), not
+        # in-process state, so forking the Python driver is safe here —
+        # the children touch only hashlib/time.
+        ctx = mp.get_context("fork")
+        with ctx.Pool(1) as pool:
+            t_single = min(
+                pool.apply(_burn_unit, (n_hashes,)) for _ in range(2)
+            )
+        a = steal_snap()
+        with ctx.Pool(ncpu) as pool:
+            units = pool.map(_burn_unit, [n_hashes] * ncpu)
+        b = steal_snap()
+        t_par = max(units)
+        eff = round(ncpu * t_single / t_par, 1) if t_par > 0 else None
+        steal_pct = None
+        if a is not None and b is not None and b[0] > a[0]:
+            steal_pct = round(100.0 * (b[1] - a[1]) / (b[0] - a[0]), 2)
+        ref = float(os.environ.get("SPARK_GRAFT_BURN_REF_S", "0.51"))
+        out = {
+            "ncpu": ncpu,
+            "single_unit_s": round(t_single, 3),
+            "single_unit_ref_s": ref,
+            "parallel_unit_max_s": round(t_par, 3),
+            "parallel_unit_mean_s": round(sum(units) / len(units), 3),
+            "effective_cores": eff,
+            "steal_pct": steal_pct,
+            "contended": bool(
+                (steal_pct is not None and steal_pct > 5.0)
+                or t_single > 1.25 * ref
+            ),
+        }
+        print(f"# contention probe: {out}", file=sys.stderr)
+        return out
+    except Exception as e:  # noqa: BLE001 — diagnostics must not kill runs
+        print(f"# contention probe skipped: {e}", file=sys.stderr)
+        return {}
+
+
 def _cpu_busy_fraction(sample_s: float = 0.5) -> float | None:
     """Instantaneous busy fraction from two /proc/stat samples. None when
     /proc/stat is unreadable (non-Linux)."""
@@ -235,6 +334,7 @@ def _settle_load(threshold: float = 2.0, max_wait_s: float = 300.0) -> None:
 
 def main() -> None:
     _settle_load()
+    probe_pre = _contention_probe()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # Parse the scale factor up front and degrade to the raw string for
     # fixture dirs that don't end in sf<number> — a ValueError inside the
@@ -330,6 +430,18 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001 — metric is best-effort
                 print(f"# steady-state [{shp}] skipped: {e}", file=sys.stderr)
 
+    probe_post = _contention_probe()
+    contended = bool(
+        probe_pre.get("contended") or probe_post.get("contended")
+    )
+    if contended:
+        print(
+            "# WARNING: contention probe flagged this run — seconds are "
+            "inflated by host-level CPU steal; compare ratios, not "
+            "absolutes, and prefer a re-run on a clean window.",
+            file=sys.stderr,
+        )
+
     ratios: dict[str, float | str] = {
         k: round(times[k] / duck_times[k], 2)
         for k in duck_times
@@ -382,6 +494,11 @@ def main() -> None:
                 ),
                 "transport": transport,
                 "stream_steady_state": steady,
+                "contention": {
+                    "pre": probe_pre,
+                    "post": probe_post,
+                    "contended": contended,
+                },
             }
         )
     )
@@ -392,6 +509,7 @@ def scaling_tier_main(sf_dir: str, tier_out: str) -> None:
     SparkSession + fresh DuckDB, TRAJECTORY queries timed under the
     headline protocol, result JSON to ``tier_out``."""
     _settle_load()  # tiers launch right after fixture builds / prior JVMs
+    probe_pre = _contention_probe()
     from lagom_kinesis_spark.registry import all_queries
     from lagom_kinesis_spark.session import get_spark
 
@@ -413,12 +531,21 @@ def scaling_tier_main(sf_dir: str, tier_out: str) -> None:
             steady[shp] = _stream_steady_state(spark, sf_dir, shape=shp)
         except Exception as e:  # noqa: BLE001
             print(f"# steady [{shp}] @ {sf_dir} skipped: {e}", file=sys.stderr)
+    probe_post = _contention_probe()
     with open(tier_out, "w") as f:
         json.dump(
             {
                 "spark": spark_t,
                 "duckdb": duck_t,
                 "stream_steady_state": steady,
+                "contention": {
+                    "pre": probe_pre,
+                    "post": probe_post,
+                    "contended": bool(
+                        probe_pre.get("contended")
+                        or probe_post.get("contended")
+                    ),
+                },
                 "ratio": {
                     k: (
                         round(spark_t[k] / duck_t[k], 2)
