@@ -2220,10 +2220,12 @@ def quality_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "text_bm25_topk",
-    oracle="""
-    WITH toks AS (
+#: The BM25 retrieval arm as DuckDB CTEs, shared verbatim between
+#: text_bm25_topk's oracle and sim_hybrid_rrf's lexical arm — one SQL
+#: derivation, impossible to desync (the _srp_bucket_sql pattern). ``bm``
+#: is the full per-doc score relation; top-k/rank policy stays with each
+#: consumer.
+_BM25_ARM_CTES = """toks AS (
       SELECT doc_id, len(string_split(lower(text), ' ')) AS dl,
              unnest(string_split(lower(text), ' ')) AS tok
       FROM documents
@@ -2238,14 +2240,21 @@ def quality_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(len(string_split(lower(text), ' '))) AS DOUBLE)
                / COUNT(*) AS avgdl
       FROM documents
-    )
-    SELECT doc_id, round(SUM(
-      ln(1.0 + (g.n_docs - s.df + 0.5) / (s.df + 0.5)) *
-      (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / g.avgdl))
-    ), 6) AS bm25
-    FROM tf JOIN stats s USING (tok) CROSS JOIN g
-    GROUP BY doc_id
-    ORDER BY bm25 DESC, doc_id LIMIT 15
+    ), bm AS (
+      SELECT doc_id, round(SUM(
+        ln(1.0 + (g.n_docs - s.df + 0.5) / (s.df + 0.5)) *
+        (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / g.avgdl))
+      ), 6) AS bm25
+      FROM tf JOIN stats s USING (tok) CROSS JOIN g
+      GROUP BY doc_id
+    )"""
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH {_BM25_ARM_CTES}
+    SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 15
     """,
     # "scalar": the only NLJ is the broadcast of the 1-row (N, avgdl)
     # global-statistics frame — bounded by construction.
@@ -2298,6 +2307,97 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(score), 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(15)
+    )
+
+
+@register(
+    "sim_hybrid_rrf",
+    oracle=f"""
+    WITH {_BM25_ARM_CTES},
+    lex AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+               AS r_lex
+      FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 15)
+    ),
+    qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             round(list_cosine_similarity(qv.v, e.embedding::DOUBLE[]), 6)
+               AS cos_sim
+      FROM embeddings e CROSS JOIN qv
+    ),
+    dense AS (
+      SELECT vec_id AS doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS INT)
+               AS r_dense
+      FROM scored
+      QUALIFY r_dense <= 15
+    )
+    SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+           l.r_lex, d.r_dense,
+           round(COALESCE(CAST(1 AS DOUBLE) / (60 + l.r_lex), 0)
+                 + COALESCE(CAST(1 AS DOUBLE) / (60 + d.r_dense), 0), 6)
+             AS rrf_score
+    FROM lex l FULL JOIN dense d ON l.doc_id = d.doc_id
+    """,
+    # "cross" = the deliberate 1-row query-vector broadcast in the dense
+    # arm's oracle; the Spark plan broadcasts the 1-vector query matrix
+    # into the Arrow matmul (sim_topk_cosine machinery).
+    tags=("llm", "similarity", "retrieval", "scalar", "cross"),
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via RECIPROCAL-RANK FUSION — the standard way a
+    RAG stack combines its lexical and dense arms (Cormack et al.'s
+    RRF, k=60): each arm contributes 1/(60+rank) for every candidate in
+    its top-15, candidates outside an arm contribute 0 from it, and the
+    fused score is the sum. Ranks are integer-exact row_numbers over
+    each arm's round-6 score (+ id tiebreak), so both engines produce
+    bit-identical fused doubles — the IEEE divisions and the one
+    addition see the same operands in the same order.
+
+    Arms: the lexical list is text_bm25_topk's plan verbatim (3-term
+    BM25, top-15); the dense list is the exact cosine top-15 for the
+    vec_id=0 query embedding on sim_topk_cosine's machinery (broadcast
+    query matrix, Arrow-batch matmul, per-batch partial top-k). The
+    oracle replays BOTH arms from the shared _BM25_ARM_CTES text and
+    the sim_topk_cosine scoring form, then fuses in SQL.
+
+    Scale: all fusion work happens on two ≤15-row frames (a full-outer
+    join of top-k lists — broadcast-trivial at any corpus size); the
+    corpus-sized work is exactly the two arms, each already the
+    scale-shaped plan its own query registered. At 100 TB the arms run
+    off prebuilt postings/ANN indexes and this fusion layer is
+    unchanged — that independence is the point of rank fusion."""
+    from lagom_kinesis_spark.operators.similarity import (
+        batch_topk_cosine,
+        embedding_query_panel,
+    )
+
+    lex = text_bm25_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("bm25").desc(), "doc_id"))
+        .alias("r_lex"),
+    )
+    e = load(spark, sf_dir, "embeddings")
+    # |Q| = 1 — the vec_id=0 query embedding, driver-side footer read
+    q_ids, _, q_vecs = embedding_query_panel(sf_dir, 1)
+    scored = batch_topk_cosine(e, "vec_id", "embedding", q_ids, q_vecs, k=15)
+    dense = (
+        scored.select("vec_id", r6(F.col("cos_sim")).alias("cos_sim"))
+        .withColumn(
+            "r_dense",
+            F.row_number().over(W.orderBy(F.col("cos_sim").desc(), "vec_id")),
+        )
+        .filter(F.col("r_dense") <= 15)
+        .select(F.col("vec_id").alias("doc_id"), "r_dense")
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.col("r_lex") + 60), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.col("r_dense") + 60), F.lit(0.0))
+    return lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id", "r_lex", "r_dense", r6(rrf).alias("rrf_score")
     )
 
 

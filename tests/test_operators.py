@@ -785,3 +785,29 @@ def test_temporal_split_partitions_every_event(spark):
     }
     assert set(out) == {"train", "eval"}
     assert sum(out.values()) == load(spark, sf, "events").count()
+
+
+def test_hybrid_rrf_fuses_both_arms_exactly(spark):
+    """RRF's contract: every row's score is EXACTLY the sum of its arm
+    contributions 1/(60+rank) (a candidate absent from an arm contributes
+    0), ranks are dense 1..15 within each arm, and any doc in both arms
+    outscores every single-arm doc of equal-or-worse ranks."""
+    sf = "/root/testdata/sf0.01"
+    rows = QS["sim_hybrid_rrf"].fn(spark, sf).collect()
+    assert rows, "empty fusion"
+    lex_ranks = sorted(r["r_lex"] for r in rows if r["r_lex"] is not None)
+    den_ranks = sorted(r["r_dense"] for r in rows if r["r_dense"] is not None)
+    assert lex_ranks == list(range(1, 16)), lex_ranks
+    assert den_ranks == list(range(1, 16)), den_ranks
+    for r in rows:
+        want = (1.0 / (60 + r["r_lex"]) if r["r_lex"] is not None else 0.0) + (
+            1.0 / (60 + r["r_dense"]) if r["r_dense"] is not None else 0.0
+        )
+        assert abs(r["rrf_score"] - want) < 1e-6, r
+    both = [r for r in rows if r["r_lex"] is not None and r["r_dense"] is not None]
+    single_best = max(
+        (r["rrf_score"] for r in rows if r["r_lex"] is None or r["r_dense"] is None),
+        default=0.0,
+    )
+    for r in both:
+        assert r["rrf_score"] > single_best - 1e-9, (r, single_best)
