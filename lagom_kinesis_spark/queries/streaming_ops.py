@@ -1470,6 +1470,171 @@ def stream_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return left.join(right, "lang")
 
 
+def neardup_stream_frame(raw: DataFrame, catalog: DataFrame) -> DataFrame:
+    """Shared core of stream_dedup_neardup (the 2-batch cross-batch-state
+    pytest drives it over a synthetic 2-file source): per-row portable
+    MinHash band keys → content-hash dedup STATE across micro-batches →
+    stream-static band-key joins against the history catalog → per-source
+    rollup. Returns the (unstarted) streaming aggregate.
+
+    The band-key array is projected BEFORE the dropDuplicates state
+    shuffle: the exchange materializes it, so the four post-dedup join
+    keys are array reads of shuffled data, not four re-inlined minhash
+    pipelines (projection collapse would re-derive an expression column
+    at every reference site)."""
+    from lagom_kinesis_spark.operators.similarity import (
+        portable_minhash_band_keys,
+    )
+    from lagom_kinesis_spark.operators.text import shingles, tokens
+
+    keyed = raw.select(
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        portable_minhash_band_keys(shingles(tokens("text"))).alias("ks"),
+    ).dropDuplicates(["source", "h"])
+    marked = keyed
+    flags = []
+    for b in range(4):
+        cat_b = F.broadcast(
+            catalog.select(
+                F.col("k").alias(f"k{b}"), F.lit(True).alias(f"kn{b}")
+            )
+        )
+        marked = marked.join(
+            cat_b,
+            F.element_at(F.col("ks"), b + 1) == F.col(f"k{b}"),
+            "left",
+        )
+        flags.append(F.col(f"kn{b}"))
+    known = F.coalesce(*flags, F.lit(False))
+    dup = F.count_if(known)
+    return marked.groupBy("source").agg(
+        F.count("*").alias("n_unique"),
+        dup.alias("n_neardup_hist"),
+        F.count_if(~known).alias("n_novel"),
+        r6(dup / F.count("*").cast("double")).alias("neardup_share"),
+    )
+
+
+def _neardup_oracle() -> str:
+    """DuckDB replay of the full streaming near-dup pipeline: the shared
+    portable band-key derivation (operators/similarity.portable_minhash_
+    band_keys_sql — same md5 fold, same seeds, same band layout), the
+    content-hash dedup as GROUP BY (source, h) (order-independent — ks is
+    text-derived, so every duplicate row carries the identical array),
+    and catalog membership as a list_intersect against history's
+    distinct keys."""
+    from lagom_kinesis_spark.operators.similarity import (
+        _hexfold_sql,
+        portable_minhash_band_keys_sql,
+    )
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, md5(text) AS h,
+             string_split(lower(text), ' ') AS w
+      FROM documents
+    ), sub AS (
+      SELECT doc_id, source, h,
+             list_distinct(list_transform(
+               range(1, greatest(len(w) - 1, 1)),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+      FROM toks
+    ), h0t AS (
+      SELECT doc_id, source, h,
+             CASE WHEN len(sh) = 0 THEN NULL
+                  ELSE list_transform(sh, s ->
+                         CAST({_hexfold_sql('s')} AS VARCHAR))
+             END AS h0
+      FROM sub
+    ), keyed AS (
+      SELECT doc_id, source, h,
+             CASE WHEN h0 IS NULL THEN NULL
+                  ELSE {portable_minhash_band_keys_sql()} END AS ks
+      FROM h0t
+    ), cat AS (
+      SELECT DISTINCT unnest(ks) AS k
+      FROM keyed WHERE doc_id % 3 <> 0 AND ks IS NOT NULL
+    ), uniq AS (
+      SELECT source, h, ANY_VALUE(ks) AS ks
+      FROM keyed WHERE doc_id % 3 = 0 GROUP BY source, h
+    ), catl AS (
+      SELECT list(k) AS kl FROM cat
+    ), marked AS (
+      SELECT source,
+             COALESCE(len(list_intersect(ks, kl)) > 0, FALSE) AS known
+      FROM uniq CROSS JOIN catl
+    )
+    SELECT source,
+           COUNT(*) AS n_unique,
+           COUNT(*) FILTER (WHERE known) AS n_neardup_hist,
+           COUNT(*) FILTER (WHERE NOT known) AS n_novel,
+           round(COUNT(*) FILTER (WHERE known)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS neardup_share
+    FROM marked GROUP BY source
+    """
+
+
+@register(
+    "stream_dedup_neardup",
+    oracle=_neardup_oracle(),
+    tags=("streaming", "llm", "dedup", "scale"),
+)
+def stream_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup against a persisted band-key catalog — the
+    composition the reference's transport layer and the LLM curation
+    mandate meet in: documents arrive as a stream and each micro-batch is
+    (a) exact-deduped against cross-batch content-hash STATE and (b)
+    marked near-dup-of-history when any of its 16-hash/4-band portable
+    MinHash keys hits the catalog history left at rest
+    (dedup_incremental_catalog's contract, upgraded from exact to NEAR
+    dup: a lightly-edited re-crawl of a known document still collides on
+    ≥1 band with probability 1-(1-j⁴)⁴ — ~0.97 at j=0.8).
+
+    Scale: band keys are per-row array expressions (stateless map — the
+    streaming-compatible form of MinHash; no explode, no pre-state
+    shuffle), dedup state shuffles on (source, content-hash) so it
+    spreads evenly, the catalog joins are stream-static on band-key
+    equality (broadcast here; at a 100 TB history the catalog is a
+    partitioned table and the joins shuffle the BATCH, never history —
+    history text is never re-read, the whole point), and the rollup is
+    |sources|-cardinality. Oracle: the identical derivation in SQL
+    (portable md5 minhash family — replayable where xxhash64 is not)."""
+    tune(spark)
+    from lagom_kinesis_spark.operators.similarity import (
+        portable_minhash_band_keys,
+    )
+    from lagom_kinesis_spark.operators.text import shingles, tokens
+
+    docs = spark.read.parquet(path_of(sf_dir, "documents"))
+    cat_dir = io_scratch("neardup_band_catalog", sf_dir, source="documents")
+    import os as _os
+
+    if not _os.path.exists(_os.path.join(cat_dir, "_SUCCESS")):
+        # History-at-rest: built once per fixture (fingerprinted path),
+        # 4 keys × ~35 bytes per historical doc — never re-scanned.
+        (
+            docs.filter(F.col("doc_id") % 3 != 0)
+            .select(
+                F.explode(
+                    portable_minhash_band_keys(shingles(tokens("text")))
+                ).alias("k")
+            )
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(cat_dir)
+        )
+    catalog = spark.read.parquet(cat_dir)
+    raw = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .parquet(stream_dir(sf_dir, "documents"))
+        .filter(F.col("doc_id") % 3 == 0)
+    )
+    return memory_sink_table(neardup_stream_frame(raw, catalog), "complete")
+
+
 @register(
     "kinesis_sim_roundtrip",
     oracle="""

@@ -619,3 +619,71 @@ def test_bench_stream_steady_state_contract(spark):
         assert out["t_n_batches_s"] >= out["t_single_batch_s"] * 0.9
         assert out["marginal_batch_s"] >= 0
         assert out["amortized_one_batch_s"] >= 0
+
+
+def test_neardup_stream_dedups_across_batches(spark, tmp_path):
+    """stream_dedup_neardup's cross-batch STATE contract: a document whose
+    content hash arrived in batch 1 must be dropped when it re-arrives in
+    batch 2 (at-least-once transport re-delivery), and near-dup marking
+    against the band catalog must hold for streamed rows in either batch.
+    Drives the factored core (neardup_stream_frame) over a synthetic
+    2-file source with maxFilesPerTrigger=1."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from lagom_kinesis_spark.operators.similarity import (
+        portable_minhash_band_keys,
+    )
+    from lagom_kinesis_spark.operators.text import shingles, tokens
+    from lagom_kinesis_spark.queries.streaming_ops import neardup_stream_frame
+
+    hist_text = "the quick brown fox jumps over the lazy dog near the river bank today"
+    t1 = "completely different first document about spark streaming state stores"
+    t2 = "another unrelated text concerning parquet scan pruning and shuffles"
+    src = tmp_path / "stream"
+    src.mkdir()
+
+    def write(name, rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).coalesce(1).write.parquet(str(src / name))
+        time.sleep(1.1)  # file source orders batches by modification time
+
+    write("batch_a", [(1, t1, "s"), (2, t2, "s")])
+    # batch 2: doc 3 re-delivers doc 1's CONTENT (new doc_id — state must
+    # drop it), doc 4 is an exact re-crawl of the catalog history doc
+    # (every band matches -> known).
+    write("batch_b", [(3, t1, "s"), (4, hist_text, "s")])
+
+    catalog = (
+        spark.createDataFrame([(hist_text,)], "text string")
+        .select(
+            F.explode(
+                portable_minhash_band_keys(shingles(tokens("text")))
+            ).alias("k")
+        )
+        .distinct()
+    )
+    raw = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        neardup_stream_frame(raw, catalog)
+        .writeStream.format("memory")
+        .queryName("neardup_2batch")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2, "expected one micro-batch per file"
+    q.stop()
+    rows = {r["source"]: r for r in spark.table("neardup_2batch").collect()}
+    r = rows["s"]
+    # 4 arrivals, 3 unique (doc 3's content deduped against batch-1 state)
+    assert r["n_unique"] == 3, r
+    assert r["n_neardup_hist"] == 1, r  # doc 4 hits the catalog
+    assert r["n_novel"] == 2, r
