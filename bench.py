@@ -504,10 +504,26 @@ def main() -> None:
     )
 
 
+#: sf30 runs ONLY the flagship join family (VERDICT r9 ask #8): the
+#: bucketed twins' sf10 ratios are the repo's best 100 TB argument, and a
+#: third decade shows whether they're flat or still falling. The full
+#: TRAJECTORY at sf30 would triple the artifact's runtime for queries
+#: whose scaling story three tiers already pin.
+SF30_SUBSET = [
+    "flagship_revenue_by_nation",
+    "flagship_bucketed",
+    "join_multiway",
+    "join_multiway_bucketed",
+    "q_shipping_priority",
+    "q_shipping_priority_bucketed",
+]
+
+
 def scaling_tier_main(sf_dir: str, tier_out: str) -> None:
     """One tier of the scaling trajectory, in its own process: fresh
     SparkSession + fresh DuckDB, TRAJECTORY queries timed under the
-    headline protocol, result JSON to ``tier_out``."""
+    headline protocol, result JSON to ``tier_out``. Honors
+    SPARK_GRAFT_TIER_QUERIES (comma list) for restricted tiers (sf30)."""
     _settle_load()  # tiers launch right after fixture builds / prior JVMs
     probe_pre = _contention_probe()
     from lagom_kinesis_spark.registry import all_queries
@@ -517,27 +533,45 @@ def scaling_tier_main(sf_dir: str, tier_out: str) -> None:
     os.environ["SPARK_GRAFT_GC_NUDGE"] = "0"
     os.environ["SPARK_GRAFT_STREAM_UNLOAD"] = "0"
     qs = all_queries()
-    spark_t = _time_spark(qs, spark, TRAJECTORY, sf_dir)
+    names = TRAJECTORY
+    subset = os.environ.get("SPARK_GRAFT_TIER_QUERIES")
+    if subset:
+        names = [q.strip() for q in subset.split(",") if q.strip()]
+    spark_t = _time_spark(qs, spark, names, sf_dir)
     try:
-        duck_t = _time_duck(qs, TRAJECTORY, sf_dir)
+        duck_t = _time_duck(qs, names, sf_dir)
     except Exception as e:  # noqa: BLE001
         print(f"# duckdb @ {sf_dir} skipped: {e}", file=sys.stderr)
         duck_t = {}
     # Scale-evidence for the amortized streaming basis (VERDICT r8 #2b):
-    # the steady-state protocol at EVERY tier, both headline shapes.
+    # the steady-state protocol at EVERY tier, both headline shapes —
+    # skipped for restricted tiers that don't time the stream rows.
     steady: dict = {}
-    for shp in ("tumbling", "session"):
+    shapes = () if subset else ("tumbling", "session")
+    for shp in shapes:
         try:
             steady[shp] = _stream_steady_state(spark, sf_dir, shape=shp)
         except Exception as e:  # noqa: BLE001
             print(f"# steady [{shp}] @ {sf_dir} skipped: {e}", file=sys.stderr)
     probe_post = _contention_probe()
+    # Amortized-vs-DuckDB ratio per tier (VERDICT r9 ask #1): the recorded
+    # streaming basis is the resident-query amortized batch; the scaling
+    # artifact must carry that series, not just the cold one-shot.
+    amortized_ratio = {}
+    for q, shp in (
+        ("stream_tumbling_window", "tumbling"),
+        ("stream_session_window", "session"),
+    ):
+        am = steady.get(shp, {}).get("amortized_one_batch_s")
+        if am is not None and duck_t.get(q):
+            amortized_ratio[q] = round(am / duck_t[q], 2)
     with open(tier_out, "w") as f:
         json.dump(
             {
                 "spark": spark_t,
                 "duckdb": duck_t,
                 "stream_steady_state": steady,
+                "stream_amortized_ratio": amortized_ratio,
                 "contention": {
                     "pre": probe_pre,
                     "post": probe_post,
@@ -588,8 +622,25 @@ def scaling_main(out_path: str, skip_sf10: bool = False) -> None:
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     floor_dir = os.path.join(os.path.dirname(base.rstrip("/")), "sf0.001")
     scale_root = "/tmp/lagom_kinesis_spark/scale"
+    # sf30 (ask r9 #8): third decade for the join family only, gated on
+    # disk headroom (~7 GB fixture + shuffle scratch; require 25 GB free
+    # so the probe never wedges the box — the skip is recorded in the
+    # artifact either way).
+    sf30_skip_reason = None
+    try:
+        st = os.statvfs(scale_root if os.path.exists(scale_root) else "/tmp")
+        free_gb = st.f_bavail * st.f_frsize / 1e9
+        if free_gb < 25:
+            sf30_skip_reason = f"only {free_gb:.0f} GB free (< 25 GB floor)"
+    except OSError as e:
+        sf30_skip_reason = f"statvfs failed: {e}"
+    if os.environ.get("SPARK_GRAFT_SKIP_SF30") == "1":
+        sf30_skip_reason = "disabled via SPARK_GRAFT_SKIP_SF30"
+    tiers = [("sf1", 10), ("sf10", 100)]
+    if not skip_sf10 and sf30_skip_reason is None:
+        tiers.append(("sf30", 300))
     sfs: list[tuple[str, str]] = [("sf0.001", floor_dir), ("sf0.1", base)]
-    for label, factor in (("sf1", 10), ("sf10", 100)):
+    for label, factor in tiers:
         if label == "sf10" and skip_sf10:
             continue
         dst = os.path.join(scale_root, label)
@@ -632,9 +683,13 @@ def scaling_main(out_path: str, skip_sf10: bool = False) -> None:
         with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
             tier_out = tf.name
         print(f"# tier {label} ({sf_dir}) in fresh process ...", file=sys.stderr)
+        env = dict(os.environ)
+        if label == "sf30":
+            env["SPARK_GRAFT_TIER_QUERIES"] = ",".join(SF30_SUBSET)
         subprocess.run(
             [sys.executable, self_path, "--scaling-tier", sf_dir, tier_out],
             check=True,
+            env=env,
         )
         with open(tier_out) as f:
             result[label] = json.load(f)
@@ -653,6 +708,8 @@ def scaling_main(out_path: str, skip_sf10: bool = False) -> None:
         "unit": "sec",
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
         "queries": TRAJECTORY,
+        "sf30_queries": SF30_SUBSET if sf30_skip_reason is None else None,
+        "sf30_skipped": sf30_skip_reason,
         "scales": result,
         "floor_share_sf0.1": floor_share,
         "note": (
@@ -771,8 +828,15 @@ def _stream_steady_state(
         return dt
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # Same partition rule the registered queries use: small-state for
+    # tumbling (bounded |windows|x|types| state), volume rule for session.
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(stream_shuffle_partitions(sf_dir))
+        "spark.sql.shuffle.partitions",
+        str(
+            stream_shuffle_partitions(
+                sf_dir, state="small" if shape == "tumbling" else "large"
+            )
+        ),
     )
     try:
         run(None)  # warm (lifecycle + codegen), untimed

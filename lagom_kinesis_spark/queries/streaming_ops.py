@@ -185,21 +185,34 @@ def _events_num_rows(sf_dir: str) -> int:
     return n
 
 
-def stream_shuffle_partitions(sf_dir: str) -> int:
-    """Volume-aware shuffle/state partition count for events replays.
+def stream_shuffle_partitions(sf_dir: str, state: str = "large") -> int:
+    """Volume- and STATE-CARDINALITY-aware shuffle/state partition count
+    for events replays.
 
     The r4 pin of 4 partitions (right for tiny custom-source tests) was
     serializing the DATA work of stateful streaming at scale: one state
     partition processes rows sequentially inside the micro-batch, so at
     sf10 the session window took 2.15 s at 4 partitions vs 1.09 s at 16
-    (r9 interleaved A/B; tumbling 0.89 → 0.80 at 8, and 8 is
-    neutral-to-better even at sf0.1). Scale rule: one partition per
-    ~625k input rows, clamped to [8, 16] — the measured sweet spots at
-    sf0.1 and sf10 respectively (32 regresses both: per-partition state
-    commit overhead outruns the parallelism gain on this local[32] box).
-    A real cluster sizes this to executor cores; the point the clamp
-    encodes is that state partitioning must FOLLOW volume, not a
-    fixture-era constant."""
+    (r9 interleaved A/B). Scale rule for ``state="large"`` (per-user /
+    per-session / per-key state that grows with the data): one partition
+    per ~625k input rows, clamped to [8, 16] (32 regresses: per-partition
+    state commit overhead outruns the parallelism gain on this local[32]
+    box).
+
+    ``state="small"`` (r10): aggregations whose state cardinality is
+    bounded by TYPE × WINDOW cardinality, not data volume (tumbling /
+    sliding windows over event_type). There the volume rule overshoots —
+    every extra state partition adds commit/maintenance overhead while
+    the state itself would fit in one: the r10 interleaved A/B at sf10
+    measured tumbling complete-mode 1.30 s at 8 partitions vs 1.87 s at
+    the volume rule's 16 (and 8 was already neutral-to-better at sf0.1,
+    where the volume rule also lands on 8). Fixed 8: enough input-side
+    map parallelism feeding the tiny state, no overshoot at any tier.
+    A real cluster sizes this to executor cores; the point the rule
+    encodes is that state partitioning must follow the STATE's size, not
+    a fixture-era constant or the input volume alone."""
+    if state == "small":
+        return 8
     return min(16, max(8, _events_num_rows(sf_dir) // 625_000))
 
 
@@ -233,9 +246,16 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "window"),
 )
 def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-minute tumbling window aggregation (streaming, complete mode)."""
+    """5-minute tumbling window aggregation (streaming, complete mode).
+    State cardinality is |windows|×|event types| — volume-independent —
+    so the partition hint uses the small-state rule (r10 A/B: 1.30 s at
+    8 partitions vs 1.87 s at the volume rule's 16, sf10)."""
+    src = events_stream(spark, sf_dir)
+    hint_stream_shuffle_partitions(
+        stream_shuffle_partitions(sf_dir, state="small")
+    )
     agg = (
-        events_stream(spark, sf_dir)
+        src
         .groupBy(F.window("ts", "5 minutes"), "event_type")
         .agg(F.count("*").alias("n"), r6(F.sum("value")).alias("total_value"))
         .select(
@@ -266,9 +286,14 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-minute window sliding every 5 minutes — each event lands in two
-    windows; the oracle expands windows explicitly."""
+    windows; the oracle expands windows explicitly. Window-count state
+    (volume-independent) → small-state partition rule, as tumbling."""
+    src = events_stream(spark, sf_dir)
+    hint_stream_shuffle_partitions(
+        stream_shuffle_partitions(sf_dir, state="small")
+    )
     agg = (
-        events_stream(spark, sf_dir)
+        src
         .groupBy(F.window("ts", "10 minutes", "5 minutes"))
         .agg(F.count("*").alias("n"), r6(F.sum("value")).alias("total_value"))
         .select(
