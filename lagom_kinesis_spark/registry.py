@@ -146,11 +146,22 @@ def all_queries() -> dict[str, Query]:
 #: failure (e.g. a fixture swap invalidating an old green row). Empty when
 #: no such event is pending; the failed-latest-row tier is automatic.
 #:
-#: Round-9: empty. The round-8 listing (win_running_total, join_asof,
-#: join_asof_tolerance, text_tfidf — changed after their last driver-green
-#: row) expired as designed: CORRECTNESS_r08 records all four green on the
-#: changed code.
-_NEEDS_REROW: tuple[str, ...] = ()
+#: Round-10: the queries whose code or oracle changed this round after
+#: their last driver-green row (VERDICT r9 ask #6 — every changed query
+#: gets a force-re-row): the two ADVICE-fix queries whose arithmetic
+#: changed (integer-div cutoff; decimal quota math), the two whose
+#: expression text changed (literal-delimiter lang recovery; BM25 oracle
+#: refactored to the shared-CTE form), and the two windows whose state
+#: partition hint changed. (Round-9's listing was empty; the round-8 one
+#: expired as designed.)
+_NEEDS_REROW: tuple[str, ...] = (
+    "sample_temporal_split",
+    "mix_token_budget_allocation",
+    "scan_text_wholefile",
+    "text_bm25_topk",
+    "stream_tumbling_window",
+    "stream_sliding_window",
+)
 #: The force-listing above SELF-EXPIRES: once a CORRECTNESS artifact from
 #: round ``_NEEDS_REROW_MIN_ROUND`` or later records a name, the
 #: stale-evidence condition is gone and the name must stop consuming a
@@ -167,7 +178,7 @@ _NEEDS_REROW: tuple[str, ...] = ()
 #: extra re-row round for names the driver happened to sample post-change
 #: anyway — is one redundant green row; the alternative is silently
 #: expiring an unverified change.
-_NEEDS_REROW_MIN_ROUND = 9
+_NEEDS_REROW_MIN_ROUND = 11
 
 
 def _driver_history(
