@@ -638,7 +638,18 @@ def test_neardup_stream_dedups_across_batches(spark, tmp_path):
     from lagom_kinesis_spark.operators.text import shingles, tokens
     from lagom_kinesis_spark.queries.streaming_ops import neardup_stream_frame
 
-    hist_text = "the quick brown fox jumps over the lazy dog near the river bank today"
+    hist_text = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "today and every day after that without fail"
+    )
+    # One-token edit ('fail' -> 'delay'): shares 2 of 4 band keys with
+    # hist_text (deterministic on these fixed strings — verified against
+    # the DuckDB replay), so it must be flagged near-dup WITHOUT being an
+    # exact content match: the NEAR in near-dup.
+    near_text = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "today and every day after that without delay"
+    )
     t1 = "completely different first document about spark streaming state stores"
     t2 = "another unrelated text concerning parquet scan pruning and shuffles"
     src = tmp_path / "stream"
@@ -653,8 +664,9 @@ def test_neardup_stream_dedups_across_batches(spark, tmp_path):
     write("batch_a", [(1, t1, "s"), (2, t2, "s")])
     # batch 2: doc 3 re-delivers doc 1's CONTENT (new doc_id — state must
     # drop it), doc 4 is an exact re-crawl of the catalog history doc
-    # (every band matches -> known).
-    write("batch_b", [(3, t1, "s"), (4, hist_text, "s")])
+    # (every band matches -> known), doc 5 is the lightly-EDITED variant
+    # (different content hash, 2/4 bands match -> near-dup, not exact-dup).
+    write("batch_b", [(3, t1, "s"), (4, hist_text, "s"), (5, near_text, "s")])
 
     catalog = (
         spark.createDataFrame([(hist_text,)], "text string")
@@ -683,7 +695,9 @@ def test_neardup_stream_dedups_across_batches(spark, tmp_path):
     q.stop()
     rows = {r["source"]: r for r in spark.table("neardup_2batch").collect()}
     r = rows["s"]
-    # 4 arrivals, 3 unique (doc 3's content deduped against batch-1 state)
-    assert r["n_unique"] == 3, r
-    assert r["n_neardup_hist"] == 1, r  # doc 4 hits the catalog
+    # 5 arrivals, 4 unique (doc 3's content deduped against batch-1 state)
+    assert r["n_unique"] == 4, r
+    # doc 4 (exact re-crawl, 4/4 bands) AND doc 5 (one-token edit, 2/4
+    # bands — the NEAR case) both hit the catalog
+    assert r["n_neardup_hist"] == 2, r
     assert r["n_novel"] == 2, r
