@@ -356,6 +356,35 @@ def topk_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sort_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20 OFFSET 30
+    """,
+    tags=("sort", "limit"),
+)
+def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination: ``offset()`` (Spark 3.4+ DataFrame API) + limit over a
+    TOTAL order (unique-key tiebreak — OFFSET under a partial order is
+    nondeterministic on any engine, the trap this row pins). Page 2 and
+    beyond of a ranked listing — the API-server access pattern.
+
+    Scale: Spark executes offset+limit over a sort as a single
+    TakeOrdered-style top-(offset+limit) merge + driver-side skip — the
+    scan never materializes a global sort; cost grows with page DEPTH
+    (offset+limit rows buffered), which is the same bound every engine
+    (and every real pagination design) carries — deep pagination wants a
+    keyset/seek predicate instead, which is `filter + topk_limit` here."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(30)
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set operations
 # ---------------------------------------------------------------------------
