@@ -234,13 +234,22 @@ def _contention_probe(n_hashes: int = 1_000_000) -> dict:
         # in-process state, so forking the Python driver is safe here —
         # the children touch only hashlib/time.
         ctx = mp.get_context("fork")
+        # Every pool wait goes through async+timeout: the post-run probe
+        # forks while the driver holds live py4j/JVM-client threads, and a
+        # child deadlocked on a lock held at fork time would otherwise hang
+        # the bench inside its own diagnostics — try/except can't catch a
+        # hang (ADVICE r10). On timeout the `with` __exit__ terminates the
+        # pool and the TimeoutError lands in the outer except → {}.
         with ctx.Pool(1) as pool:
             t_single = min(
-                pool.apply(_burn_unit, (n_hashes,)) for _ in range(2)
+                pool.apply_async(_burn_unit, (n_hashes,)).get(timeout=60)
+                for _ in range(2)
             )
         a = steal_snap()
         with ctx.Pool(ncpu) as pool:
-            units = pool.map(_burn_unit, [n_hashes] * ncpu)
+            units = pool.map_async(_burn_unit, [n_hashes] * ncpu).get(
+                timeout=120
+            )
         b = steal_snap()
         t_par = max(units)
         eff = round(ncpu * t_single / t_par, 1) if t_par > 0 else None
@@ -636,6 +645,11 @@ def scaling_main(out_path: str, skip_sf10: bool = False) -> None:
         sf30_skip_reason = f"statvfs failed: {e}"
     if os.environ.get("SPARK_GRAFT_SKIP_SF30") == "1":
         sf30_skip_reason = "disabled via SPARK_GRAFT_SKIP_SF30"
+    if skip_sf10 and sf30_skip_reason is None:
+        # sf30 only runs when sf10 does (tiers gate below); without this
+        # the artifact would record sf30_queries=[...] / sf30_skipped=null
+        # for a tier that never ran (ADVICE r10).
+        sf30_skip_reason = "skipped together with sf10"
     tiers = [("sf1", 10), ("sf10", 100)]
     if not skip_sf10 and sf30_skip_reason is None:
         tiers.append(("sf30", 300))

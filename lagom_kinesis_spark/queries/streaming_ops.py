@@ -164,13 +164,6 @@ def _events_num_rows(sf_dir: str) -> int:
     import pyarrow.parquet as pq
 
     p = path_of(sf_dir, "events")
-    try:
-        st = os.stat(p)
-        key = (p, st.st_mtime_ns, st.st_size)
-    except OSError:
-        key = None
-    if key is not None and key in _EVENTS_ROWS_CACHE:
-        return _EVENTS_ROWS_CACHE[key]
     # Recursive glob: a nested/partitioned fixture layout (key=... dirs)
     # must count its leaf files, not silently see 0 rows and floor the
     # stream-partition rule to 8 at any scale (ADVICE r9).
@@ -179,6 +172,21 @@ def _events_num_rows(sf_dir: str) -> int:
         if os.path.isdir(p)
         else [p]
     )
+    # Cache key folds the recursive file list (path, mtime_ns, size per
+    # leaf): changes confined to nested subdirs (a new day=/hour= file)
+    # don't touch the top dir's mtime, so a top-dir-only key could serve a
+    # stale count and a stale partition hint (ADVICE r10). The glob +
+    # stats are the cheap part; the footer reads are what the cache saves.
+    try:
+        key = tuple(
+            (f, st.st_mtime_ns, st.st_size)
+            for f in files
+            for st in (os.stat(f),)
+        )
+    except OSError:
+        key = None
+    if key is not None and key in _EVENTS_ROWS_CACHE:
+        return _EVENTS_ROWS_CACHE[key]
     n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     if key is not None:
         _EVENTS_ROWS_CACHE[key] = n

@@ -24,11 +24,38 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: Backticked snake_case tokens that legitimately share a family prefix
-#: with registered queries but are NOT queries (APIs, format names).
+#: with registered queries but are neither queries nor def/class symbols
+#: (e.g. data-source format names, config keys). Symbols defined anywhere
+#: in the package are auto-excluded by _package_symbols() — a hand list
+#: for every future helper doc-mention does not scale (ADVICE r10).
 NON_QUERY_TOKENS = {
     "kinesis_sim",  # the Python DataSource format name
-    "merge_shards",  # kinesis_sim resharding API
 }
+
+
+def _package_symbols() -> set[str]:
+    """Every def/class name in the package + scripts + bench: a backticked
+    doc token naming a REAL symbol is an API mention, not a stale query
+    rename. Regex scan (not import) so helpers nested in classes/closures
+    and modules with import-time side effects all count."""
+    syms: set[str] = set()
+    roots = [
+        os.path.join(REPO, "lagom_kinesis_spark"),
+        os.path.join(REPO, "scripts"),
+        os.path.join(REPO, "tests"),
+    ]
+    for root in roots:
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                if not fn.endswith(".py"):
+                    continue
+                with open(os.path.join(dirpath, fn)) as f:
+                    syms.update(
+                        re.findall(r"^\s*(?:def|class)\s+(\w+)", f.read(), re.M)
+                    )
+    with open(os.path.join(REPO, "bench.py")) as f:
+        syms.update(re.findall(r"^\s*(?:def|class)\s+(\w+)", f.read(), re.M))
+    return syms
 
 
 def audit() -> tuple[list[str], list[str]]:
@@ -36,6 +63,7 @@ def audit() -> tuple[list[str], list[str]]:
     from lagom_kinesis_spark.registry import all_queries
 
     names = set(all_queries())
+    symbols = _package_symbols()
     with open(os.path.join(REPO, "COVERAGE.md")) as f:
         cov = f.read()
     with open(os.path.join(REPO, "SURVEY.md")) as f:
@@ -54,6 +82,7 @@ def audit() -> tuple[list[str], list[str]]:
         if "_" in t
         and t not in names
         and t not in NON_QUERY_TOKENS
+        and t not in symbols
         and t.split("_")[0] in fams
     )
     return unmapped, stale
