@@ -385,6 +385,49 @@ def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sort_keyset_seek",
+    oracle="""
+    WITH cursor AS (
+      SELECT o_totalprice AS cur_price, o_orderkey AS cur_key FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1 OFFSET 49
+    )
+    SELECT o_orderkey, o_totalprice FROM orders, cursor
+    WHERE o_totalprice < cur_price
+       OR (o_totalprice = cur_price AND o_orderkey > cur_key)
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+    """,
+    tags=("sort", "limit"),
+)
+def sort_keyset_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination — the deep-page twin `sort_limit_offset`'s
+    docstring promises: instead of buffering offset+limit rows, the client
+    passes back the LAST-SEEN (o_totalprice, o_orderkey) cursor and the
+    next page is a PREDICATE + top-k under the same total order:
+
+        (price < cur) OR (price = cur AND key > cur_key), LIMIT 20
+
+    Here the cursor is derived in-plan for determinism (the last row of
+    page 2-of-20, i.e. rank 50 — so this page equals OFFSET 50 LIMIT 20),
+    via a 1-row TakeOrdered + collect: the bounded, documented stand-in
+    for the literal a real API request carries. The page query itself
+    embeds the cursor as LITERALS, so the seek predicate reaches the
+    parquet scan as PushedFilters and the merge is
+    TakeOrderedAndProject(limit=20) with NO offset — cost is independent
+    of page depth, the property offset pagination structurally lacks
+    (plan-pinned in tests/test_plans.py)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    total_order = (F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    # Bounded collect (exactly 1 row): the cursor a production caller
+    # would supply. offset(49).limit(1) is itself a top-50 TakeOrdered.
+    cur = o.orderBy(*total_order).offset(49).limit(1).collect()[0]
+    seek = (F.col("o_totalprice") < F.lit(cur["o_totalprice"])) | (
+        (F.col("o_totalprice") == F.lit(cur["o_totalprice"]))
+        & (F.col("o_orderkey") > F.lit(cur["o_orderkey"]))
+    )
+    return o.filter(seek).orderBy(*total_order).limit(20)
+
+
 # ---------------------------------------------------------------------------
 # Set operations
 # ---------------------------------------------------------------------------

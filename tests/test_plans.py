@@ -39,6 +39,24 @@ def test_topk_uses_take_ordered_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_keyset_seek_prunes_scan_and_has_no_offset(spark):
+    """The seek page must be depth-independent: the cursor predicate
+    reaches the parquet scan as pushed filters (scan-prune, not
+    post-scan buffer) and the merge is TakeOrderedAndProject with
+    limit=20 and NO offset — the structural contrast to
+    sort_limit_offset's top-(offset+limit) buffer."""
+    plan = _plan(QS["sort_keyset_seek"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    take_lines = [
+        ln for ln in plan.splitlines() if "TakeOrderedAndProject" in ln
+    ]
+    # explain("formatted") lists the op per node; the detail block carries
+    # the limit/offset args — assert no offset arg anywhere in the plan.
+    assert "offset=" not in plan.lower() or "offset=0" in plan.lower(), take_lines
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "LessThan(o_totalprice" in pushed[0], pushed
+
+
 def test_text_top_tokens_uses_take_ordered(spark):
     """The vocabulary top-50 must be per-partition heaps + driver merge
     (TakeOrderedAndProject), never a single-partition global window over
