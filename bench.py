@@ -820,10 +820,22 @@ def _stream_steady_state(
                 )
             )
         ckpt = os.path.join(root, "ckpt", _uuid.uuid4().hex[:12])
+        # UPDATE mode for tumbling (r11, VERDICT r10 ask #1): the recorded
+        # basis is what a production resident query pays, and complete
+        # mode's full-state re-emit per batch is machinery no deployment
+        # with a keyed sink needs — the r10 A/B measured it at ~0.43
+        # s/batch at sf10's window count (1.434 s update vs 1.865 s
+        # complete, .bench/ab_stream_tumbling_sf10_r10.py). The registered
+        # query now runs update mode too, so basis == headline machinery.
+        # Session stays complete: session_window aggregation without a
+        # watermark supports complete mode only (update needs a watermark
+        # to bound mergeable-session state, which would change the
+        # query's semantics vs its batch oracle).
+        mode = "update" if shape == "tumbling" else "complete"
         t0 = time.time()
         q = (
             agg.writeStream.format("noop")
-            .outputMode("complete")
+            .outputMode(mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()

@@ -254,10 +254,21 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "window"),
 )
 def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-minute tumbling window aggregation (streaming, complete mode).
+    """5-minute tumbling window aggregation (streaming, UPDATE mode).
     State cardinality is |windows|×|event types| — volume-independent —
     so the partition hint uses the small-state rule (r10 A/B: 1.30 s at
-    8 partitions vs 1.87 s at the volume rule's 16, sf10)."""
+    8 partitions vs 1.87 s at the volume rule's 16, sf10).
+
+    Update mode (r11, VERDICT r10 ask #1): complete mode re-emits the
+    ENTIRE window state every micro-batch — measured ~0.43 s/batch at
+    sf10's window count (1.434 s update vs 1.865 s complete, r10 A/B) —
+    while update emits only windows touched by the batch. The bounded
+    replay here is a single availableNow batch (file source, no
+    maxFilesPerTrigger), so every window is touched exactly once and the
+    update-mode sink holds exactly the final state — bit-identical to
+    complete mode (pinned by tests/test_streaming.py). A CHUNKED replay
+    needs sink-side compaction (keep latest row per window key); the
+    foreachBatch form of that compaction is proven in the same test."""
     src = events_stream(spark, sf_dir)
     hint_stream_shuffle_partitions(
         stream_shuffle_partitions(sf_dir, state="small")
@@ -273,7 +284,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return memory_sink_table(agg, "complete")
+    return memory_sink_table(agg, "update")
 
 
 @register(
@@ -295,7 +306,11 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-minute window sliding every 5 minutes — each event lands in two
     windows; the oracle expands windows explicitly. Window-count state
-    (volume-independent) → small-state partition rule, as tumbling."""
+    (volume-independent) → small-state partition rule, as tumbling; UPDATE
+    output mode, as tumbling (single-batch replay → identical to complete;
+    saves complete-mode's full-state re-emit — see stream_tumbling_window
+    docstring for the r10 measurement and the chunked-replay compaction
+    contract)."""
     src = events_stream(spark, sf_dir)
     hint_stream_shuffle_partitions(
         stream_shuffle_partitions(sf_dir, state="small")
@@ -310,7 +325,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return memory_sink_table(agg, "complete")
+    return memory_sink_table(agg, "update")
 
 
 @register(
@@ -1863,7 +1878,8 @@ def stream_append_finalized_windows(spark: SparkSession, sf_dir: str) -> DataFra
     """APPEND-mode tumbling windows: a window row is emitted exactly once,
     when the 10-minute watermark passes its end — the emit-on-close
     contract downstream consumers rely on for exactly-once window
-    delivery (contrast `stream_tumbling_window`'s complete-mode refresh).
+    delivery (contrast `stream_tumbling_window`'s update-mode refresh,
+    which re-emits a window every batch that touches it).
     Windows still open at end of replay stay in state, unemitted: the
     oracle is the closed-window subset (end ≤ max ts − delay), NOT the
     full aggregate — that asymmetry IS the semantics under test.

@@ -154,23 +154,30 @@ def all_queries() -> dict[str, Query]:
 #: refactored to the shared-CTE form), and the two windows whose state
 #: partition hint changed. (Round-9's listing was empty; the round-8 one
 #: expired as designed.)
-_NEEDS_REROW: tuple[str, ...] = (
-    "sample_temporal_split",
-    "mix_token_budget_allocation",
-    "scan_text_wholefile",
-    "text_bm25_topk",
-    "stream_tumbling_window",
-    "stream_sliding_window",
-)
-#: The force-listing above SELF-EXPIRES: once a CORRECTNESS artifact from
-#: round ``_NEEDS_REROW_MIN_ROUND`` or later records a name, the
+#: name -> min round whose artifact proves the post-change tree (per-name
+#: since r11: names changed in DIFFERENT rounds would otherwise share one
+#: constant and the earlier cohort would burn extra re-row slots).
+#: Round-10 cohort (min 11): the six queries whose code or oracle changed
+#: in round 10 (VERDICT r9 ask #6). Round-11 cohort (min 12): the windows
+#: whose output mode switched complete→update, plus any other r11-changed
+#: query — tumbling/sliding appear once with the LATER round (max wins).
+_NEEDS_REROW: dict[str, int] = {
+    "sample_temporal_split": 11,
+    "mix_token_budget_allocation": 11,
+    "scan_text_wholefile": 11,
+    "text_bm25_topk": 11,
+    "stream_tumbling_window": 12,  # r11: update-mode sink
+    "stream_sliding_window": 12,  # r11: update-mode sink
+}
+#: The force-listing above SELF-EXPIRES per name: once a CORRECTNESS
+#: artifact from that name's min round or later records it, the
 #: stale-evidence condition is gone and the name must stop consuming a
 #: front slot. Without this, a hand-listed name burns a re-row slot every
-#: subsequent round until someone remembers to clear the tuple — the same
-#: staleness-by-forgetting failure the derived sampled/failed sets were
-#: built to prevent.
+#: subsequent round until someone remembers to clear the mapping — the
+#: same staleness-by-forgetting failure the derived sampled/failed sets
+#: were built to prevent.
 #:
-#: CONVENTION (round-9, after ADVICE r8): set MIN_ROUND to the round
+#: CONVENTION (round-9, after ADVICE r8): set the min round to the round
 #: AFTER the one in which the change lands, never the current round. A
 #: same-round artifact cannot prove it postdates a mid-round change (the
 #: driver may have written it before the change landed); an artifact from
@@ -178,7 +185,6 @@ _NEEDS_REROW: tuple[str, ...] = (
 #: extra re-row round for names the driver happened to sample post-change
 #: anyway — is one redundant green row; the alternative is silently
 #: expiring an unverified change.
-_NEEDS_REROW_MIN_ROUND = 11
 
 
 def _driver_history(
@@ -243,12 +249,12 @@ def _driver_history(
 
 _DRIVER_SAMPLED, _DRIVER_FAILED, _DRIVER_LAST_ROUND = _driver_history()
 
-#: _NEEDS_REROW minus the expired entries (driver row from
-#: _NEEDS_REROW_MIN_ROUND or later exists — see the tuple's doc).
+#: _NEEDS_REROW minus the expired entries (driver row from that name's
+#: min round or later exists — see the mapping's doc).
 _ACTIVE_REROW = frozenset(
     n
-    for n in _NEEDS_REROW
-    if _DRIVER_LAST_ROUND.get(n, -1) < _NEEDS_REROW_MIN_ROUND
+    for n, min_round in _NEEDS_REROW.items()
+    if _DRIVER_LAST_ROUND.get(n, -1) < min_round
 )
 
 

@@ -144,8 +144,8 @@ def test_driver_history_live_artifacts_are_registered():
     rerow_front = set(order[: len(failed | set(R._ACTIVE_REROW))])
     assert failed <= rerow_front
     # Every force-listed re-row name must be registered, and expired
-    # entries (driver row from _NEEDS_REROW_MIN_ROUND or later) must NOT
+    # entries (driver row from that name's min round or later) must NOT
     # occupy front slots.
     assert set(R._NEEDS_REROW) <= set(reg)
     for n in set(R._NEEDS_REROW) - set(R._ACTIVE_REROW):
-        assert last_round.get(n, -1) >= R._NEEDS_REROW_MIN_ROUND
+        assert last_round.get(n, -1) >= R._NEEDS_REROW[n]

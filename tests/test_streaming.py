@@ -621,6 +621,75 @@ def test_bench_stream_steady_state_contract(spark):
         assert out["amortized_one_batch_s"] >= 0
 
 
+def test_update_mode_chunked_replay_compacts_to_batch_result(spark, tmp_path):
+    """The update-mode contract behind stream_tumbling_window's r11 basis
+    switch: a SINGLE-batch replay emits each window once (sink holds the
+    final state — that equivalence is pinned by the driver oracle), while
+    a CHUNKED replay re-emits a window per touching batch and the sink
+    compacts by keeping the LATEST row per key. Proven here with a 3-chunk
+    maxFilesPerTrigger=1 replay into a foreachBatch parquet sink carrying
+    batch_id, compacted by max-batch_id-per-window — must equal the batch
+    aggregate exactly."""
+    from tests.conftest import SF_DIR
+
+    from lagom_kinesis_spark.catalog import load
+    from lagom_kinesis_spark.functions import r6
+
+    src = str(tmp_path / "chunks")
+    load(spark, SF_DIR, "events").repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def agg_of(df):
+        return (
+            df.groupBy(F.window("ts", "5 minutes"), "event_type")
+            .agg(F.count("*").alias("n"), r6(F.sum("value")).alias("total_value"))
+            .select(
+                F.unix_timestamp(F.col("window.start")).alias("bucket_start"),
+                "event_type",
+                "n",
+                "total_value",
+            )
+        )
+
+    sink_dir = str(tmp_path / "sink")
+    q = (
+        agg_of(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        .writeStream.foreachBatch(
+            lambda df, bid: df.withColumn("batch_id", F.lit(bid))
+            .write.mode("append")
+            .parquet(sink_dir)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    raw = spark.read.parquet(sink_dir)
+    assert raw.select("batch_id").distinct().count() == 3  # really chunked
+    # Sink-side compaction: latest emission per window key wins.
+    compacted = (
+        raw.groupBy("bucket_start", "event_type")
+        .agg(
+            F.max_by(
+                F.struct("n", "total_value"), F.col("batch_id")
+            ).alias("s")
+        )
+        .select("bucket_start", "event_type", "s.n", "s.total_value")
+    )
+    got = sorted(tuple(r) for r in compacted.collect())
+    want = sorted(
+        tuple(r) for r in agg_of(load(spark, SF_DIR, "events")).collect()
+    )
+    assert got == want
+
+
 def test_neardup_stream_dedups_across_batches(spark, tmp_path):
     """stream_dedup_neardup's cross-batch STATE contract: a document whose
     content hash arrived in batch 1 must be dropped when it re-arrives in
