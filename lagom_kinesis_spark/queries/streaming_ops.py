@@ -1564,14 +1564,13 @@ def neardup_stream_frame(raw: DataFrame, catalog: DataFrame) -> DataFrame:
     )
 
 
-def _neardup_oracle() -> str:
-    """DuckDB replay of the full streaming near-dup pipeline: the shared
-    portable band-key derivation (operators/similarity.portable_minhash_
-    band_keys_sql — same md5 fold, same seeds, same band layout), the
-    content-hash dedup as GROUP BY (source, h) (order-independent — ks is
-    text-derived, so every duplicate row carries the identical array),
-    and catalog membership as a list_intersect against history's
-    distinct keys."""
+def _neardup_keyed_ctes() -> str:
+    """Shared WITH-prefix of the streaming near-dup oracles: documents →
+    (doc_id, source, content-hash h, portable band-key array ks), the
+    exact derivation of operators/similarity.portable_minhash_band_keys
+    in DuckDB SQL (same md5 fold, same seeds, same band layout). Both
+    stream_dedup_neardup and stream_dedup_catalog_grow replay from this
+    one string so the two oracles can never desync on the key family."""
     from lagom_kinesis_spark.operators.similarity import (
         _hexfold_sql,
         portable_minhash_band_keys_sql,
@@ -1600,7 +1599,17 @@ def _neardup_oracle() -> str:
              CASE WHEN h0 IS NULL THEN NULL
                   ELSE {portable_minhash_band_keys_sql()} END AS ks
       FROM h0t
-    ), cat AS (
+    )"""
+
+
+def _neardup_oracle() -> str:
+    """DuckDB replay of the full streaming near-dup pipeline: the shared
+    portable band-key derivation (_neardup_keyed_ctes), the content-hash
+    dedup as GROUP BY (source, h) (order-independent — ks is
+    text-derived, so every duplicate row carries the identical array),
+    and catalog membership as a list_intersect against history's
+    distinct keys."""
+    return _neardup_keyed_ctes() + """, cat AS (
       SELECT DISTINCT unnest(ks) AS k
       FROM keyed WHERE doc_id % 3 <> 0 AND ks IS NOT NULL
     ), uniq AS (
@@ -1681,6 +1690,256 @@ def stream_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 3 == 0)
     )
     return memory_sink_table(neardup_stream_frame(raw, catalog), "complete")
+
+
+def mark_known_bands(keyed: DataFrame, catalog: DataFrame, bands: int = 4):
+    """(marked_frame, known_column) — flag each keyed row (h, ks) whose
+    band-key array hits the catalog on ANY band, via one equality join
+    per band against the key-unique catalog (the stream-static join shape
+    of neardup_stream_frame, factored for batch use in foreachBatch).
+    Catalog must be key-unique or matches fan out — the grow protocol
+    below maintains that invariant for free."""
+    marked = keyed
+    flags = []
+    for b in range(bands):
+        cat_b = F.broadcast(
+            catalog.select(
+                F.col("k").alias(f"k{b}"), F.lit(True).alias(f"kn{b}")
+            )
+        )
+        marked = marked.join(
+            cat_b,
+            F.element_at(F.col("ks"), b + 1) == F.col(f"k{b}"),
+            "left",
+        )
+        flags.append(F.col(f"kn{b}"))
+    return marked, F.coalesce(*flags, F.lit(False))
+
+
+def _neardup_grow_oracle() -> str:
+    """Batch-by-batch DuckDB replay of the growing-catalog run: batch 0
+    (doc_id % 6 = 0) marks against the initial history catalog and its
+    novel docs' keys are appended; batch 1 (doc_id % 6 = 3) content-hash
+    dedups against batch 0's (source, h) state and marks against the
+    GROWN catalog. Keys of a novel doc are all absent from the catalog it
+    was checked against (known = any-band hit, so ¬known = zero hits) —
+    appending distinct novel-doc keys therefore keeps the catalog
+    key-unique with no anti-join, the invariant the Spark side leans on."""
+    return _neardup_keyed_ctes() + """, cat0 AS (
+      SELECT DISTINCT unnest(ks) AS k
+      FROM keyed WHERE doc_id % 3 <> 0 AND ks IS NOT NULL
+    ), b0 AS (
+      SELECT source, h, ANY_VALUE(ks) AS ks
+      FROM keyed WHERE doc_id % 6 = 0 GROUP BY source, h
+    ), cat0l AS (
+      SELECT list(k) AS kl FROM cat0
+    ), b0m AS (
+      SELECT source, h, ks,
+             COALESCE(len(list_intersect(ks, kl)) > 0, FALSE) AS known
+      FROM b0 CROSS JOIN cat0l
+    ), added0 AS (
+      SELECT DISTINCT unnest(ks) AS k FROM b0m
+      WHERE NOT known AND ks IS NOT NULL
+    ), cat1l AS (
+      SELECT list(k) AS kl
+      FROM (SELECT k FROM cat0 UNION ALL SELECT k FROM added0)
+    ), b1 AS (
+      SELECT source, h, ANY_VALUE(ks) AS ks
+      FROM keyed k1 WHERE doc_id % 6 = 3
+        AND NOT EXISTS (SELECT 1 FROM b0
+                        WHERE b0.source = k1.source AND b0.h = k1.h)
+      GROUP BY source, h
+    ), b1m AS (
+      SELECT source, h, ks,
+             COALESCE(len(list_intersect(ks, kl)) > 0, FALSE) AS known
+      FROM b1 CROSS JOIN cat1l
+    ), added1 AS (
+      SELECT DISTINCT unnest(ks) AS k FROM b1m
+      WHERE NOT known AND ks IS NOT NULL
+    )
+    SELECT 0 AS batch_seq,
+           COUNT(*) AS n_unique,
+           COUNT(*) FILTER (WHERE known) AS n_neardup_hist,
+           COUNT(*) FILTER (WHERE NOT known) AS n_novel,
+           (SELECT COUNT(*) FROM added0) AS n_keys_added
+    FROM b0m
+    UNION ALL
+    SELECT 1 AS batch_seq,
+           COUNT(*) AS n_unique,
+           COUNT(*) FILTER (WHERE known) AS n_neardup_hist,
+           COUNT(*) FILTER (WHERE NOT known) AS n_novel,
+           (SELECT COUNT(*) FROM added1) AS n_keys_added
+    FROM b1m
+    """
+
+
+def neardup_grow_run(
+    spark: SparkSession,
+    raw: DataFrame,
+    initial_catalog_dir: str,
+    run_dir: str,
+) -> DataFrame:
+    """Shared core of stream_dedup_catalog_grow (the pytest drives it over
+    a synthetic source): run the keyed+deduped stream through a
+    foreachBatch maintenance loop that (a) marks each micro-batch against
+    the CURRENT catalog (initial history + every prior batch's appended
+    keys), (b) appends the batch's novel-doc band keys under
+    ``run_dir/grow/b=<batch_id>``, then (c) commits the batch's rollup row
+    under ``run_dir/res/b=<batch_id>``. Returns the rollup frame.
+
+    Exactly-once: both writes are batch-id-keyed OVERWRITES, so
+    foreachBatch's at-least-once retries are idempotent (a retry rewrites
+    the same content under the same path); the rollup write lands LAST,
+    so a results row exists only if its grow append committed — the same
+    prepare-then-commit discipline as the two-phase kinesis_sim sink.
+    Catalog key-uniqueness needs no anti-join: a novel doc's keys are all
+    absent from the catalog it was checked against (known = ANY-band hit),
+    and a later doc sharing a key with an appended one is by construction
+    KNOWN, not re-appended. In-batch near-dup pairs both count novel
+    (marking is against the catalog as of batch start); distinct() merges
+    their shared keys at append.
+
+    Scale: per-batch work is the 4 band-key equi-joins + one distinct over
+    the batch's novel keys — the catalog is read as history-at-rest
+    parquet (never re-derived from text) and grows by appended key files;
+    a production deployment compacts ``grow/`` into the base catalog
+    periodically (bounded small-file count), exactly like any streaming
+    lake sink."""
+    import glob as _glob
+    import os as _os
+    import uuid as _uuid
+
+    grow_root = _os.path.join(run_dir, "grow")
+    res_root = _os.path.join(run_dir, "res")
+
+    def handle(batch_df: DataFrame, bid: int) -> None:
+        cat = spark.read.parquet(initial_catalog_dir)
+        grown = sorted(_glob.glob(_os.path.join(grow_root, "b=*")))
+        if grown:
+            cat = cat.unionByName(spark.read.parquet(*grown))
+        marked, known = mark_known_bands(batch_df, cat)
+        marked = marked.withColumn("known", known).persist()
+        try:
+            (
+                marked.filter(~F.col("known") & F.col("ks").isNotNull())
+                .select(F.explode("ks").alias("k"))
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(_os.path.join(grow_root, f"b={bid}"))
+            )
+            n_added = spark.read.parquet(
+                _os.path.join(grow_root, f"b={bid}")
+            ).count()
+            (
+                marked.agg(
+                    F.count("*").alias("n_unique"),
+                    F.count_if(F.col("known")).alias("n_neardup_hist"),
+                    F.count_if(~F.col("known")).alias("n_novel"),
+                )
+                .select(
+                    F.lit(bid).cast("long").alias("batch_seq"),
+                    "n_unique",
+                    "n_neardup_hist",
+                    "n_novel",
+                    F.lit(n_added).cast("long").alias("n_keys_added"),
+                )
+                .write.mode("overwrite")
+                .parquet(_os.path.join(res_root, f"b={bid}"))
+            )
+        finally:
+            marked.unpersist()
+
+    ckpt = _os.path.join(run_dir, "ckpt", _uuid.uuid4().hex[:12])
+    q = (
+        raw.writeStream.foreachBatch(handle)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.read.parquet(*sorted(_glob.glob(_os.path.join(res_root, "b=*"))))
+
+
+@register(
+    "stream_dedup_catalog_grow",
+    oracle=_neardup_grow_oracle(),
+    tags=("streaming", "llm", "dedup", "scale"),
+)
+def stream_dedup_catalog_grow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_dedup_neardup's MAINTENANCE leg (VERDICT r10 ask #4): the
+    catalog is no longer static — each micro-batch's novel documents
+    append their band keys back to it exactly-once, so batch N+1 dedups
+    against batch N (a re-crawl arriving minutes after the original is
+    caught, not just re-crawls of deep history). Two deterministic
+    micro-batches of the streaming arm (doc_id % 6 = 0, then % 6 = 3;
+    chunk files mtime-ordered, maxFilesPerTrigger=1), cross-batch
+    content-hash state via streaming dropDuplicates, marking + append +
+    rollup in foreachBatch (see neardup_grow_run for the two-phase
+    idempotent-write protocol and the key-uniqueness invariant). Output:
+    one row per batch — uniques, history-near-dups, novels, keys added.
+    Oracle: the identical two-batch replay in SQL from the shared keyed
+    CTEs."""
+    tune(spark)
+    from lagom_kinesis_spark.operators.similarity import (
+        portable_minhash_band_keys,
+    )
+    from lagom_kinesis_spark.operators.text import shingles, tokens
+    from lagom_kinesis_spark.streaming.topics import fresh_scratch_dir
+
+    import os as _os
+    import glob as _glob
+
+    docs = spark.read.parquet(path_of(sf_dir, "documents"))
+    # Initial history catalog: the same fingerprint-cached build as
+    # stream_dedup_neardup (key-distinct band keys of the 2/3 history arm).
+    cat_dir = io_scratch("neardup_band_catalog", sf_dir, source="documents")
+    if not _os.path.exists(_os.path.join(cat_dir, "_SUCCESS")):
+        (
+            docs.filter(F.col("doc_id") % 3 != 0)
+            .select(
+                F.explode(
+                    portable_minhash_band_keys(shingles(tokens("text")))
+                ).alias("k")
+            )
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(cat_dir)
+        )
+    # Deterministic 2-chunk stream arm, fingerprint-cached; part-file
+    # mtimes pin the batch order (file source processes oldest-first).
+    chunks = io_scratch("neardup_grow_chunks", sf_dir, source="documents")
+    if not _os.path.exists(_os.path.join(chunks, "_DONE")):
+        now = __import__("time").time()
+        for i, (name, rem) in enumerate([("c0", 0), ("c1", 3)]):
+            d = _os.path.join(chunks, name)
+            (
+                docs.filter(F.col("doc_id") % 6 == rem)
+                .select("doc_id", "text", "source")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(d)
+            )
+            for f in _glob.glob(_os.path.join(d, "*.parquet")):
+                _os.utime(f, (now - 100 + i * 50, now - 100 + i * 50))
+        with open(_os.path.join(chunks, "_DONE"), "w") as fh:
+            fh.write("c0,c1\n")
+    raw = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(chunks + "/*")
+        .select(
+            "source",
+            F.md5(F.col("text").cast("binary")).alias("h"),
+            portable_minhash_band_keys(shingles(tokens("text"))).alias("ks"),
+        )
+        .dropDuplicates(["source", "h"])
+    )
+    run_dir = fresh_scratch_dir("neardup_grow_run")
+    return neardup_grow_run(spark, raw, cat_dir, run_dir)
 
 
 @register(

@@ -772,6 +772,84 @@ def test_neardup_stream_dedups_across_batches(spark, tmp_path):
     assert r["n_novel"] == 2, r
 
 
+def test_catalog_grow_flags_neardup_of_prior_batch_novel_doc(spark, tmp_path):
+    """stream_dedup_catalog_grow's maintenance contract (VERDICT r10 ask
+    #4): a document NOVEL in batch 1 appends its band keys to the catalog,
+    so a lightly-edited variant arriving in batch 2 is flagged near-dup —
+    against keys that did NOT exist when the query started. Also pins the
+    cross-batch content-hash state (exact re-delivery in batch 2 is
+    dropped before marking) and the per-batch key-append counts."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from lagom_kinesis_spark.operators.similarity import (
+        portable_minhash_band_keys,
+    )
+    from lagom_kinesis_spark.operators.text import shingles, tokens
+    from lagom_kinesis_spark.queries.streaming_ops import neardup_grow_run
+
+    novel_text = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "today and every day after that without fail"
+    )
+    # One-token edit — shares 2 of 4 band keys with novel_text (the same
+    # deterministic pair the static-catalog test pins).
+    near_text = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "today and every day after that without delay"
+    )
+    unrelated = "completely different document about spark streaming state stores"
+
+    src = tmp_path / "stream"
+    src.mkdir()
+
+    def write(name, rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).coalesce(1).write.parquet(str(src / name))
+        time.sleep(1.1)  # file source orders batches by modification time
+
+    write("batch_a", [(1, novel_text, "s")])
+    # batch 2: doc 2 re-delivers doc 1's CONTENT (state drops it), doc 3
+    # is the lightly-edited variant — near-dup of a batch-1 NOVEL doc.
+    write("batch_b", [(2, novel_text, "s"), (3, near_text, "s")])
+
+    cat_dir = str(tmp_path / "cat")
+    (
+        spark.createDataFrame([(unrelated,)], "text string")
+        .select(
+            F.explode(
+                portable_minhash_band_keys(shingles(tokens("text")))
+            ).alias("k")
+        )
+        .distinct()
+        .write.parquet(cat_dir)
+    )
+    raw = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+        .select(
+            "source",
+            F.md5(F.col("text").cast("binary")).alias("h"),
+            portable_minhash_band_keys(shingles(tokens("text"))).alias("ks"),
+        )
+        .dropDuplicates(["source", "h"])
+    )
+    out = neardup_grow_run(spark, raw, cat_dir, str(tmp_path / "run"))
+    rows = {r["batch_seq"]: r for r in out.collect()}
+    assert set(rows) == {0, 1}
+    # batch 1: the doc is novel (no catalog hit) and its 4 keys append
+    assert rows[0]["n_unique"] == 1 and rows[0]["n_novel"] == 1
+    assert rows[0]["n_neardup_hist"] == 0 and rows[0]["n_keys_added"] == 4
+    # batch 2: the exact re-delivery is gone (state), and the EDITED
+    # variant hits the keys batch 1 appended — the maintenance leg working
+    assert rows[1]["n_unique"] == 1, rows[1]
+    assert rows[1]["n_neardup_hist"] == 1 and rows[1]["n_novel"] == 0
+    assert rows[1]["n_keys_added"] == 0
+
+
 def test_events_num_rows_counts_nested_layouts(spark, tmp_path):
     """_events_num_rows must count leaf files of a nested/partitioned
     events directory (key=... subdirs), not just top-level *.parquet —
