@@ -1716,15 +1716,16 @@ def mark_known_bands(keyed: DataFrame, catalog: DataFrame, bands: int = 4):
     return marked, F.coalesce(*flags, F.lit(False))
 
 
-def _neardup_grow_oracle() -> str:
-    """Batch-by-batch DuckDB replay of the growing-catalog run: batch 0
-    (doc_id % 6 = 0) marks against the initial history catalog and its
-    novel docs' keys are appended; batch 1 (doc_id % 6 = 3) content-hash
-    dedups against batch 0's (source, h) state and marks against the
-    GROWN catalog. Keys of a novel doc are all absent from the catalog it
-    was checked against (known = any-band hit, so ¬known = zero hits) —
-    appending distinct novel-doc keys therefore keeps the catalog
-    key-unique with no anti-join, the invariant the Spark side leans on."""
+def _neardup_grow_ctes() -> str:
+    """Batch-by-batch DuckDB replay of the growing-catalog run (shared by
+    the grow and compact oracles): batch 0 (doc_id % 6 = 0) marks against
+    the initial history catalog and its novel docs' keys are appended;
+    batch 1 (doc_id % 6 = 3) content-hash dedups against batch 0's
+    (source, h) state and marks against the GROWN catalog. Keys of a
+    novel doc are all absent from the catalog it was checked against
+    (known = any-band hit, so ¬known = zero hits) — appending distinct
+    novel-doc keys therefore keeps the catalog key-unique with no
+    anti-join, the invariant the Spark side leans on."""
     return _neardup_keyed_ctes() + """, cat0 AS (
       SELECT DISTINCT unnest(ks) AS k
       FROM keyed WHERE doc_id % 3 <> 0 AND ks IS NOT NULL
@@ -1756,7 +1757,13 @@ def _neardup_grow_oracle() -> str:
     ), added1 AS (
       SELECT DISTINCT unnest(ks) AS k FROM b1m
       WHERE NOT known AND ks IS NOT NULL
-    )
+    )"""
+
+
+def _neardup_grow_oracle() -> str:
+    """The grow query's final projection over _neardup_grow_ctes: one
+    rollup row per batch."""
+    return _neardup_grow_ctes() + """
     SELECT 0 AS batch_seq,
            COUNT(*) AS n_unique,
            COUNT(*) FILTER (WHERE known) AS n_neardup_hist,
@@ -1864,25 +1871,13 @@ def neardup_grow_run(
     return spark.read.parquet(*sorted(_glob.glob(_os.path.join(res_root, "b=*"))))
 
 
-@register(
-    "stream_dedup_catalog_grow",
-    oracle=_neardup_grow_oracle(),
-    tags=("streaming", "llm", "dedup", "scale"),
-)
-def stream_dedup_catalog_grow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """stream_dedup_neardup's MAINTENANCE leg (VERDICT r10 ask #4): the
-    catalog is no longer static — each micro-batch's novel documents
-    append their band keys back to it exactly-once, so batch N+1 dedups
-    against batch N (a re-crawl arriving minutes after the original is
-    caught, not just re-crawls of deep history). Two deterministic
-    micro-batches of the streaming arm (doc_id % 6 = 0, then % 6 = 3;
-    chunk files mtime-ordered, maxFilesPerTrigger=1), cross-batch
-    content-hash state via streaming dropDuplicates, marking + append +
-    rollup in foreachBatch (see neardup_grow_run for the two-phase
-    idempotent-write protocol and the key-uniqueness invariant). Output:
-    one row per batch — uniques, history-near-dups, novels, keys added.
-    Oracle: the identical two-batch replay in SQL from the shared keyed
-    CTEs."""
+def _grow_scenario(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, str, str]:
+    """The fixture-backed grow scenario shared by stream_dedup_catalog_grow
+    and stream_dedup_catalog_compact: build (fingerprint-cached) initial
+    catalog + 2-chunk stream arm, run neardup_grow_run, return
+    (rollup_frame, catalog_dir, run_dir)."""
     tune(spark)
     from lagom_kinesis_spark.operators.similarity import (
         portable_minhash_band_keys,
@@ -1939,7 +1934,99 @@ def stream_dedup_catalog_grow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["source", "h"])
     )
     run_dir = fresh_scratch_dir("neardup_grow_run")
-    return neardup_grow_run(spark, raw, cat_dir, run_dir)
+    return neardup_grow_run(spark, raw, cat_dir, run_dir), cat_dir, run_dir
+
+
+@register(
+    "stream_dedup_catalog_grow",
+    oracle=_neardup_grow_oracle(),
+    tags=("streaming", "llm", "dedup", "scale"),
+)
+def stream_dedup_catalog_grow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_dedup_neardup's MAINTENANCE leg (VERDICT r10 ask #4): the
+    catalog is no longer static — each micro-batch's novel documents
+    append their band keys back to it exactly-once, so batch N+1 dedups
+    against batch N (a re-crawl arriving minutes after the original is
+    caught, not just re-crawls of deep history). Two deterministic
+    micro-batches of the streaming arm (doc_id % 6 = 0, then % 6 = 3;
+    chunk files mtime-ordered, maxFilesPerTrigger=1), cross-batch
+    content-hash state via streaming dropDuplicates, marking + append +
+    rollup in foreachBatch (see neardup_grow_run for the two-phase
+    idempotent-write protocol and the key-uniqueness invariant). Output:
+    one row per batch — uniques, history-near-dups, novels, keys added.
+    Oracle: the identical two-batch replay in SQL from the shared keyed
+    CTEs."""
+    out, _cat, _run = _grow_scenario(spark, sf_dir)
+    return out
+
+
+def compact_band_catalog(
+    spark: SparkSession,
+    base_dir: str,
+    grow_root: str,
+    out_dir: str,
+    n_files: int = 4,
+) -> tuple[int, int, int]:
+    """Compact a grown band-key catalog: base + every ``grow/b=*`` delta
+    rewritten as ONE bounded, key-clustered parquet layout (the periodic
+    maintenance job that stops the per-batch appends from accreting a
+    small-file problem — same role as any streaming lake sink's
+    compaction). Returns (n_base, n_appended, n_compacted); the caller
+    asserts n_compacted == n_base + n_appended, which PROVES the
+    key-uniqueness invariant end-to-end because n_compacted is counted
+    through distinct() — any duplicate key anywhere would make it
+    smaller. repartition(n_files, k) clusters equal keys into the same
+    file, the layout the band-join's other side wants."""
+    import glob as _glob
+    import os as _os
+
+    base = spark.read.parquet(base_dir)
+    grown = sorted(_glob.glob(_os.path.join(grow_root, "b=*")))
+    n_base = base.count()
+    if grown:
+        deltas = spark.read.parquet(*grown)
+        n_delta = deltas.count()
+        full = base.unionByName(deltas)
+    else:
+        n_delta = 0
+        full = base
+    full.repartition(n_files, "k").write.mode("overwrite").parquet(out_dir)
+    n_comp = spark.read.parquet(out_dir).distinct().count()
+    return n_base, n_delta, n_comp
+
+
+@register(
+    "stream_dedup_catalog_compact",
+    oracle=_neardup_grow_ctes() + """
+    SELECT (SELECT COUNT(*) FROM cat0) AS n_keys_base,
+           (SELECT COUNT(*) FROM added0) + (SELECT COUNT(*) FROM added1)
+             AS n_keys_appended,
+           (SELECT COUNT(*) FROM cat0) + (SELECT COUNT(*) FROM added0)
+             + (SELECT COUNT(*) FROM added1) AS n_keys_compacted
+    """,
+    tags=("streaming", "llm", "dedup", "scale"),
+)
+def stream_dedup_catalog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compaction leg closing the catalog lifecycle (build → grow →
+    COMPACT): run the two-batch grow scenario, then rewrite base +
+    appended deltas as one bounded key-clustered layout and prove no key
+    was lost or duplicated — the oracle computes all three counts from
+    the batch replay, and the compacted count goes through distinct()
+    so any uniqueness violation breaks the hash match. The three counts
+    are scalar aggregates (bounded driver values by construction)."""
+    _rollup, cat_dir, run_dir = _grow_scenario(spark, sf_dir)
+    import os as _os
+
+    from lagom_kinesis_spark.streaming.topics import fresh_scratch_dir
+
+    comp_dir = _os.path.join(fresh_scratch_dir("neardup_compact"), "cat")
+    n_base, n_delta, n_comp = compact_band_catalog(
+        spark, cat_dir, _os.path.join(run_dir, "grow"), comp_dir
+    )
+    return spark.createDataFrame(
+        [(n_base, n_delta, n_comp)],
+        "n_keys_base long, n_keys_appended long, n_keys_compacted long",
+    )
 
 
 @register(

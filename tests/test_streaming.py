@@ -849,6 +849,29 @@ def test_catalog_grow_flags_neardup_of_prior_batch_novel_doc(spark, tmp_path):
     assert rows[1]["n_neardup_hist"] == 1 and rows[1]["n_novel"] == 0
     assert rows[1]["n_keys_added"] == 0
 
+    # Compaction closes the lifecycle: base (4 keys of `unrelated`) +
+    # batch-1's 4 appended keys rewrite to ONE bounded layout with no key
+    # lost or duplicated (n_comp goes through distinct()), in ≤2 files,
+    # and the key SET is exactly base ∪ deltas.
+    import glob
+
+    from lagom_kinesis_spark.queries.streaming_ops import compact_band_catalog
+
+    comp_dir = str(tmp_path / "compacted")
+    n_base, n_delta, n_comp = compact_band_catalog(
+        spark, cat_dir, str(tmp_path / "run" / "grow"), comp_dir, n_files=2
+    )
+    assert (n_base, n_delta, n_comp) == (4, 4, 8)
+    assert len(glob.glob(comp_dir + "/part-*.parquet")) <= 2
+    want_keys = {
+        r["k"]
+        for r in spark.read.parquet(
+            cat_dir, *glob.glob(str(tmp_path / "run" / "grow" / "b=*"))
+        ).collect()
+    }
+    got_keys = {r["k"] for r in spark.read.parquet(comp_dir).collect()}
+    assert got_keys == want_keys
+
 
 def test_events_num_rows_counts_nested_layouts(spark, tmp_path):
     """_events_num_rows must count leaf files of a nested/partitioned
