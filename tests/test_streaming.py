@@ -621,6 +621,32 @@ def test_bench_stream_steady_state_contract(spark):
         assert out["amortized_one_batch_s"] >= 0
 
 
+def test_bench_probe_and_thermal_gate_contract():
+    """The contention probe and thermal gate are best-effort diagnostics
+    that must never wedge or crash the bench: the probe returns a full
+    field set (or {}) through its timeout-guarded pools, and the gate
+    returns promptly once the single-unit burn reads clean (max_wait_s=0
+    bounds the wait for the test)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    out = bench._contention_probe(n_hashes=50_000)
+    if out:  # {} allowed on fork-unavailable platforms
+        assert {
+            "ncpu",
+            "single_unit_s",
+            "parallel_unit_max_s",
+            "effective_cores",
+            "steal_pct",
+            "contended",
+        } <= set(out)
+        assert isinstance(out["contended"], bool)
+    bench._thermal_gate(max_wait_s=0)  # returns, never raises
+
+
 def test_update_mode_chunked_replay_compacts_to_batch_result(spark, tmp_path):
     """The update-mode contract behind stream_tumbling_window's r11 basis
     switch: a SINGLE-batch replay emits each window once (sink holds the
