@@ -1785,6 +1785,7 @@ def neardup_grow_run(
     raw: DataFrame,
     initial_catalog_dir: str,
     run_dir: str,
+    after_grow_write=None,
 ) -> DataFrame:
     """Shared core of stream_dedup_catalog_grow (the pytest drives it over
     a synthetic source): run the keyed+deduped stream through a
@@ -1799,6 +1800,11 @@ def neardup_grow_run(
     the same content under the same path); the rollup write lands LAST,
     so a results row exists only if its grow append committed — the same
     prepare-then-commit discipline as the two-phase kinesis_sim sink.
+    The checkpoint lives at a FIXED path inside ``run_dir`` so a crashed
+    run restarts from its offsets and re-executes the failed batch
+    (proven by the injected-crash pytest via ``after_grow_write``, the
+    fault-injection seam called between the prepare and commit writes —
+    the widest window a crash can hit).
     Catalog key-uniqueness needs no anti-join: a novel doc's keys are all
     absent from the catalog it was checked against (known = ANY-band hit),
     and a later doc sharing a key with an appended one is by construction
@@ -1814,14 +1820,26 @@ def neardup_grow_run(
     lake sink."""
     import glob as _glob
     import os as _os
-    import uuid as _uuid
 
     grow_root = _os.path.join(run_dir, "grow")
     res_root = _os.path.join(run_dir, "res")
 
     def handle(batch_df: DataFrame, bid: int) -> None:
         cat = spark.read.parquet(initial_catalog_dir)
-        grown = sorted(_glob.glob(_os.path.join(grow_root, "b=*")))
+        # Exclude the batch's OWN delta dir: after a crash between prepare
+        # and commit, the retried batch's keys are already on disk under
+        # b=<bid> — including them would mark the batch's docs as
+        # near-dups of THEMSELVES (wrong rollup) and the prepare
+        # overwrite would delete files the in-flight catalog plan still
+        # references (FAILED_READ_FILE on the rollup pass). Reading only
+        # b=<other> reconstructs the catalog exactly as of batch start,
+        # which is what makes the retry idempotent — found by the
+        # injected-crash pytest, not by inspection.
+        grown = sorted(
+            d
+            for d in _glob.glob(_os.path.join(grow_root, "b=*"))
+            if _os.path.basename(d) != f"b={bid}"
+        )
         if grown:
             cat = cat.unionByName(spark.read.parquet(*grown))
         marked, known = mark_known_bands(batch_df, cat)
@@ -1834,6 +1852,8 @@ def neardup_grow_run(
                 .write.mode("overwrite")
                 .parquet(_os.path.join(grow_root, f"b={bid}"))
             )
+            if after_grow_write is not None:
+                after_grow_write(bid)
             n_added = spark.read.parquet(
                 _os.path.join(grow_root, f"b={bid}")
             ).count()
@@ -1856,7 +1876,11 @@ def neardup_grow_run(
         finally:
             marked.unpersist()
 
-    ckpt = _os.path.join(run_dir, "ckpt", _uuid.uuid4().hex[:12])
+    # FIXED checkpoint path (run_dir is fresh per invocation, so no
+    # collision): a crashed run restarted with the same run_dir resumes
+    # from its committed offsets instead of replaying from scratch —
+    # the restart contract the fault-injection pytest exercises.
+    ckpt = _os.path.join(run_dir, "ckpt")
     q = (
         raw.writeStream.foreachBatch(handle)
         .outputMode("update")

@@ -899,6 +899,84 @@ def test_catalog_grow_flags_neardup_of_prior_batch_novel_doc(spark, tmp_path):
     assert got_keys == want_keys
 
 
+def test_catalog_grow_restart_after_crash_is_exactly_once(spark, tmp_path):
+    """The grow leg's two-phase claim under an ACTUAL crash: a failure
+    injected between the prepare write (novel keys appended) and the
+    commit write (rollup row) — the widest window — followed by a restart
+    from the same checkpoint, must yield the same catalog and rollup as a
+    never-crashed run: the retried batch OVERWRITES its batch-id-keyed
+    paths instead of double-appending."""
+    import glob
+    import time
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lagom_kinesis_spark.operators.similarity import (
+        portable_minhash_band_keys,
+    )
+    from lagom_kinesis_spark.operators.text import shingles, tokens
+    from lagom_kinesis_spark.queries.streaming_ops import neardup_grow_run
+
+    t_a = "first unique document about broadcast joins and shuffle planning"
+    t_b = "second unique document describing watermark semantics in streams"
+    src = tmp_path / "stream"
+    src.mkdir()
+    for i, (name, rows) in enumerate(
+        [("batch_a", [(1, t_a, "s")]), ("batch_b", [(2, t_b, "s")])]
+    ):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).coalesce(1).write.parquet(str(src / name))
+        time.sleep(1.1)
+    cat_dir = str(tmp_path / "cat")
+    spark.createDataFrame(
+        [("unrelated seed history text",)], "text string"
+    ).select(
+        F.explode(portable_minhash_band_keys(shingles(tokens("text")))).alias("k")
+    ).distinct().write.parquet(cat_dir)
+
+    def raw():
+        return (
+            spark.readStream.schema("doc_id long, text string, source string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+            .select(
+                "source",
+                F.md5(F.col("text").cast("binary")).alias("h"),
+                portable_minhash_band_keys(shingles(tokens("text"))).alias("ks"),
+            )
+            .dropDuplicates(["source", "h"])
+        )
+
+    run_dir = str(tmp_path / "run")
+    crashed = {"n": 0}
+
+    def boom(bid: int) -> None:
+        if bid == 1 and crashed["n"] == 0:
+            crashed["n"] += 1
+            raise RuntimeError("injected crash between prepare and commit")
+
+    with pytest.raises(Exception, match="injected crash"):
+        neardup_grow_run(spark, raw(), cat_dir, run_dir, after_grow_write=boom)
+    assert crashed["n"] == 1
+    # the crash landed AFTER the prepare: batch 1's keys are on disk, but
+    # its rollup commit is not
+    assert glob.glob(run_dir + "/grow/b=1/*.parquet")
+    assert not glob.glob(run_dir + "/res/b=1/*.parquet")
+
+    # restart from the same checkpoint: batch 1 re-executes, overwriting
+    # its batch-id-keyed paths — never double-appending
+    out = neardup_grow_run(spark, raw(), cat_dir, run_dir)
+    rows = {r["batch_seq"]: r for r in out.collect()}
+    assert set(rows) == {0, 1}
+    for b in (0, 1):
+        assert rows[b]["n_unique"] == 1 and rows[b]["n_novel"] == 1
+        assert rows[b]["n_keys_added"] == 4, rows[b]
+    keys = [r["k"] for r in spark.read.parquet(*glob.glob(run_dir + "/grow/b=*")).collect()]
+    assert len(keys) == len(set(keys)) == 8  # 4 per novel doc, no dups
+
+
 def test_events_num_rows_counts_nested_layouts(spark, tmp_path):
     """_events_num_rows must count leaf files of a nested/partitioned
     events directory (key=... subdirs), not just top-level *.parquet —
