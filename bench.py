@@ -352,11 +352,20 @@ def _thermal_gate(max_wait_s: float = 420.0) -> None:
     drops under the contended threshold (1.25× ref) or the bounded wait
     expires (the tier's own pre/post probes still record whatever state
     remains — the gate reduces taint, the probes still detect it)."""
-    ref = float(os.environ.get("SPARK_GRAFT_BURN_REF_S", "0.51"))
+    try:
+        # diagnostics must never kill the run: a malformed env override
+        # falls back to the calibrated default instead of raising between
+        # tiers of a multi-hour scaling run (review r11).
+        ref = float(os.environ.get("SPARK_GRAFT_BURN_REF_S", "0.51"))
+    except ValueError:
+        ref = 0.51
     waited = 0.0
-    while waited <= max_wait_s:
+    while True:
         t = min(_burn_unit() for _ in range(2))
-        if t <= 1.25 * ref:
+        if t <= 1.25 * ref or waited >= max_wait_s:
+            # bound checked BEFORE sleeping: max_wait_s=0 means one probe
+            # and out, and the default never overshoots by a sleep cycle
+            # (contrast the old post-sleep check; review r11).
             return
         print(
             f"# thermal gate: single-unit {t:.3f}s > 1.25x{ref}: cooling ...",

@@ -1540,21 +1540,7 @@ def neardup_stream_frame(raw: DataFrame, catalog: DataFrame) -> DataFrame:
         F.md5(F.col("text").cast("binary")).alias("h"),
         portable_minhash_band_keys(shingles(tokens("text"))).alias("ks"),
     ).dropDuplicates(["source", "h"])
-    marked = keyed
-    flags = []
-    for b in range(4):
-        cat_b = F.broadcast(
-            catalog.select(
-                F.col("k").alias(f"k{b}"), F.lit(True).alias(f"kn{b}")
-            )
-        )
-        marked = marked.join(
-            cat_b,
-            F.element_at(F.col("ks"), b + 1) == F.col(f"k{b}"),
-            "left",
-        )
-        flags.append(F.col(f"kn{b}"))
-    known = F.coalesce(*flags, F.lit(False))
+    marked, known = mark_known_bands(keyed, catalog)
     dup = F.count_if(known)
     return marked.groupBy("source").agg(
         F.count("*").alias("n_unique"),
@@ -1658,20 +1644,38 @@ def stream_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources|-cardinality. Oracle: the identical derivation in SQL
     (portable md5 minhash family — replayable where xxhash64 is not)."""
     tune(spark)
+    catalog = spark.read.parquet(_ensure_band_catalog(spark, sf_dir))
+    raw = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .parquet(stream_dir(sf_dir, "documents"))
+        .filter(F.col("doc_id") % 3 == 0)
+    )
+    return memory_sink_table(neardup_stream_frame(raw, catalog), "complete")
+
+
+def _ensure_band_catalog(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per fixture fingerprint) the history band-key catalog:
+    distinct portable MinHash band keys of the 2/3 history arm
+    (doc_id % 3 != 0), 4 keys × ~35 bytes per historical doc — history-
+    at-rest, never re-scanned. ONE builder shared by stream_dedup_neardup
+    and the grow/compact scenario: the two inline copies wrote the same
+    fingerprint-cached directory, so an edit to one would silently leave
+    the other's content in the shared cache depending on execution order
+    (review r11)."""
+    import os as _os
+
     from lagom_kinesis_spark.operators.similarity import (
         portable_minhash_band_keys,
     )
     from lagom_kinesis_spark.operators.text import shingles, tokens
 
-    docs = spark.read.parquet(path_of(sf_dir, "documents"))
     cat_dir = io_scratch("neardup_band_catalog", sf_dir, source="documents")
-    import os as _os
-
     if not _os.path.exists(_os.path.join(cat_dir, "_SUCCESS")):
-        # History-at-rest: built once per fixture (fingerprinted path),
-        # 4 keys × ~35 bytes per historical doc — never re-scanned.
         (
-            docs.filter(F.col("doc_id") % 3 != 0)
+            spark.read.parquet(path_of(sf_dir, "documents"))
+            .filter(F.col("doc_id") % 3 != 0)
             .select(
                 F.explode(
                     portable_minhash_band_keys(shingles(tokens("text")))
@@ -1681,15 +1685,7 @@ def stream_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(cat_dir)
         )
-    catalog = spark.read.parquet(cat_dir)
-    raw = (
-        spark.readStream.schema(
-            "doc_id long, text string, lang string, source string, n_chars long"
-        )
-        .parquet(stream_dir(sf_dir, "documents"))
-        .filter(F.col("doc_id") % 3 == 0)
-    )
-    return memory_sink_table(neardup_stream_frame(raw, catalog), "complete")
+    return cat_dir
 
 
 def mark_known_bands(keyed: DataFrame, catalog: DataFrame, bands: int = 4):
@@ -1913,21 +1909,9 @@ def _grow_scenario(
     import glob as _glob
 
     docs = spark.read.parquet(path_of(sf_dir, "documents"))
-    # Initial history catalog: the same fingerprint-cached build as
-    # stream_dedup_neardup (key-distinct band keys of the 2/3 history arm).
-    cat_dir = io_scratch("neardup_band_catalog", sf_dir, source="documents")
-    if not _os.path.exists(_os.path.join(cat_dir, "_SUCCESS")):
-        (
-            docs.filter(F.col("doc_id") % 3 != 0)
-            .select(
-                F.explode(
-                    portable_minhash_band_keys(shingles(tokens("text")))
-                ).alias("k")
-            )
-            .distinct()
-            .write.mode("overwrite")
-            .parquet(cat_dir)
-        )
+    # Initial history catalog: the ONE shared fingerprint-cached build
+    # (same dir stream_dedup_neardup reads).
+    cat_dir = _ensure_band_catalog(spark, sf_dir)
     # Deterministic 2-chunk stream arm, fingerprint-cached; part-file
     # mtimes pin the batch order (file source processes oldest-first).
     chunks = io_scratch("neardup_grow_chunks", sf_dir, source="documents")
@@ -1958,7 +1942,22 @@ def _grow_scenario(
         .dropDuplicates(["source", "h"])
     )
     run_dir = fresh_scratch_dir("neardup_grow_run")
-    return neardup_grow_run(spark, raw, cat_dir, run_dir), cat_dir, run_dir
+    out = neardup_grow_run(spark, raw, cat_dir, run_dir), cat_dir, run_dir
+    from lagom_kinesis_spark.catalog import fixture_fingerprint
+
+    global _LAST_GROW_RUN
+    _LAST_GROW_RUN = (fixture_fingerprint(sf_dir, "documents"), cat_dir, run_dir)
+    return out
+
+
+#: (documents fingerprint, cat_dir, run_dir) of the last completed grow
+#: scenario this session — stream_dedup_catalog_compact reuses it instead
+#: of re-executing the whole 2-batch streaming run when both queries run
+#: in one sweep (review r11); outputs are deterministic, so reuse cannot
+#: change the compact result, and the fingerprint key invalidates on a
+#: fixture swap. Only grow/compact touch the "neardup_grow_run" scratch
+#: tag, so the stored run_dir stays alive until the next grow run.
+_LAST_GROW_RUN: tuple[str, str, str] | None = None
 
 
 @register(
@@ -2037,11 +2036,27 @@ def stream_dedup_catalog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     was lost or duplicated — the oracle computes all three counts from
     the batch replay, and the compacted count goes through distinct()
     so any uniqueness violation breaks the hash match. The three counts
-    are scalar aggregates (bounded driver values by construction)."""
-    _rollup, cat_dir, run_dir = _grow_scenario(spark, sf_dir)
+    are scalar aggregates (bounded driver values by construction).
+    Reuses the last completed grow run of this session when its outputs
+    are still on disk (see _LAST_GROW_RUN) — the grow outputs are
+    deterministic, so re-executing the streaming pipeline inside every
+    compact call bought nothing but wall-clock (review r11)."""
+    import glob as _glob
     import os as _os
 
+    from lagom_kinesis_spark.catalog import fixture_fingerprint
     from lagom_kinesis_spark.streaming.topics import fresh_scratch_dir
+
+    tune(spark)
+    fp = fixture_fingerprint(sf_dir, "documents")
+    if (
+        _LAST_GROW_RUN is not None
+        and _LAST_GROW_RUN[0] == fp
+        and _glob.glob(_os.path.join(_LAST_GROW_RUN[2], "res", "b=*"))
+    ):
+        _, cat_dir, run_dir = _LAST_GROW_RUN
+    else:
+        _rollup, cat_dir, run_dir = _grow_scenario(spark, sf_dir)
 
     comp_dir = _os.path.join(fresh_scratch_dir("neardup_compact"), "cat")
     n_base, n_delta, n_comp = compact_band_catalog(

@@ -168,6 +168,10 @@ _NEEDS_REROW: dict[str, int] = {
     "text_bm25_topk": 11,
     "stream_tumbling_window": 12,  # r11: update-mode sink
     "stream_sliding_window": 12,  # r11: update-mode sink
+    # r11: band-marking loop converged on mark_known_bands and the
+    # catalog build factored into _ensure_band_catalog (behavior-
+    # identical refactor, but the convention force-rows any code change)
+    "stream_dedup_neardup": 12,
 }
 #: The force-listing above SELF-EXPIRES per name: once a CORRECTNESS
 #: artifact from that name's min round or later records it, the

@@ -47,13 +47,25 @@ def test_keyset_seek_prunes_scan_and_has_no_offset(spark):
     sort_limit_offset's top-(offset+limit) buffer."""
     plan = _plan(QS["sort_keyset_seek"].fn(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
-    take_lines = [
-        ln for ln in plan.splitlines() if "TakeOrderedAndProject" in ln
-    ]
-    # explain("formatted") lists the op per node; the detail block carries
-    # the limit/offset args — assert no offset arg anywhere in the plan.
-    assert "offset=" not in plan.lower() or "offset=0" in plan.lower(), take_lines
-    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    # The formatted detail block renders the node as
+    #   Arguments: <limit>, [sort order], [projection][, <offset>]
+    # (sort_limit_offset's line ends ", 30") — assert the seek node's
+    # Arguments line carries limit=20 and NO trailing offset arg, on the
+    # node's own line rather than a whole-plan substring that another
+    # node could satisfy (review r11).
+    lines = plan.splitlines()
+    args = []
+    for i, ln in enumerate(lines):
+        if not ln.strip().endswith("TakeOrderedAndProject"):
+            continue  # detail header "(N) TakeOrderedAndProject"
+        for follow in lines[i + 1 : i + 6]:  # Input/Arguments detail block
+            if follow.strip().startswith("Arguments:"):
+                args.append(follow.strip())
+                break
+    assert args, plan
+    for a in args:
+        assert a.startswith("Arguments: 20,") and a.endswith("]"), a
+    pushed = [ln for ln in lines if "PushedFilters" in ln]
     assert pushed and "LessThan(o_totalprice" in pushed[0], pushed
 
 
