@@ -1195,9 +1195,12 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, C, F.col("vec_id") < 5, k=10, n_probe=2)
 
 
-@register(
-    "dedup_clusters",
-    oracle="""
+#: Recursive transitive-closure CTE chain deriving near-dup clusters
+#: (exact Jaccard ≥ 0.3 over the doc_id % 2 sample): documents → `walk`
+#: (node, reachable-label). Shared by dedup_clusters and
+#: split_leakage_audit so the two oracles can never desync on the
+#: cluster derivation.
+_JACCARD_CLUSTER_CTES = """
     WITH RECURSIVE
     toks AS (
       SELECT doc_id, string_split(lower(text), ' ') AS w
@@ -1223,7 +1226,12 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT id, id AS label FROM nodes
       UNION
       SELECT e.id_b AS id, w.label FROM walk w JOIN edges e ON w.id = e.id_a
-    )
+    )"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=_JACCARD_CLUSTER_CTES + """
     SELECT id AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY id
     """,
     tags=("llm", "dedup", "iterative", "oracle_heavy"),
@@ -1246,6 +1254,83 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     return connected_components(pairs).withColumnRenamed("id", "doc_id")
+
+
+@register(
+    "split_leakage_audit",
+    oracle=_JACCARD_CLUSTER_CTES + """
+    , comp AS (
+      SELECT id AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY id
+    ), marked AS (
+      SELECT cluster_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS split_doc,
+             CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'cc'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS split_cluster
+      FROM comp
+    ), per AS (
+      SELECT cluster_id,
+             COUNT(DISTINCT split_doc) AS nd,
+             COUNT(DISTINCT split_cluster) AS nc
+      FROM marked GROUP BY cluster_id
+    )
+    SELECT COUNT(*) AS n_clusters,
+           COUNT(*) FILTER (WHERE nd > 1) AS n_straddle_per_doc,
+           COUNT(*) FILTER (WHERE nc > 1) AS n_straddle_per_cluster
+    FROM per
+    """,
+    tags=("llm", "pipeline", "sample", "dedup", "oracle_heavy"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free split assignment, audited: a per-DOCUMENT train/val/
+    test split (split_train_val_test's md5(doc_id) rule) puts members of
+    the same near-dup cluster on both sides of the train/eval boundary —
+    the eval set then contains near-copies of training documents and the
+    benchmark is contaminated from the inside, the failure
+    decontaminate_* guards against for EXTERNAL benchmarks. The fix is
+    to assign by CLUSTER: hash the cluster id, move all members
+    together. This row computes the near-dup clusters (dedup_clusters'
+    exact-Jaccard components, same derivation) and audits BOTH
+    assignments in one pass: n_straddle_per_doc > 0 is the leak the
+    naive rule admits on this very fixture; n_straddle_per_cluster = 0
+    is structural (same cluster_id ⇒ same hash ⇒ same split), and the
+    oracle hash-match proves it rather than asserts it.
+
+    Scale: clusters come from the component op (bounded iterative
+    min-label propagation over the pair graph); the audit itself is one
+    |clusters|-cardinality aggregate — the expensive part is the pair
+    derivation every serious dedup pipeline already pays, and the
+    full-scale variant swaps in dedup_minhash_lsh's banded pairs
+    unchanged."""
+    comp = dedup_clusters(spark, sf_dir)
+
+    def md5_split(col):
+        b = F.substring(F.md5(col.cast("string")), 1, 2)
+        return F.when(b < "cc", "train").when(b < "e6", "val").otherwise("test")
+
+    per = (
+        comp.select(
+            "cluster_id",
+            md5_split(F.col("doc_id")).alias("split_doc"),
+            md5_split(F.col("cluster_id")).alias("split_cluster"),
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.countDistinct("split_doc").alias("nd"),
+            F.countDistinct("split_cluster").alias("nc"),
+        )
+    )
+    return per.agg(
+        F.count("*").alias("n_clusters"),
+        F.count_if(F.col("nd") > 1).alias("n_straddle_per_doc"),
+        F.count_if(F.col("nc") > 1).alias("n_straddle_per_cluster"),
+    )
 
 
 @register(

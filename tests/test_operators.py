@@ -728,6 +728,22 @@ def test_connected_components_rejects_zero_iterations(spark):
         connected_components(pairs, max_iter=0)
 
 
+def test_split_leakage_audit_invariants(spark):
+    """split_leakage_audit's structural contracts at the floor fixture:
+    the per-CLUSTER assignment can never straddle (same cluster_id ⇒
+    same hash ⇒ same split), clusters exist to audit, and the straddle
+    count is bounded by the cluster count. Exact values are the driver
+    oracle's job; these are the invariants that must hold at ANY
+    fixture."""
+    from lagom_kinesis_spark.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    row = all_queries()["split_leakage_audit"].fn(spark, SF_DIR).collect()[0]
+    assert row["n_straddle_per_cluster"] == 0
+    assert row["n_clusters"] >= 1
+    assert 0 <= row["n_straddle_per_doc"] <= row["n_clusters"]
+
+
 def test_max_records_per_file_bounds_every_part_file(spark):
     """sink_parquet_max_records_per_file's file-count contract (not
     SQL-oracle-able): every part file must hold <= the cap, so the file
