@@ -256,7 +256,14 @@ def _contention_probe(n_hashes: int = 1_000_000) -> dict:
         steal_pct = None
         if a is not None and b is not None and b[0] > a[0]:
             steal_pct = round(100.0 * (b[1] - a[1]) / (b[0] - a[0]), 2)
-        ref = float(os.environ.get("SPARK_GRAFT_BURN_REF_S", "0.51"))
+        # Same degrade rule as _thermal_gate: a malformed env override must
+        # fall back to the calibrated default, not silently disable the
+        # probe by tripping the broad diagnostics-never-kill-runs except
+        # below (ADVICE r11).
+        try:
+            ref = float(os.environ.get("SPARK_GRAFT_BURN_REF_S", "0.51"))
+        except ValueError:
+            ref = 0.51
         out = {
             "ncpu": ncpu,
             "single_unit_s": round(t_single, 3),
@@ -378,6 +385,29 @@ def _thermal_gate(max_wait_s: float = 420.0) -> None:
 def main() -> None:
     _settle_load()
     probe_pre = _contention_probe()
+    # Headline gate (VERDICT r11 ask #1): BENCH_r9 and BENCH_r11 both
+    # recorded the repo's most visible round-over-round series on windows
+    # their own pre-probe flagged contended. The scaling tiers already cool
+    # between runs via _thermal_gate; give the driver-protocol headline
+    # suite the same bounded cool-and-retry — one _thermal_gate wait (up to
+    # 420 s) plus one re-probe. If the window is STILL flagged after that,
+    # we run anyway (the driver expects an artifact) but stamp a top-level
+    # "tainted": true so no reader compares the seconds round-over-round.
+    gate_note = None
+    if probe_pre.get("contended"):
+        print(
+            "# headline gate: pre-probe flagged contended — cooling before "
+            "the timed suite ...",
+            file=sys.stderr,
+        )
+        _thermal_gate()
+        reprobe = _contention_probe()
+        gate_note = {
+            "pre_gate_probe": probe_pre,
+            "action": "thermal_gate(<=420s) + re-probe",
+            "recovered": not reprobe.get("contended", False),
+        }
+        probe_pre = reprobe
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # Parse the scale factor up front and degrade to the raw string for
     # fixture dirs that don't end in sf<number> — a ValueError inside the
@@ -537,10 +567,16 @@ def main() -> None:
                 ),
                 "transport": transport,
                 "stream_steady_state": steady,
+                # tainted: the headline gate cooled/re-probed and the
+                # window STILL flagged (or it went contended mid-run) —
+                # seconds in this artifact are not comparable
+                # round-over-round; use the probe-clean scaling tiers.
+                "tainted": contended,
                 "contention": {
                     "pre": probe_pre,
                     "post": probe_post,
                     "contended": contended,
+                    "headline_gate": gate_note,
                 },
             }
         )

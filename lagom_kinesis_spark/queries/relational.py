@@ -420,7 +420,13 @@ def sort_keyset_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_order = (F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
     # Bounded collect (exactly 1 row): the cursor a production caller
     # would supply. offset(49).limit(1) is itself a top-50 TakeOrdered.
-    cur = o.orderBy(*total_order).offset(49).limit(1).collect()[0]
+    cur_rows = o.orderBy(*total_order).offset(49).limit(1).collect()
+    if not cur_rows:
+        # Fixture shorter than the cursor depth: the oracle's correlated
+        # cursor CTE yields an empty page, so return the same empty
+        # 2-column shape instead of crashing on [0] (ADVICE r11).
+        return o.filter(F.lit(False))
+    cur = cur_rows[0]
     seek = (F.col("o_totalprice") < F.lit(cur["o_totalprice"])) | (
         (F.col("o_totalprice") == F.lit(cur["o_totalprice"]))
         & (F.col("o_orderkey") > F.lit(cur["o_orderkey"]))

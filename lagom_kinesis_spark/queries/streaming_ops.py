@@ -1888,7 +1888,16 @@ def neardup_grow_run(
         q.awaitTermination()
     finally:
         q.stop()
-    return spark.read.parquet(*sorted(_glob.glob(_os.path.join(res_root, "b=*"))))
+    batch_dirs = sorted(_glob.glob(_os.path.join(res_root, "b=*")))
+    if not batch_dirs:
+        # Empty source dir ⇒ availableNow terminates after zero batches and
+        # the bare parquet() call would raise a confusing no-paths py4j
+        # error. Surface the actual condition instead (ADVICE r11).
+        raise ValueError(
+            f"neardup grow run produced no micro-batches (no b=* rollup "
+            f"dirs under {res_root}); is the stream source dir empty?"
+        )
+    return spark.read.parquet(*batch_dirs)
 
 
 def _grow_scenario(

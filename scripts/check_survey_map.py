@@ -51,7 +51,10 @@ def _package_symbols() -> set[str]:
     skip = os.path.join(REPO, "lagom_kinesis_spark", "queries")
     for root in roots:
         for dirpath, _dirs, files in os.walk(root):
-            if dirpath.startswith(skip):
+            # exact-dir or subtree match only — a bare startswith(skip)
+            # would also skip a future sibling like queries_extra/
+            # (ADVICE r11)
+            if dirpath == skip or dirpath.startswith(skip + os.sep):
                 continue
             for fn in files:
                 if not fn.endswith(".py"):
