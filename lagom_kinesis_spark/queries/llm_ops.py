@@ -1195,12 +1195,13 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, C, F.col("vec_id") < 5, k=10, n_probe=2)
 
 
-#: Recursive transitive-closure CTE chain deriving near-dup clusters
-#: (exact Jaccard ≥ 0.3 over the doc_id % 2 sample): documents → `walk`
-#: (node, reachable-label). Shared by dedup_clusters and
-#: split_leakage_audit so the two oracles can never desync on the
-#: cluster derivation.
-_JACCARD_CLUSTER_CTES = """
+def _jaccard_cluster_ctes(threshold: float) -> str:
+    """Recursive transitive-closure CTE chain deriving near-dup clusters
+    (exact Jaccard ≥ ``threshold`` over the doc_id % 2 sample): documents →
+    `walk` (node, reachable-label). Shared by dedup_clusters,
+    split_leakage_audit and dedup_clusters_lsh so the oracles can never
+    desync on the cluster derivation."""
+    return f"""
     WITH RECURSIVE
     toks AS (
       SELECT doc_id, string_split(lower(text), ' ') AS w
@@ -1218,7 +1219,7 @@ _JACCARD_CLUSTER_CTES = """
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM sub a JOIN sub b ON a.doc_id < b.doc_id
       WHERE len(list_intersect(a.sh, b.sh))
-            / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.3
+            / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= {threshold}
     ),
     edges AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
     nodes AS (SELECT DISTINCT id_a AS id FROM edges),
@@ -1227,6 +1228,9 @@ _JACCARD_CLUSTER_CTES = """
       UNION
       SELECT e.id_b AS id, w.label FROM walk w JOIN edges e ON w.id = e.id_a
     )"""
+
+
+_JACCARD_CLUSTER_CTES = _jaccard_cluster_ctes(0.3)
 
 
 @register(
@@ -1254,6 +1258,99 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     return connected_components(pairs).withColumnRenamed("id", "doc_id")
+
+
+def lsh_verified_pairs(sub: DataFrame, threshold: float) -> DataFrame:
+    """The 100 TB near-dup pair arm, factored so tests/test_plans.py can
+    assert its plan in isolation: banded MinHash-LSH candidates (64 hashes,
+    16 bands — equi-joins on band keys, never all pairs) → exact-Jaccard
+    verification WITHIN candidates only. ``sub`` is (doc_id, sh) with
+    non-empty shingle arrays. Returns distinct (id_a, id_b) with id_a<id_b.
+    Plan property (asserted): no CartesianProduct / BroadcastNestedLoopJoin
+    anywhere — every join is an equi-join, so the arm scales as
+    O(candidates), not O(n²)."""
+    cands = lsh_candidate_pairs(sub, "doc_id", "sh", num_hashes=64, bands=16)
+    a = sub.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sub.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+@register(
+    "dedup_clusters_lsh",
+    oracle=_jaccard_cluster_ctes(0.8) + """
+    , comp AS (
+      SELECT id AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY id
+    )
+    SELECT cluster_id,
+           COUNT(*) AS n_docs,
+           COUNT(*) AS n_docs_lsh_agree,
+           COUNT(DISTINCT cluster_id) AS n_lsh_clusters
+    FROM comp GROUP BY cluster_id
+    """,
+    tags=("llm", "dedup", "iterative", "oracle_heavy"),
+)
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition dedup_clusters' docstring promises, registered and
+    agreement-audited in ONE plan (the sim_ann_recall_audit pattern):
+
+      LSH arm (full-scale path): lsh_verified_pairs — banded candidates →
+        exact-Jaccard verify (≥0.8) → the SAME connected_components
+        operator → (doc_id, cluster_lsh).
+      Exact arm (sampled comparison): all-pairs Jaccard ≥0.8 over the
+        doc_id%2 sample → connected_components → (doc_id, cluster_id).
+
+    Rollup per EXACT cluster: member count, members the LSH arm placed in
+    the same (min-label) cluster, and distinct LSH cluster ids among them.
+    Both arms share one universe and min-label ids, so full agreement means
+    byte-identical assignments. The oracle computes the exact closure once
+    and emits the full-agreement rollup — valid because at j≥0.8 the
+    16-band/4-row S-curve makes LSH misses negligible (P(miss) = (1-j⁴)¹⁶
+    ≈ 2e-4 at j=0.8) and the frozen fixture's pair set is deterministic, so
+    ANY Spark-side LSH miss or spurious merge breaks the hash (same
+    exactness argument as dedup_minhash_lsh's oracle).
+
+    Scale: only the LSH arm survives a 100 TB run (the exact arm is the
+    sampled audit, same role as sim_ann_recall_audit's brute-force arm);
+    tests/test_plans.py asserts the LSH arm has no CartesianProduct /
+    nested-loop join. Reference parity: the reference has no dedup surface
+    at all (transport shim) — this row is mandate coverage."""
+    from lagom_kinesis_spark.operators.components import connected_components
+
+    d = fan_out(load(spark, sf_dir, "documents")).filter(F.col("doc_id") % 2 == 0)
+    # Shingles feed signature generation AND both verify-join sides of BOTH
+    # arms: persist so the expensive shingling runs once per doc.
+    sub = (
+        d.select("doc_id", shingles(tokens("text")).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    lsh_clusters = connected_components(lsh_verified_pairs(sub, 0.8)).select(
+        F.col("id").alias("doc_id"), F.col("cluster_id").alias("cluster_lsh")
+    )
+    a = sub.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sub.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    exact_pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.8)
+        .select("id_a", "id_b")
+    )
+    exact = connected_components(exact_pairs).withColumnRenamed("id", "doc_id")
+    return (
+        exact.join(lsh_clusters, "doc_id", "left")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(
+                F.when(F.col("cluster_lsh") == F.col("cluster_id"), 1)
+            ).alias("n_docs_lsh_agree"),
+            F.countDistinct("cluster_lsh").alias("n_lsh_clusters"),
+        )
+    )
 
 
 @register(

@@ -172,6 +172,12 @@ _NEEDS_REROW: dict[str, int] = {
     # catalog build factored into _ensure_band_catalog (behavior-
     # identical refactor, but the convention force-rows any code change)
     "stream_dedup_neardup": 12,
+    # r12 cohort (ADVICE-r11 guards — error-path-only changes, but the
+    # convention force-rows any code change): keyset empty-cursor guard;
+    # neardup_grow_run empty-glob guard (shared by grow + compact).
+    "sort_keyset_seek": 13,
+    "stream_dedup_catalog_grow": 13,
+    "stream_dedup_catalog_compact": 13,
 }
 #: The force-listing above SELF-EXPIRES per name: once a CORRECTNESS
 #: artifact from that name's min round or later records it, the

@@ -290,6 +290,24 @@ def test_minhash_lsh_is_banded_equi_join_not_cartesian(spark):
     assert "BroadcastNestedLoop" not in plan
 
 
+def test_lsh_cluster_arm_has_no_all_pairs_join(spark):
+    """dedup_clusters_lsh's full-scale arm (lsh_verified_pairs → the CC
+    operator) must have NO all-pairs join anywhere — the exact theta-join
+    arm exists in the same registered plan only as the sampled comparison
+    audit. Asserted on the factored arm in isolation so the exact arm's
+    (deliberate) nested-loop join can't mask a regression here."""
+    from lagom_kinesis_spark.operators.text import shingles, tokens
+    from lagom_kinesis_spark.queries.llm_ops import lsh_verified_pairs
+
+    d = load(spark, SF_DIR, "documents").filter(F.col("doc_id") % 2 == 0)
+    sub = d.select("doc_id", shingles(tokens("text")).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    plan = _plan(lsh_verified_pairs(sub, 0.8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
 def test_ann_lsh_bucket_join_not_cartesian(spark):
     """SRP-LSH ANN: candidates come from the bucket equi-join (query side
     broadcast); the hyperplane projection is a literal-array map expression
