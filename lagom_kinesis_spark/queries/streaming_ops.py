@@ -1813,7 +1813,21 @@ def neardup_grow_run(
     parquet (never re-derived from text) and grows by appended key files;
     a production deployment compacts ``grow/`` into the base catalog
     periodically (bounded small-file count), exactly like any streaming
-    lake sink."""
+    lake sink.
+
+    Compaction handoff contract: the COMPACTOR owns the reader swap, and
+    it happens only between runs — (1) stop the stream, (2)
+    compact_band_catalog(base, grow/, new_base), (3) move the folded
+    ``grow/b=*`` deltas aside, (4) restart with
+    ``initial_catalog_dir=new_base`` and the SAME checkpoint. Marking
+    reads base ∪ deltas either way, so a resumed batch sees the identical
+    key set whether its history lives in deltas or in the compacted base —
+    proven batch-for-batch against a never-compacted control run by
+    tests/test_streaming.py::
+    test_catalog_grow_resumes_after_compaction_handoff. The loop itself
+    never rewrites ``initial_catalog_dir`` mid-run (handle() re-reads it
+    per batch, so an in-place swap under a LIVE run would race the
+    in-flight plan — hence stop-first)."""
     import glob as _glob
     import os as _os
 

@@ -977,6 +977,133 @@ def test_catalog_grow_restart_after_crash_is_exactly_once(spark, tmp_path):
     assert len(keys) == len(set(keys)) == 8  # 4 per novel doc, no dups
 
 
+def test_catalog_grow_resumes_after_compaction_handoff(spark, tmp_path):
+    """The grow→compact HANDOFF under a live checkpoint (VERDICT r11 ask
+    #4): a grow stream whose deltas were folded into a compacted base must
+    RESUME from the same checkpoint reading base=compacted + empty deltas
+    and produce, batch for batch, exactly what a never-compacted run
+    produces. The sharp edge: batch 2's near-dup flag can only come from
+    keys that lived in grow/b=* before the swap — if the compacted base
+    dropped or duplicated them, the rollup (or the final key set) diverges.
+    Protocol under test (neardup_grow_run's docstring contract): stop →
+    compact → move deltas aside → restart with the new base dir."""
+    import glob
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from lagom_kinesis_spark.operators.similarity import (
+        portable_minhash_band_keys,
+    )
+    from lagom_kinesis_spark.operators.text import shingles, tokens
+    from lagom_kinesis_spark.queries.streaming_ops import (
+        compact_band_catalog,
+        neardup_grow_run,
+    )
+
+    t_a = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "today and every day after that without fail"
+    )
+    t_b = "second unique document describing watermark semantics in streams"
+    # one-token edit of t_b — near-dup via keys batch 1 APPENDS
+    t_b_near = "second unique document describing watermark semantics in rivers"
+    t_c = "third unique document about arrow batches and pandas udf transfer"
+    src = tmp_path / "stream"
+    src.mkdir()
+
+    def write(name, rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).coalesce(1).write.parquet(str(src / name))
+        time.sleep(1.1)  # file source orders batches by modification time
+
+    def raw():
+        return (
+            spark.readStream.schema("doc_id long, text string, source string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+            .select(
+                "source",
+                F.md5(F.col("text").cast("binary")).alias("h"),
+                portable_minhash_band_keys(shingles(tokens("text"))).alias(
+                    "ks"
+                ),
+            )
+            .dropDuplicates(["source", "h"])
+        )
+
+    cat_dir = str(tmp_path / "cat")
+    spark.createDataFrame(
+        [("unrelated seed history text",)], "text string"
+    ).select(
+        F.explode(portable_minhash_band_keys(shingles(tokens("text")))).alias(
+            "k"
+        )
+    ).distinct().write.parquet(cat_dir)
+
+    write("batch_a", [(1, t_a, "s")])
+    write("batch_b", [(2, t_b, "s")])
+    run_dir = str(tmp_path / "run")
+    out1 = {
+        r["batch_seq"]: tuple(r)
+        for r in neardup_grow_run(spark, raw(), cat_dir, run_dir).collect()
+    }
+    assert set(out1) == {0, 1}
+
+    # --- the handoff: stop (run ended) → compact → move deltas aside ---
+    comp_dir = str(tmp_path / "compacted")
+    n_base, n_delta, n_comp = compact_band_catalog(
+        spark, cat_dir, run_dir + "/grow", comp_dir, n_files=2
+    )
+    assert n_comp == n_base + n_delta  # nothing lost, nothing duplicated
+    folded = tmp_path / "folded_deltas"
+    folded.mkdir()
+    for d in glob.glob(run_dir + "/grow/b=*"):
+        shutil.move(d, str(folded))
+    assert not glob.glob(run_dir + "/grow/b=*")
+
+    # --- resume the SAME checkpoint with base=compacted ---
+    # batch 2: an exact re-delivery of t_a (cross-batch content-hash state
+    # must survive the restart), the t_b edit (near-dup ONLY via keys that
+    # now live in the compacted base — the handoff proof), and a novel doc.
+    write("batch_c", [(4, t_a, "s"), (5, t_b_near, "s"), (6, t_c, "s")])
+    out2 = {
+        r["batch_seq"]: tuple(r)
+        for r in neardup_grow_run(spark, raw(), comp_dir, run_dir).collect()
+    }
+    assert set(out2) == {0, 1, 2}
+    assert out2[0] == out1[0] and out2[1] == out1[1]  # history rows stable
+    # (2, n_unique=2 [re-delivery state-dropped], n_neardup_hist=1 [the
+    #  edit, via the COMPACTED base], n_novel=1, n_keys_added=4)
+    assert out2[2] == (2, 2, 1, 1, 4), out2[2]
+
+    # --- control: never-compacted run over the same 3 chunks ---
+    ctrl = {
+        r["batch_seq"]: tuple(r)
+        for r in neardup_grow_run(
+            spark, raw(), cat_dir, str(tmp_path / "run_ctrl")
+        ).collect()
+    }
+    assert ctrl == out2  # batch-for-batch identical rollup
+    # final catalog key SET identical: compacted ∪ post-swap deltas ==
+    # base ∪ all never-compacted deltas
+    got = {
+        r["k"]
+        for r in spark.read.parquet(
+            comp_dir, *glob.glob(run_dir + "/grow/b=*")
+        ).collect()
+    }
+    want = {
+        r["k"]
+        for r in spark.read.parquet(
+            cat_dir, *glob.glob(str(tmp_path / "run_ctrl") + "/grow/b=*")
+        ).collect()
+    }
+    assert got == want
+
+
 def test_events_num_rows_counts_nested_layouts(spark, tmp_path):
     """_events_num_rows must count leaf files of a nested/partitioned
     events directory (key=... subdirs), not just top-level *.parquet —
