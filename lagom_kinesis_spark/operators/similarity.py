@@ -317,8 +317,14 @@ def lsh_candidate_pairs(
     # checkpoint to storage and unpersist explicitly instead
     a = buckets.select(F.col(id_col).alias("id_a"), "bucket")
     b_ = buckets.select(F.col(id_col).alias("id_b"), "bucket")
+    # merge-hint: the bucket frame is corpus-sized (bands × docs rows), but
+    # a cached frame's pre-materialization stats come from the compressed
+    # parquet scan underneath, so the planner can pick a broadcast for this
+    # self-join and OOM building a corpus-sized hash relation — the same
+    # static-estimate trap measured on the verify join at sf10
+    # (.bench/ab_lsh_cc_scale_r12.py, r12). Big⋈big shuffles, always.
     return (
-        a.join(b_, "bucket")
+        a.join(b_.hint("merge"), "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

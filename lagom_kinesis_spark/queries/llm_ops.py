@@ -178,9 +178,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = lsh_candidate_pairs(sh, "doc_id", "sh", num_hashes=64, bands=16)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # merge-hint the shingle sides: they are CORPUS-sized, but a cached
+    # frame's pre-materialization stats come from the tiny compressed
+    # parquet scan, so Catalyst would pick BroadcastHashJoin and try to
+    # build the exploded shingle arrays (~1 GB at sf10 — measured OOM of
+    # the broadcast exchange, .bench/ab_lsh_cc_scale_r12.py r12) on one
+    # executor. Big⋈big must shuffle.
     return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
+        cands.join(a.hint("merge"), "id_a")
+        .join(b.hint("merge"), "id_b")
         .withColumn("jac", r6(jaccard(F.col("sh_a"), F.col("sh_b"))))
         .filter(F.col("jac") >= 0.8)
         .select("id_a", "id_b", "jac")
@@ -1272,9 +1278,12 @@ def lsh_verified_pairs(sub: DataFrame, threshold: float) -> DataFrame:
     cands = lsh_candidate_pairs(sub, "doc_id", "sh", num_hashes=64, bands=16)
     a = sub.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sub.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # merge-hint (SMJ) the shingle sides — same reason as dedup_minhash_lsh:
+    # cached-frame stats underestimate the exploded shingle arrays and a
+    # static BroadcastHashJoin OOMs at sf10 (measured, r12 scale probe).
     return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
+        cands.join(a.hint("merge"), "id_a")
+        .join(b.hint("merge"), "id_b")
         .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= threshold)
         .select("id_a", "id_b")
     )

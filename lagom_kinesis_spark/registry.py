@@ -178,6 +178,11 @@ _NEEDS_REROW: dict[str, int] = {
     "sort_keyset_seek": 13,
     "stream_dedup_catalog_grow": 13,
     "stream_dedup_catalog_compact": 13,
+    # r12: merge-hints on the LSH band/verify joins (the sf10 broadcast-
+    # OOM fix — strategy-only, results provably identical, but the
+    # convention force-rows any code change). dedup_clusters_lsh is new
+    # in r12 (never sampled ⇒ already front of the queue).
+    "dedup_minhash_lsh": 13,
 }
 #: The force-listing above SELF-EXPIRES per name: once a CORRECTNESS
 #: artifact from that name's min round or later records it, the

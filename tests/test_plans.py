@@ -306,6 +306,12 @@ def test_lsh_cluster_arm_has_no_all_pairs_join(spark):
     plan = _plan(lsh_verified_pairs(sub, 0.8))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+    # Every join in the arm (band-bucket self-join + both verify probes)
+    # has CORPUS-sized sides; a BroadcastHashJoin anywhere means the
+    # static-estimate trap is back (a cached shingle frame's stats come
+    # from the compressed parquet scan, so the planner under-estimates by
+    # ~100× and the broadcast build OOMs at sf10 — measured r12).
+    assert "BroadcastHashJoin" not in plan
 
 
 def test_ann_lsh_bucket_join_not_cartesian(spark):
