@@ -270,8 +270,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     b_ = bands.select(
         F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_key"
     )
+    # merge-hint: both self-join sides are the CACHED corpus-sized band
+    # frame (docs × 4 rows), whose stats the planner reads from the
+    # compressed scan under it — at sf10 it plans a BroadcastHashJoin of
+    # the whole frame (measured, r12 broadcast audit), which is an
+    # inevitable OOM at real corpus scale. Same trap + fix as the
+    # MinHash-LSH verify join.
     return (
-        a.join(b_, ["band", "band_key"])
+        a.join(b_.hint("merge"), ["band", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
         .distinct()
@@ -1099,8 +1105,13 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = assigned.select(
         "cluster", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
     )
+    # merge-hint: both sides are the CACHED corpus of (vec_id, embedding,
+    # cluster) — embedding arrays make the true size ~100× the planner's
+    # compressed-scan estimate, and at sf10 it plans a BroadcastHashJoin
+    # of the whole frame (measured, r12 broadcast audit). Within-cluster
+    # pairing must shuffle on cluster id.
     dups = (
-        a.join(b, "cluster")
+        a.join(b.hint("merge"), "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(r6(cosine(F.col("va"), F.col("vb"))) >= 0.35)
         .select("cluster", F.col("id_b").alias("vec_id"))
@@ -1650,8 +1661,15 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ex = sh.select("doc_id", F.explode("sh").alias("t"))
     freq = ex.groupBy("t").agg(F.count("*").alias("ft"))
+    # merge-hints throughout (r12 broadcast audit): every join side here —
+    # the shingle-VOCAB freq table (3-gram shingles are nearly unique per
+    # doc, so |vocab| tracks corpus size), the exploded probe/index sides,
+    # and the shingle-array verify sides — is corpus-scaled, but the
+    # planner prices them off the compressed documents scan and planned
+    # sf10 BroadcastHashJoins for all four. Broadcast of a corpus-scaled
+    # side is an inevitable OOM at real scale; big⋈big must shuffle.
     ordered = (
-        ex.join(freq, "t")
+        ex.join(freq.hint("merge"), "t")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list(F.struct("ft", "t"))).alias("os"))
     )
@@ -1663,7 +1681,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("a", F.col("p.t").alias("t"))
     index = ex.select(F.col("doc_id").alias("b"), "t")
     cand = (
-        probe.join(index, "t")
+        probe.join(index.hint("merge"), "t")
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
@@ -1672,8 +1690,8 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     vb = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
     jac = jaccard(F.col("sha"), F.col("shb"))
     return (
-        cand.join(va, "a")
-        .join(vb, "b")
+        cand.join(va.hint("merge"), "a")
+        .join(vb.hint("merge"), "b")
         .withColumn("jac_raw", jac)
         .filter(F.col("jac_raw") >= theta)
         .select(

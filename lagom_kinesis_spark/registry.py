@@ -181,8 +181,14 @@ _NEEDS_REROW: dict[str, int] = {
     # r12: merge-hints on the LSH band/verify joins (the sf10 broadcast-
     # OOM fix — strategy-only, results provably identical, but the
     # convention force-rows any code change). dedup_clusters_lsh is new
-    # in r12 (never sampled ⇒ already front of the queue).
+    # in r12 (never sampled ⇒ already front of the queue). The r12
+    # broadcast audit then swept the same trap out of the other
+    # corpus⋈corpus paths (simhash bands, semdedup cluster pairs,
+    # prefix-filter freq/index/verify).
     "dedup_minhash_lsh": 13,
+    "dedup_simhash": 13,
+    "dedup_semantic_semdedup": 13,
+    "dedup_prefix_filter_join": 13,
 }
 #: The force-listing above SELF-EXPIRES per name: once a CORRECTNESS
 #: artifact from that name's min round or later records it, the
