@@ -55,23 +55,26 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        new_label = F.least(
+            F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+        )
+        # The change flag rides INSIDE the checkpointed frame (1 byte/row)
+        # so the fixpoint check is a filter+count over already-materialized
+        # partitions — the old form re-joined new labels against old
+        # (|V|⋈|V| shuffle per iteration) to compute the same number
+        # (r12; min-label never increases, so changed ⇔ new < old).
         new_labels = (
             labels.join(nbr_min, "id", "left")
             .select(
                 "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+                new_label.alias("new_label"),
+                (new_label < F.col("label")).alias("chg"),
             )
+            .withColumnRenamed("new_label", "label")
             .localCheckpoint()  # truncate lineage — mandatory for iteration
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     else:

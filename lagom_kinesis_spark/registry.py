@@ -189,6 +189,11 @@ _NEEDS_REROW: dict[str, int] = {
     "dedup_simhash": 13,
     "dedup_semantic_semdedup": 13,
     "dedup_prefix_filter_join": 13,
+    # r12: connected_components folded the fixpoint check into the
+    # checkpointed frame (deletes one |V|⋈|V| shuffle join per
+    # iteration; results identical, consumers re-verified).
+    "dedup_clusters": 13,
+    "split_leakage_audit": 13,
 }
 #: The force-listing above SELF-EXPIRES per name: once a CORRECTNESS
 #: artifact from that name's min round or later records it, the
