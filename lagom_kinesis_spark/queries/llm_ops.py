@@ -1099,19 +1099,48 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = e.select(
         "vec_id", "embedding", centroid_rank(C)[0]["cid"].alias("cluster")
     ).persist()
+    # Within-cluster pairing must SHUFFLE on cluster id, never broadcast:
+    # both sides are the CACHED corpus of (vec_id, embedding, cluster),
+    # and embedding arrays make the true size ~100× the planner's
+    # compressed-scan estimate — at sf10 the unhinted plan broadcast the
+    # whole frame (measured, r12 broadcast audit; OOM class at scale).
+    # But a bare shuffle on `cluster` caps parallelism at k (8 here):
+    # measured 1.54 s → 6.69 s at sf0.1 when the merge hint landed alone.
+    # So the join key is SALTED (cluster, id_a % R) with the probe side
+    # replicated R ways — every (a, b) pair still meets exactly once, at
+    # the b-copy whose salt equals id_a % R — restoring k×R-way
+    # parallelism. R adapts: shuffle.partitions // k, i.e. R→1 (zero
+    # replication overhead) once k reaches cluster parallelism, which a
+    # production capacity-bounded quantizer always does; AQE skew-split
+    # additionally splits any >256 MB cluster partition at real scale.
+    # The pair stage is CPU-heavy HOF work over TINY bytes, so AQE's
+    # byte-based advisory coalescing (parallelismFirst=false, the r8
+    # small-shuffle tuning) shrinks the join's shuffle read to 1-2
+    # partitions and serializes the quadratic. Pinning the join INPUTS
+    # with explicit numbered repartitions on (cluster, salt) defeats the
+    # coalescing (AQE respects user repartition counts), so the cosine
+    # runs inside the 32-way join stage with NO extra pair-row exchange —
+    # measured at sf0.1: 1.54 s broadcast (the OOM plan) → 6.69 s
+    # hinted-only (2-partition quadratic) → ~4 s back with salt+pinning.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    R = max(1, n_parts // 8)  # k = 8 centroids (md5_sample_matrix above)
     a = assigned.select(
-        "cluster", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+        "cluster",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        (F.col("vec_id") % R).alias("salt"),
+    ).repartition(n_parts, "cluster", "salt")
+    b = (
+        assigned.select(
+            "cluster",
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("vb"),
+        )
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(R)])))
+        .repartition(n_parts, "cluster", "salt")
     )
-    b = assigned.select(
-        "cluster", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
-    )
-    # merge-hint: both sides are the CACHED corpus of (vec_id, embedding,
-    # cluster) — embedding arrays make the true size ~100× the planner's
-    # compressed-scan estimate, and at sf10 it plans a BroadcastHashJoin
-    # of the whole frame (measured, r12 broadcast audit). Within-cluster
-    # pairing must shuffle on cluster id.
     dups = (
-        a.join(b.hint("merge"), "cluster")
+        a.join(b.hint("merge"), ["cluster", "salt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(r6(cosine(F.col("va"), F.col("vb"))) >= 0.35)
         .select("cluster", F.col("id_b").alias("vec_id"))
