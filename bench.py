@@ -110,6 +110,10 @@ def _time_spark(qs, spark, names, sf_dir: str) -> dict[str, float]:
     times: dict[str, float] = {}
     for name in names:
         fn = qs[name].fn
+        # Label every job this query submits (guide §1.5) so the history
+        # server / event log reads as one block per query instead of an
+        # anonymous run of "save at ...:108" entries.
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         n = fn(spark, sf_dir).count()  # rows probe, untimed
         prev = None
         for _ in range(4):
@@ -126,6 +130,7 @@ def _time_spark(qs, spark, names, sf_dir: str) -> dict[str, float]:
             t0 = time.time()
             force(fn(spark, sf_dir))
             best = min(best, time.time() - t0)
+        spark.sparkContext.setJobDescription(None)
         times[name] = round(best, 3)
         print(f"# {name} @ {sf_dir}: {times[name]}s ({n} rows)", file=sys.stderr)
     return times
