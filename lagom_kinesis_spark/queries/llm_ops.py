@@ -176,8 +176,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # At cluster scale this would be a checkpoint to fast storage.
     sh = sh.persist()
     cands = lsh_candidate_pairs(sh, "doc_id", "sh", num_hashes=64, bands=16)
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # Verify sides carry xxhash64'd shingles, not the strings: jac is
+    # computed from SET SIZES only (|a∩b|, |a∪b|), which any injective
+    # map preserves, so the SMJ's sort + two exchanges move ~3x fewer
+    # bytes (avg 3-gram shingle ≈25 framed bytes vs 8/int64). Verify
+    # layer measured 1.389 s → 0.390 s at sf1 (250.6k pairs), pair set +
+    # jac values bit-identical (exceptAll both ways = 0; oracle hashes
+    # unchanged — .bench/ab_verify_hash_r12.py). Collision odds are
+    # birthday-on-2^64 over each pair's shingle UNION (~10^3 elements):
+    # ~3e-14 per pair. The SIGNATURE path stays on strings — its hash
+    # family determines the candidate set the oracle's exactness
+    # argument pins.
+    hsh = F.transform(F.col("sh"), lambda s: F.xxhash64(s))
+    a = sh.select(F.col("doc_id").alias("id_a"), hsh.alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), hsh.alias("sh_b"))
     # merge-hint the shingle sides: they are CORPUS-sized, but a cached
     # frame's pre-materialization stats come from the tiny compressed
     # parquet scan, so Catalyst would pick BroadcastHashJoin and try to
@@ -1316,8 +1328,13 @@ def lsh_verified_pairs(sub: DataFrame, threshold: float) -> DataFrame:
     anywhere — every join is an equi-join, so the arm scales as
     O(candidates), not O(n²)."""
     cands = lsh_candidate_pairs(sub, "doc_id", "sh", num_hashes=64, bands=16)
-    a = sub.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sub.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # xxhash64'd verify payloads — same narrower-types cut as
+    # dedup_minhash_lsh (jaccard reads set sizes only, invariant under an
+    # injective map; measured −72% verify-layer at sf1, outputs
+    # bit-identical — .bench/ab_verify_hash_r12.py).
+    hsh = F.transform(F.col("sh"), lambda s: F.xxhash64(s))
+    a = sub.select(F.col("doc_id").alias("id_a"), hsh.alias("sh_a"))
+    b = sub.select(F.col("doc_id").alias("id_b"), hsh.alias("sh_b"))
     # merge-hint (SMJ) the shingle sides — same reason as dedup_minhash_lsh:
     # cached-frame stats underestimate the exploded shingle arrays and a
     # static BroadcastHashJoin OOMs at sf10 (measured, r12 scale probe).
@@ -1685,9 +1702,22 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = fan_out(load(spark, sf_dir, "documents"))
     theta = 0.4
-    sh = d.select("doc_id", shingles(tokens("text")).alias("sh")).filter(
-        F.size("sh") > 0
-    )
+    # The whole pipeline decides on shingle IDENTITY, never content, so it
+    # runs on xxhash64'd shingles end-to-end (§2.3 narrower types): the
+    # vocab agg, probe/index joins and the collect_list re-sort shuffle
+    # 8-byte longs instead of ~25-byte strings, and the verify arrays
+    # shrink the same way (−72% verify-layer measured on the LSH twin,
+    # .bench/ab_verify_hash_r12.py). Output invariant: prefix-filter
+    # pruning is lossless for ANY total order applied consistently (the
+    # proof needs only a common order + the prefix length bound; rare-first
+    # is the performance heuristic and frequencies are hash-invariant —
+    # only equal-frequency TIE-BREAKS change, which may alter the candidate
+    # set but never the exactly-verified result), and jac reads set sizes,
+    # invariant under an injective map (collision odds ~3e-14/pair union).
+    sh = d.select(
+        "doc_id",
+        F.transform(shingles(tokens("text")), lambda s: F.xxhash64(s)).alias("sh"),
+    ).filter(F.size("sh") > 0)
     ex = sh.select("doc_id", F.explode("sh").alias("t"))
     freq = ex.groupBy("t").agg(F.count("*").alias("ft"))
     # merge-hints throughout (r12 broadcast audit): every join side here —

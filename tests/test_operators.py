@@ -827,3 +827,30 @@ def test_hybrid_rrf_fuses_both_arms_exactly(spark):
     )
     for r in both:
         assert r["rrf_score"] > single_best - 1e-9, (r, single_best)
+
+
+def test_shingle_hash_proxy_is_injective_on_fixture(spark):
+    """FIXTURE-TIME PRECONDITION for the r12 narrower-verify-payload cut:
+    the LSH/prefix-filter verify joins (and the whole prefix-filter
+    pipeline) ship xxhash64(shingle) instead of the shingle string, which
+    preserves every set SIZE — and therefore every jac value and the
+    exactly-verified pair set — iff the hash is injective on the fixture's
+    shingle universe (collision odds ~n²/2^65: ~3e-9 even for 10^5
+    distinct shingles). The driver regenerates fixtures between rounds, so
+    assert injectivity directly: distinct shingle strings == distinct
+    hashes, corpus-wide. If this ever fails after a regeneration, two
+    shingles collided: switch the proxy to xxhash64(shingle, seed) with a
+    bumped seed literal (any injective-on-fixture map works; the oracle
+    hashes re-verify the outcome)."""
+    from lagom_kinesis_spark.operators.text import shingles
+
+    ex = (
+        load(spark, SF_DIR, "documents")
+        .select(F.explode(shingles(tokens("text"))).alias("t"))
+    )
+    n_str = ex.select("t").distinct().count()
+    n_hash = ex.select(F.xxhash64("t").alias("h")).distinct().count()
+    assert n_str == n_hash, (
+        f"xxhash64 collision on fixture shingles: {n_str} strings -> "
+        f"{n_hash} hashes; bump the proxy seed (see docstring)"
+    )
