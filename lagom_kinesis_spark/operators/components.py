@@ -7,7 +7,17 @@ the min label among itself and its neighbors; converges in O(diameter)
 rounds (dup clusters are near-cliques, so 2-3 rounds in practice).
 
 Scale notes:
-- Each round is one join + one aggregation — all shuffles on the node id.
+- Each round is ONE shuffle (the neighbor-min aggregation on ``dst``).
+  The two joins plan zero Exchange: ``edges`` and ``labels`` are
+  hash-partitioned on their join keys ONCE, before their
+  ``localCheckpoint``, and the checkpoint preserves partitioning (and
+  sort order), so every iteration's sort-merge joins are co-partitioned.
+  AQE is disabled for the duration of the loop because (a) an
+  ``AdaptiveSparkPlanExec`` reports Unknown partitioning at checkpoint
+  capture time, which silently re-inserts all the per-iteration
+  exchanges, and (b) AQE's byte-based coalescing would re-number one
+  side's partitions and break co-partitioning mid-loop. The session conf
+  is restored on exit.
 - ``localCheckpoint`` truncates the lineage each round; without it the
   plan doubles per iteration and the job dies long before 100 TB.
 - For adversarial graphs (long chains) swap in the large-star/small-star
@@ -31,59 +41,92 @@ def connected_components(
         # change count; with zero rounds it would raise a NameError instead
         # of the intended message.
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
-    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    # Materialize the edge list ONCE: every iteration joins against it, and
-    # without truncation each round would re-run the (potentially expensive)
-    # pair-generation plan upstream — e.g. an all-pairs Jaccard join —
-    # once per iteration.
-    edges = (
-        fwd.unionByName(
-            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint()
-    )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges.src == labels.id)
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_label = F.least(
-            F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-        )
-        # The change flag rides INSIDE the checkpointed frame (1 byte/row)
-        # so the fixpoint check is a filter+count over already-materialized
-        # partitions — the old form re-joined new labels against old
-        # (|V|⋈|V| shuffle per iteration) to compute the same number
-        # (r12; min-label never increases, so changed ⇔ new < old).
-        new_labels = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                new_label.alias("new_label"),
-                (new_label < F.col("label")).alias("chg"),
+    spark = pairs.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    aqe_key = "spark.sql.adaptive.enabled"
+    aqe_prev = spark.conf.get(aqe_key)
+    spark.conf.set(aqe_key, "false")
+    try:
+        fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        # Materialize the edge list ONCE: every iteration joins against it,
+        # and without truncation each round would re-run the (potentially
+        # expensive) pair-generation plan upstream — e.g. an all-pairs
+        # Jaccard join — once per iteration. Partition by src and sort
+        # within partitions BEFORE the checkpoint: hash(src) satisfies
+        # dropDuplicates' ClusteredDistribution([src,dst]) (both copies of
+        # a duplicate edge share src), so the dedup aggregate reuses the
+        # repartition exchange, and the preserved hash(src)+[src ASC]
+        # layout makes every iteration's edges⋈labels a zero-Exchange,
+        # zero-Sort merge join on the edge side.
+        edges = (
+            fwd.unionByName(
+                fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             )
-            .withColumnRenamed("new_label", "label")
-            .localCheckpoint()  # truncate lineage — mandatory for iteration
+            .repartition(n_part, "src")
+            .dropDuplicates(["src", "dst"])
+            .sortWithinPartitions("src")
+            .localCheckpoint()
         )
-        changed = new_labels.filter("chg").count()
-        labels = new_labels.select("id", "label")
-        if changed == 0:
-            break
-    else:
-        # Exhausting max_iter without a fixpoint means some component's
-        # diameter exceeds the iteration budget — returning the partial
-        # labels would silently split one logical cluster into several
-        # (duplicate documents surviving dedup with no signal). Fail loud.
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} "
-            f"iterations ({changed} labels still changing); raise max_iter"
+        # distinct over src needs ClusteredDistribution([src]) — already
+        # satisfied by the inherited hash(src): no exchange. The id/label
+        # columns are projected only AFTER the checkpoint: checkpoint
+        # capture keeps just the FIRST leaf of a PartitioningCollection,
+        # and an alias like ``label = src`` puts hash(label) first
+        # (measured — the loop then re-shuffled labels every round
+        # because the captured layout named the wrong column). A
+        # single-column checkpoint captures hash(src) unambiguously; the
+        # post-checkpoint Project translates it alias-aware to both
+        # hash(id) and hash(label) at use time. Later iterations' labels
+        # inherit hash(id)+[id ASC] from the id-keyed left join below,
+        # so the loop never re-shuffles labels.
+        labels = (
+            edges.select("src")
+            .distinct()
+            .sortWithinPartitions("src")
+            .localCheckpoint()
+            .select(F.col("src").alias("id"), F.col("src").alias("label"))
         )
-    return labels.select("id", F.col("label").alias("cluster_id"))
+        for _ in range(max_iter):
+            # The ONE shuffle per round: re-keying neighbor min-labels
+            # from src-partitioning to dst — that exchange IS the label
+            # propagation and cannot be removed.
+            nbr_min = (
+                edges.join(labels, edges.src == labels.id)
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new_label = F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            )
+            # The change flag rides INSIDE the checkpointed frame
+            # (1 byte/row) so the fixpoint check is a filter+count over
+            # already-materialized partitions — the old form re-joined new
+            # labels against old (|V|⋈|V| shuffle per iteration) to
+            # compute the same number (r12; min-label never increases, so
+            # changed ⇔ new < old).
+            new_labels = (
+                labels.join(nbr_min, "id", "left")
+                .select(
+                    "id",
+                    new_label.alias("new_label"),
+                    (new_label < F.col("label")).alias("chg"),
+                )
+                .withColumnRenamed("new_label", "label")
+                .localCheckpoint()  # truncate lineage — mandatory for iteration
+            )
+            changed = new_labels.filter("chg").count()
+            labels = new_labels.select("id", "label")
+            if changed == 0:
+                break
+        else:
+            # Exhausting max_iter without a fixpoint means some component's
+            # diameter exceeds the iteration budget — returning the partial
+            # labels would silently split one logical cluster into several
+            # (duplicate documents surviving dedup with no signal). Fail loud.
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                f"iterations ({changed} labels still changing); raise max_iter"
+            )
+        return labels.select("id", F.col("label").alias("cluster_id"))
+    finally:
+        spark.conf.set(aqe_key, aqe_prev)
