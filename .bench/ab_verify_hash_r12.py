@@ -108,27 +108,26 @@ def variant_hash(sh):
     )
 
 
-def timed(spark, mk, n=3):
-    best = float("inf")
-    for _ in range(1 + n):  # first run is the warm-up
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()  # noqa: SLF001
-        # the persisted shingle frame is rebuilt inside mk each run
-        t0 = time.time()
-        noop(mk())
-        t = time.time() - t0
-        best = min(best, t)
-    return round(best, 3)
+def run_once(spark, mk):
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+    # the persisted shingle frame is rebuilt inside mk each run
+    t0 = time.time()
+    noop(mk())
+    return time.time() - t0
 
 
 def main() -> None:
+    import bench
+
     dirs = sys.argv[1:] or [
         p
         for p in ("/root/testdata/sf0.1", "/tmp/lagom_kinesis_spark/scale/sf1")
         if os.path.exists(p)
     ]
+    n_runs = 3
     spark = get_spark("ab-verify-hash-r12")
-    out = {}
+    out = {"probe_pre": bench._contention_probe()}
     for sf_dir in dirs:
         sh = build(spark, sf_dir)
         # --- correctness pre-check: identical (id_a, id_b, jac) sets
@@ -139,18 +138,36 @@ def main() -> None:
         n_pairs = bdf.count()
         sh.unpersist()
 
-        res = {}
-        for label, var in (
+        # Variants INTERLEAVED within each rep (A,B,C, A,B,C, ...) so a
+        # window drifting mid-run biases all three alike rather than
+        # whichever variant's sequential block it lands on; rep 0 warm.
+        variants = (
             ("A_cands", variant_cands),
             ("B_str", variant_str),
             ("C_hash", variant_hash),
-        ):
-            res[label] = timed(spark, lambda v=var: v(build(spark, sf_dir)))
+        )
+        runs: dict[str, list[float]] = {k: [] for k, _ in variants}
+        for rep in range(1 + n_runs):
+            for label, var in variants:
+                spark.sparkContext.setJobDescription(
+                    f"ab-verify-hash:{label}:{rep}"
+                )
+                t = round(run_once(spark, lambda: var(build(spark, sf_dir))), 3)
+                spark.sparkContext.setJobDescription(None)
+                if rep > 0:
+                    runs[label].append(t)
+                print(f"# {sf_dir} rep{rep} {label}: {t}s",
+                      file=sys.stderr, flush=True)
+        res = {k: min(v) for k, v in runs.items()}
+        res["runs_s"] = runs
         res["n_verified_pairs"] = n_pairs
         res["verify_layer_str"] = round(res["B_str"] - res["A_cands"], 3)
         res["verify_layer_hash"] = round(res["C_hash"] - res["A_cands"], 3)
         out[sf_dir] = res
         print(f"# {sf_dir}: {res}", file=sys.stderr)
+    out["probe_post"] = bench._contention_probe()
+    with open(".bench/ab_verify_hash_r12.json", "w") as f:
+        json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
 
 
