@@ -166,7 +166,12 @@ def main() -> None:
         out[sf_dir] = res
         print(f"# {sf_dir}: {res}", file=sys.stderr)
     out["probe_post"] = bench._contention_probe()
-    with open(".bench/ab_verify_hash_r12.json", "w") as f:
+    # HERE-anchored like the sibling probes — a cwd-relative path written
+    # from outside the repo root would mis-place the evidence (ADVICE r12).
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "ab_verify_hash_r12.json"
+    )
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
 

@@ -39,6 +39,17 @@ HEADLINE = [
     "q_shipping_priority",
     "stream_tumbling_window",
     "stream_session_window",
+    # r13 ADDITION (VERDICT r12 ask #2): the core-scaling witness. Every
+    # pre-existing headline row is job-floor-bound at sf0.1 (8-vs-32-core
+    # ratios ≈1 — PERF r12 flagged suspect_cpus_ignored), so the driver's
+    # core-count probe had zero signal. dedup_jaccard_pairs' 3.1M-pair
+    # hashed-shingle compare is CPU-bound: measured 4.31 s @32 cores vs
+    # 12.19 s @8 (ratio 2.83, .bench/witness_scaling_r13.json). Its
+    # deliberately-quadratic oracle is no-baseline (same class as
+    # dedup_minhash_lsh) — the row's job is the Spark-side core ratio,
+    # not an engine-vs-engine comparison. Names above are unchanged —
+    # additions only, per the bench contract.
+    "dedup_jaccard_pairs",
 ]
 
 
@@ -71,7 +82,34 @@ TRAJECTORY = [
 ]
 
 
-def _time_spark(qs, spark, names, sf_dir: str) -> dict[str, float]:
+def _task_counts(spark, group: str) -> dict[str, int]:
+    """Total tasks/stages the jobs of ``group`` ran, from the status
+    tracker — the per-query parallelism witness the driver's core-scaling
+    probe lacked (VERDICT r12 ask #2: at sf0.1 every headline row is
+    floor-bound, so 8-vs-32-core seconds read ≈1 and the harness could
+    not tell "honors cores" from "serial"; recorded task counts make the
+    parallelism legible even where wall-clock cannot). Best-effort: {} on
+    any failure — telemetry must never kill a run."""
+    try:
+        st = spark.sparkContext.statusTracker()
+        n_tasks = n_stages = 0
+        for jid in st.getJobIdsForGroup(group):
+            ji = st.getJobInfo(jid)
+            if ji is None:
+                continue
+            for sid in ji.stageIds:
+                si = st.getStageInfo(sid)
+                if si is not None:
+                    n_tasks += si.numTasks
+                    n_stages += 1
+        return {"tasks": n_tasks, "stages": n_stages}
+    except Exception:  # noqa: BLE001
+        return {}
+
+
+def _time_spark(
+    qs, spark, names, sf_dir: str
+) -> tuple[dict[str, float], dict[str, dict]]:
     """Warm-to-stable (≤4, stop within 25% of previous) + best-of-3 timed,
     with an untimed GC nudge between queries — the steady-state protocol
     documented in main().
@@ -108,6 +146,7 @@ def _time_spark(qs, spark, names, sf_dir: str) -> dict[str, float]:
         df.write.mode("overwrite").format("noop").save()
 
     times: dict[str, float] = {}
+    telemetry: dict[str, dict] = {}
     for name in names:
         fn = qs[name].fn
         # Label every job this query submits (guide §1.5) so the history
@@ -125,15 +164,31 @@ def _time_spark(qs, spark, names, sf_dir: str) -> dict[str, float]:
                 break
             prev = t
         best = float("inf")
-        for _ in range(3):
+        for i in range(3):
             _reset_cache_state()
+            if i == 2:
+                # Tag the LAST timed rep with a job group so its task/
+                # stage counts are attributable afterwards (r13, VERDICT
+                # r12 ask #2). setJobGroup is a thread-local property
+                # write — nanoseconds, and set OUTSIDE the timed region.
+                spark.sparkContext.setJobGroup(
+                    f"bench:{name}:final", f"bench:{name}"
+                )
             t0 = time.time()
             force(fn(spark, sf_dir))
             best = min(best, time.time() - t0)
+            if i == 2:
+                telemetry[name] = _task_counts(spark, f"bench:{name}:final")
+                try:
+                    spark.sparkContext.setLocalProperty(
+                        "spark.jobGroup.id", None
+                    )
+                except Exception:  # noqa: BLE001
+                    pass
         spark.sparkContext.setJobDescription(None)
         times[name] = round(best, 3)
         print(f"# {name} @ {sf_dir}: {times[name]}s ({n} rows)", file=sys.stderr)
-    return times
+    return times, telemetry
 
 
 def _time_duck(qs, names, sf_dir: str) -> dict[str, float]:
@@ -470,7 +525,7 @@ def main() -> None:
     # (SPARK_GRAFT_GC_NUDGE=0) and performed here between queries instead.
     os.environ["SPARK_GRAFT_GC_NUDGE"] = "0"
     os.environ["SPARK_GRAFT_STREAM_UNLOAD"] = "0"
-    times = _time_spark(qs, spark, headline, sf_dir)
+    times, telemetry = _time_spark(qs, spark, headline, sf_dir)
     total = sum(times.values())
 
     # BASELINE.md §3 protocol: the operative bar is DuckDB executing the
@@ -548,6 +603,25 @@ def main() -> None:
                 f"(recorded; cold {ratios[q]}x one-shot incl. "
                 f"query-start lifecycle — see stream_steady_state)"
             )
+    try:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    except ValueError:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    try:
+        parallelism = spark.sparkContext.defaultParallelism
+    except Exception:  # noqa: BLE001
+        parallelism = None
+    # Two JSON lines, BOTH contract-complete (metric/value/unit/queries/
+    # sf), compact one FIRST (r13, VERDICT r12 ask #3): BENCH_r11's
+    # per-query seconds were lost because the stored artifact keeps only
+    # a ~2000-char tail of an ~8 KB line. The essential line is ≤1.5 KB —
+    # per-query seconds, total, tainted flag, cpus, defaultParallelism —
+    # so any truncation-prone capture still carries a parseable record;
+    # the verbose line that follows is the full byte-compatible r12
+    # record (ratios, steady-state, transport, probes) plus the new
+    # task/stage telemetry. A last-line parser gets the full record, a
+    # first-line parser gets the essentials — either way per-query
+    # seconds survive.
     print(
         json.dumps(
             {
@@ -556,6 +630,26 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "tainted": contended,
+                "cpus": cpus,
+                "parallelism": parallelism,
+                "record": "essential (full record on the next line)",
+            }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wallclock",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "cpus": cpus,
+                "parallelism": parallelism,
+                # per-query task/stage counts of the final timed rep —
+                # the core-scaling witness telemetry (VERDICT r12 ask #2)
+                "task_counts": telemetry,
                 "duckdb_queries": duck_times,
                 "spark_over_duckdb_ratio": ratios,
                 "spark_over_duckdb_ratio_cold": ratios_cold,
@@ -621,7 +715,7 @@ def scaling_tier_main(sf_dir: str, tier_out: str) -> None:
     subset = os.environ.get("SPARK_GRAFT_TIER_QUERIES")
     if subset:
         names = [q.strip() for q in subset.split(",") if q.strip()]
-    spark_t = _time_spark(qs, spark, names, sf_dir)
+    spark_t, _telemetry = _time_spark(qs, spark, names, sf_dir)
     try:
         duck_t = _time_duck(qs, names, sf_dir)
     except Exception as e:  # noqa: BLE001

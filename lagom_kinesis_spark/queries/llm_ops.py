@@ -113,7 +113,16 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # "theta": the Spark side IS a deliberate sampled all-pairs theta
     # join (id_a < id_b) — the exactness oracle for the banded paths.
-    tags=("llm", "dedup", "oracle_heavy", "theta"),
+    # "oracle_quadratic" (r13): the oracle is the same deliberate O(n²)
+    # all-pairs computation — correct at the sf0.01 gate, NOT a perf
+    # baseline (DuckDB needs minutes at sf0.1, measured; bench.py marks
+    # the row no-baseline like dedup_minhash_lsh). The row joins the
+    # headline suite as the CORE-SCALING WITNESS: its 3.1M-pair
+    # long-array compare is CPU-bound at sf0.1 (measured 4.3 s @32c vs
+    # 12.2 s @8c — ratio 2.83, .bench/witness_scaling_r13.json), the
+    # separation the driver's 8-vs-32 probe needs that every
+    # floor-bound row lacks.
+    tags=("llm", "dedup", "oracle_heavy", "theta", "oracle_quadratic"),
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard pairs (≥0.3) over a 1/2 sample — the

@@ -185,15 +185,25 @@ _NEEDS_REROW: dict[str, int] = {
     # broadcast audit then swept the same trap out of the other
     # corpus⋈corpus paths (simhash bands, semdedup cluster pairs,
     # prefix-filter freq/index/verify).
-    "dedup_minhash_lsh": 13,
     "dedup_simhash": 13,
     "dedup_semantic_semdedup": 13,
-    "dedup_prefix_filter_join": 13,
-    # r12: connected_components folded the fixpoint check into the
-    # checkpointed frame (deletes one |V|⋈|V| shuffle join per
-    # iteration; results identical, consumers re-verified).
-    "dedup_clusters": 13,
-    "split_leakage_audit": 13,
+    # r13 cohort (min 14, max-wins over the r12 listings): the xxhash64
+    # shingle-proxy extension (dedup_jaccard_pairs [+ the
+    # oracle_quadratic no-baseline tag for the bench witness role],
+    # dedup_sorted_neighborhood, dedup_clusters, dedup_clusters_lsh's
+    # exact arm) plus the shared-helper refactor of the r12 inline sites
+    # (dedup_minhash_lsh, dedup_prefix_filter_join — expression-
+    # identical), plus the connected_components cloned-session AQE
+    # scoping (consumers: dedup_clusters, dedup_clusters_lsh,
+    # split_leakage_audit). All oracle-verified this round at
+    # sf0.001/sf0.01 and on a fresh untuned driver-style session.
+    "dedup_jaccard_pairs": 14,
+    "dedup_sorted_neighborhood": 14,
+    "dedup_minhash_lsh": 14,
+    "dedup_prefix_filter_join": 14,
+    "dedup_clusters": 14,
+    "dedup_clusters_lsh": 14,
+    "split_leakage_audit": 14,
 }
 #: The force-listing above SELF-EXPIRES per name: once a CORRECTNESS
 #: artifact from that name's min round or later records it, the
