@@ -20,7 +20,7 @@ spark.sparkContext.setLogLevel("ERROR")
 qs = all_queries()
 
 for rep in range(3):
-    t = bench._time_spark(qs, spark, NAMES, SF)
+    t, _tel = bench._time_spark(qs, spark, NAMES, SF)  # r13: returns (times, telemetry)
     try:
         d = bench._time_duck(qs, NAMES, SF)
     except Exception as e:

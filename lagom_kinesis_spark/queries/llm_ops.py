@@ -9,6 +9,8 @@ containment tests in tests/test_operators.py.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -1137,42 +1139,58 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compressed-scan estimate — at sf10 the unhinted plan broadcast the
     # whole frame (measured, r12 broadcast audit; OOM class at scale).
     # But a bare shuffle on `cluster` caps parallelism at k (8 here):
-    # measured 1.54 s → 6.69 s at sf0.1 when the merge hint landed alone.
-    # So the join key is SALTED (cluster, id_a % R) with the probe side
-    # replicated R ways — every (a, b) pair still meets exactly once, at
-    # the b-copy whose salt equals id_a % R — restoring k×R-way
-    # parallelism. R adapts: shuffle.partitions // k, i.e. R→1 (zero
-    # replication overhead) once k reaches cluster parallelism, which a
-    # production capacity-bounded quantizer always does; AQE skew-split
-    # additionally splits any >256 MB cluster partition at real scale.
-    # The pair stage is CPU-heavy HOF work over TINY bytes, so AQE's
-    # byte-based advisory coalescing (parallelismFirst=false, the r8
-    # small-shuffle tuning) shrinks the join's shuffle read to 1-2
-    # partitions and serializes the quadratic. Pinning the join INPUTS
-    # with explicit numbered repartitions on (cluster, salt) defeats the
-    # coalescing (AQE respects user repartition counts), so the cosine
-    # runs inside the 32-way join stage with NO extra pair-row exchange —
-    # measured at sf0.1: 1.54 s broadcast (the OOM plan) → 6.69 s
-    # hinted-only (2-partition quadratic) → ~4 s back with salt+pinning.
+    # measured 121 s at sf1 vs ~30 s broadcast (r13 re-measure of the
+    # r12 finding). The r12 answer — a 1-D salt (cluster, id_a % R),
+    # R = partitions//k — was measured this round LOSING 2× at sf1
+    # (62-67 s vs ~30 s broadcast, `.bench/ab_semdedup_scale_r13.json`):
+    # k×R = exactly |partitions| distinct keys HASH into the partitions,
+    # and balls-in-bins leaves ~1/e of them empty with 2-3 keys piled on
+    # others (guide §2.5 "synthetic keys with too few distinct values"),
+    # while the b side pays R× replication for it. r13 fix: a 2-D BLOCK
+    # salt — a-side carries fixed bi = id_a % m and explodes bj over
+    # 0..m-1, b-side fixed bj = id_b % m and explodes bi; join on
+    # (cluster, bi, bj). Every (a, b) pair meets exactly once, at block
+    # (id_a % m, id_b % m), for ANY m ≥ 1; keys grow QUADRATICALLY
+    # (k·m²) while replication grows linearly (m per side) — the
+    # balls-in-bins oversubscription the 1-D salt can't afford
+    # (R=64 ⇒ 64× one side for the same 512 keys m=8 buys at 8×+8×).
+    # Measured sf1 gradient (fresh process per run, interleaved):
+    # 1-D R=4 62.0 s / R=16 50.1 s / R=64 33.1 s; 2-D m=8 38.1 s /
+    # m=16 32.5 s vs broadcast 26.5 s — the residual ~20 % is the
+    # exchange+SMJ machinery the scale-correct plan must pay. m adapts:
+    # ceil(sqrt(64·partitions / k)) targets ~64 keys/partition and
+    # degrades to m=1 (zero replication) once k ≥ 64×partitions — which
+    # a production capacity-bounded quantizer (k ~ 10⁴-10⁵ ≫ cores)
+    # always satisfies. Pinning the join INPUTS with explicit numbered
+    # repartitions still defeats AQE's byte-based coalescing (the pair
+    # stage is CPU-heavy HOF work over tiny bytes — AQE would squash it
+    # to 1-2 partitions, the r12 finding).
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    R = max(1, n_parts // 8)  # k = 8 centroids (md5_sample_matrix above)
-    a = assigned.select(
-        "cluster",
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
-        (F.col("vec_id") % R).alias("salt"),
-    ).repartition(n_parts, "cluster", "salt")
+    k = 8  # centroids (md5_sample_matrix above)
+    m = max(1, math.ceil(math.sqrt(64 * n_parts / k)))
+    blocks = F.array(*[F.lit(i) for i in range(m)])
+    a = (
+        assigned.select(
+            "cluster",
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("va"),
+            (F.col("vec_id") % m).alias("bi"),
+        )
+        .withColumn("bj", F.explode(blocks))
+        .repartition(n_parts, "cluster", "bi", "bj")
+    )
     b = (
         assigned.select(
             "cluster",
             F.col("vec_id").alias("id_b"),
             F.col("embedding").alias("vb"),
+            (F.col("vec_id") % m).alias("bj"),
         )
-        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(R)])))
-        .repartition(n_parts, "cluster", "salt")
+        .withColumn("bi", F.explode(blocks))
+        .repartition(n_parts, "cluster", "bi", "bj")
     )
     dups = (
-        a.join(b.hint("merge"), ["cluster", "salt"])
+        a.join(b.hint("merge"), ["cluster", "bi", "bj"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(r6(cosine(F.col("va"), F.col("vb"))) >= 0.35)
         .select("cluster", F.col("id_b").alias("vec_id"))

@@ -186,7 +186,6 @@ _NEEDS_REROW: dict[str, int] = {
     # corpus⋈corpus paths (simhash bands, semdedup cluster pairs,
     # prefix-filter freq/index/verify).
     "dedup_simhash": 13,
-    "dedup_semantic_semdedup": 13,
     # r13 cohort (min 14, max-wins over the r12 listings): the xxhash64
     # shingle-proxy extension (dedup_jaccard_pairs [+ the
     # oracle_quadratic no-baseline tag for the bench witness role],
@@ -199,6 +198,9 @@ _NEEDS_REROW: dict[str, int] = {
     # sf0.001/sf0.01 and on a fresh untuned driver-style session.
     "dedup_jaccard_pairs": 14,
     "dedup_sorted_neighborhood": 14,
+    # r13: semdedup's pair stage moved from the r12 1-D salt (measured
+    # losing 2x at sf1 — key-count balls-in-bins) to the 2-D block salt.
+    "dedup_semantic_semdedup": 14,
     "dedup_minhash_lsh": 14,
     "dedup_prefix_filter_join": 14,
     "dedup_clusters": 14,
