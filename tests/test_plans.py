@@ -549,3 +549,135 @@ def test_tfidf_single_bounded_nlj(spark):
     plan = _plan(QS["text_tfidf"].fn(spark, SF_DIR))
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
     assert "CartesianProduct" not in plan
+
+
+# --- r13 (VERDICT r12 ask #6): pin the broadcast findings the sf10 audit
+# excused, so none can silently regrow into the cached-corpus OOM trap -----
+
+#: The r12 sf10 broadcast audit (.bench/audit_broadcast_sf10_r12.py;
+#: BENCH_NOTES "sf10 broadcast audit") flagged 17 BroadcastExchange-over-
+#: fact findings, fixed 4 (minhash/simhash/semdedup/prefix — merge hints)
+#: and EXCUSED the rest with per-class reasons. These are the excused
+#: sites, by class:
+#: - "panel": bounded |Q|≤k query-panel/anchor broadcasts (literal id<k
+#:   filters — broadcast stays O(k·dim) at any corpus size);
+#: - "theta": the documented sampled all-pairs audit arm (quadratic BY
+#:   DESIGN, oracle_quadratic/no-baseline; never a scale path);
+#: - "reduced": 1-row global-total broadcasts (an aggregate above the
+#:   scan bounds the exchange);
+#: - "stats": UNCACHED filtered fact sides priced from accurate scan
+#:   stats — the planner's own size-based choice, which flips to SMJ as
+#:   data grows; becomes the OOM trap only if someone caches the side
+#:   (cached-frame stats stay compressed-scan-sized forever, r12's bug
+#:   class).
+BROADCAST_EXCUSED = {
+    "sim_topk_cosine": "panel",
+    "sim_range_search": "panel",
+    "sim_hard_negative_mining": "panel",
+    "sim_hybrid_rrf": "panel",
+    "sim_mips_norm_prune": "panel",
+    "text_levenshtein_knn": "panel",
+    # embedding_cosine's broadcast side is the vec_id % 10 SAMPLE — the
+    # deliberate sampled all-pairs exactness audit (its docstring names
+    # dedup_semantic_semdedup as the scale path), same class as the
+    # jaccard theta arm, NOT a literal-count panel.
+    "dedup_embedding_cosine": "theta",
+    "dedup_jaccard_pairs": "theta",
+    "q_part_value_share": "reduced",
+    "join_left_semi": "stats",
+    "join_left_anti": "stats",
+    "intersect_except": "stats",
+    "join_interval_overlap": "stats",
+    "join_range_binned": "stats",
+    "q_sales_opportunity": "stats",
+}
+
+_FACTS = ("lineitem", "orders", "events", "documents", "embeddings")
+
+
+def _broadcast_subtrees(plan: str) -> list[str]:
+    """Each BroadcastExchange subtree's tree lines + resolved detail
+    blocks — the audit's own extraction (node names live in the details
+    section, not the tree lines)."""
+    import re
+
+    details: dict[str, str] = {}
+    for block in re.split(r"\n(?=\(\d+\) )", plan):
+        m = re.match(r"\((\d+)\) ", block)
+        if m:
+            details[m.group(1)] = block
+    tree = plan.split("\n\n")[0].splitlines()
+    out = []
+    for i, ln in enumerate(tree):
+        if "BroadcastExchange" not in ln:
+            continue
+        indent = len(ln) - len(ln.lstrip(" +-:*"))
+        sub = [ln]
+        for nxt in tree[i + 1:]:
+            nindent = len(nxt) - len(nxt.lstrip(" +-:*"))
+            if nindent <= indent:
+                break
+            sub.append(nxt)
+        ids = [n for l2 in sub for n in __import__("re").findall(r"\((\d+)\)", l2)]
+        out.append("\n".join(sub) + "\n" + "\n".join(details.get(n, "") for n in ids))
+    return out
+
+
+def test_excused_broadcasts_never_regrow_the_cached_corpus_trap(spark):
+    """For every excused site: NO BroadcastExchange subtree may contain a
+    CACHED (InMemoryRelation) fact-scan without a reducing node — the
+    exact mis-estimation shape that OOM'd the four fixed queries at sf10
+    (a cached frame's stats come from the compressed scan, ~100× under,
+    and never grow with the data). Plan SHAPE is scale-independent, so
+    the sf0.01 assert pins what the sf10 audit excused: these broadcasts
+    are bounded panels / deliberate theta arms / aggregates / uncached
+    accurate-stats choices — never the trap."""
+    import re
+
+    for name, cls in BROADCAST_EXCUSED.items():
+        plan = _plan(QS[name].fn(spark, SF_DIR))
+        for sub in _broadcast_subtrees(plan):
+            fact = any(re.search(rf"/{t}\.?", sub) for t in _FACTS)
+            if not fact:
+                continue
+            cached = "InMemoryRelation" in sub
+            reduced = re.search(
+                r"HashAggregate|SortAggregate|TakeOrdered|GlobalLimit|Window",
+                sub,
+            )
+            assert not (cached and not reduced), (
+                f"{name} [{cls}]: a CACHED fact frame is broadcast without "
+                f"a reducing node — the r12 OOM trap regrew:\n{sub}"
+            )
+
+
+def test_excused_panel_broadcasts_carry_their_literal_bound(spark):
+    """The 'panel' class excuse is a LITERAL id<k (or LIMIT) bound inside
+    the broadcast subtree — the witness that the broadcast is O(k·dim)
+    at any corpus size. Assert the bound is still there for each panel
+    site (a dropped filter would silently turn the panel broadcast into
+    a corpus broadcast while this test's sibling only catches the cached
+    variant)."""
+    import re
+
+    for name, cls in BROADCAST_EXCUSED.items():
+        if cls != "panel":
+            continue
+        plan = _plan(QS[name].fn(spark, SF_DIR))
+        subs = [s for s in _broadcast_subtrees(plan)
+                if any(re.search(rf"/{t}\.?", s) for t in _FACTS)]
+        # zero fact-side broadcasts is fine — some panel sites ship their
+        # |Q|≤k panel as literals/local relations since r11, which is
+        # strictly safer; the bound assert applies when a broadcast exists.
+        for sub in subs:
+            bounded = re.search(
+                r"(vec_id|doc_id)#\d+L? <=? \d+\b|GlobalLimit|TakeOrdered"
+                r"|LessThan\((vec_id|doc_id)|HashAggregate|SortAggregate"
+                # literal IN-list panels: pushed `In(doc_id, [0,1,2])` /
+                # residual `doc_id#9L IN (0,1,2)`
+                r"|In\((vec_id|doc_id), \[|(vec_id|doc_id)#\d+L? IN \(",
+                sub,
+            )
+            assert bounded, (
+                f"{name}: panel broadcast lost its literal bound:\n{sub}"
+            )
