@@ -82,6 +82,34 @@ TRAJECTORY = [
 ]
 
 
+def _cpus_env() -> int | str:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    except ValueError:
+        return os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _essential_record(
+    total: float, times: dict, sf, tainted: bool, cpus, parallelism
+) -> dict:
+    """The ≤1.5 KB first output line (r13, VERDICT r12 ask #3): every
+    contract field + the fields a reader needs to compare rounds
+    (per-query seconds, tainted flag, core telemetry). Kept to a factored
+    pure function so tests can pin the size bound against a full-width
+    query set."""
+    return {
+        "metric": "headline_suite_wallclock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "tainted": tainted,
+        "cpus": cpus,
+        "parallelism": parallelism,
+        "record": "essential (full record on the next line)",
+    }
+
+
 def _task_counts(spark, group: str) -> dict[str, int]:
     """Total tasks/stages the jobs of ``group`` ran, from the status
     tracker — the per-query parallelism witness the driver's core-scaling
@@ -604,13 +632,10 @@ def main() -> None:
                 f"query-start lifecycle — see stream_steady_state)"
             )
     try:
-        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    except ValueError:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS")
-    try:
         parallelism = spark.sparkContext.defaultParallelism
     except Exception:  # noqa: BLE001
         parallelism = None
+    cpus = _cpus_env()
     # Two JSON lines, BOTH contract-complete (metric/value/unit/queries/
     # sf), compact one FIRST (r13, VERDICT r12 ask #3): BENCH_r11's
     # per-query seconds were lost because the stored artifact keeps only
@@ -623,19 +648,8 @@ def main() -> None:
     # first-line parser gets the essentials — either way per-query
     # seconds survive.
     print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wallclock",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "tainted": contended,
-                "cpus": cpus,
-                "parallelism": parallelism,
-                "record": "essential (full record on the next line)",
-            }
-        )
+        json.dumps(_essential_record(total, times, sf, contended, cpus,
+                                     parallelism))
     )
     print(
         json.dumps(

@@ -149,3 +149,52 @@ def test_driver_history_live_artifacts_are_registered():
     assert set(R._NEEDS_REROW) <= set(reg)
     for n in set(R._NEEDS_REROW) - set(R._ACTIVE_REROW):
         assert last_round.get(n, -1) >= R._NEEDS_REROW[n]
+
+
+# --- bench output contract (r13: truncation-proof two-line record) ----------
+
+
+def test_bench_essential_line_fits_tail_capture():
+    """r13 (VERDICT r12 ask #3): the FIRST bench output line must stay
+    parseable under the driver's ~2000-char tail capture — BENCH_r11's
+    per-query history was lost to exactly that truncation. Pin the size
+    bound at full suite width (every HEADLINE name at worst-case float
+    widths) and the contract fields' presence."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    times = {q: 123.456 for q in bench.HEADLINE}
+    rec = bench._essential_record(
+        sum(times.values()), times, 0.1, tainted=False, cpus=32, parallelism=32
+    )
+    line = json.dumps(rec)
+    assert len(line) <= 1536, f"essential line {len(line)}B > 1.5 KB"
+    # contract fields (driver protocol) all present on the compact line
+    assert {"metric", "value", "unit", "queries", "sf"} <= set(rec)
+    assert rec["queries"] == times and rec["unit"] == "sec"
+
+
+def test_bench_task_counts_telemetry(spark):
+    """_task_counts must attribute a job group's tasks/stages (the
+    core-scaling witness telemetry, VERDICT r12 ask #2) and degrade to {}
+    rather than raise."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+    from pyspark.sql import functions as F
+
+    sc = spark.sparkContext
+    sc.setJobGroup("tc-test", "tc-test")
+    try:
+        spark.range(100000).groupBy((F.col("id") % 7).alias("k")).count().collect()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    out = bench._task_counts(spark, "tc-test")
+    assert out.get("tasks", 0) > 0 and out.get("stages", 0) > 0
+    assert bench._task_counts(spark, "no-such-group") in ({}, {"tasks": 0, "stages": 0})
